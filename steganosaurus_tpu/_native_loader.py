@@ -1,0 +1,135 @@
+"""Loader for the C++ native runtime library (native/).
+
+The native library provides hot host-side paths: ChaCha20-Poly1305 AEAD and
+the sequential turtle-walk keystream expansion (the reference's only truly
+sequential component, steganosaur.cpp:665-810). Everything degrades to pure
+Python when the library is absent, so the framework works un-built (slower).
+
+Set STEGANOSAURUS_NO_NATIVE=1 to force the pure-Python paths (used by tests to
+cross-check both backends).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import threading
+
+_lock = threading.Lock()
+_loaded = False
+_lib = None
+
+_SO_NAMES = ("libsteganosaurus_native.so",)
+
+
+def _find_library() -> pathlib.Path | None:
+    env = os.environ.get("STEGANOSAURUS_NATIVE_LIB")
+    if env:
+        p = pathlib.Path(env)
+        return p if p.exists() else None
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for sub in ("native/build", "native", "build"):
+        for name in _SO_NAMES:
+            p = root / sub / name
+            if p.exists():
+                return p
+    return None
+
+
+class NativeLib:
+    """ctypes wrapper around native/capi.cc."""
+
+    def __init__(self, path: pathlib.Path):
+        self._dll = ctypes.CDLL(str(path))
+        d = self._dll
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+
+        d.stego_aead_seal.restype = ctypes.c_int
+        d.stego_aead_seal.argtypes = [u8p, u8p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, u8p]
+        d.stego_aead_open.restype = ctypes.c_int
+        d.stego_aead_open.argtypes = [u8p, u8p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, u8p]
+        d.stego_turtle_expand.restype = ctypes.c_longlong
+        d.stego_turtle_expand.argtypes = [
+            u8p, u8p, u8p, u8p,                       # walk/r/g/b keys (32B each)
+            ctypes.c_int, ctypes.c_int,               # H, W (padded)
+            ctypes.c_double, ctypes.c_double,         # rmin, rmax
+            ctypes.c_double, ctypes.c_double,         # density, jitter_max
+            ctypes.c_longlong, ctypes.c_longlong,     # nbits, max_steps
+            ctypes.POINTER(ctypes.c_int32),           # out plane
+            ctypes.POINTER(ctypes.c_int32),           # out y
+            ctypes.POINTER(ctypes.c_int32),           # out x
+            ctypes.POINTER(ctypes.c_double),          # out jitter
+        ]
+
+    @staticmethod
+    def _buf(b: bytes):
+        return ctypes.cast(ctypes.create_string_buffer(b, len(b)), ctypes.POINTER(ctypes.c_uint8))
+
+    def aead_seal(self, key: bytes, nonce: bytes, aad: bytes, pt: bytes) -> tuple[bytes, bytes]:
+        ct = ctypes.create_string_buffer(max(len(pt), 1))
+        tag = ctypes.create_string_buffer(16)
+        rc = self._dll.stego_aead_seal(
+            self._buf(key), self._buf(nonce),
+            self._buf(aad), len(aad),
+            self._buf(pt), len(pt),
+            ctypes.cast(ct, ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.cast(tag, ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise RuntimeError("native aead_seal failed")
+        return ct.raw[: len(pt)], tag.raw[:16]
+
+    def aead_open(self, key: bytes, nonce: bytes, aad: bytes, ct: bytes, tag: bytes) -> bytes | None:
+        pt = ctypes.create_string_buffer(max(len(ct), 1))
+        rc = self._dll.stego_aead_open(
+            self._buf(key), self._buf(nonce),
+            self._buf(aad), len(aad),
+            self._buf(ct), len(ct),
+            self._buf(tag),
+            ctypes.cast(pt, ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            return None
+        return pt.raw[: len(ct)]
+
+    def turtle_expand(self, walk_key, plane_keys, H, W, rmin, rmax, density,
+                      jitter_max, nbits, max_steps):
+        import numpy as np
+
+        plane = np.empty(nbits, dtype=np.int32)
+        y = np.empty(nbits, dtype=np.int32)
+        x = np.empty(nbits, dtype=np.int32)
+        jit = np.empty(nbits, dtype=np.float64)
+        rc = self._dll.stego_turtle_expand(
+            self._buf(walk_key), self._buf(plane_keys[0]),
+            self._buf(plane_keys[1]), self._buf(plane_keys[2]),
+            H, W, rmin, rmax, density, jitter_max, nbits, max_steps,
+            plane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            jit.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc < 0:
+            raise RuntimeError(
+                f"native turtle_expand failed (rc={rc}): walk exhausted the "
+                f"step budget — image too small for the requested bit count?"
+            )
+        return plane, y, x, jit
+
+
+def get() -> NativeLib | None:
+    """Return the loaded native library, or None if unavailable/disabled."""
+    global _loaded, _lib
+    if os.environ.get("STEGANOSAURUS_NO_NATIVE"):
+        return None
+    with _lock:
+        if not _loaded:
+            _loaded = True
+            path = _find_library()
+            if path is not None:
+                try:
+                    _lib = NativeLib(path)
+                except OSError:
+                    _lib = None
+        return _lib

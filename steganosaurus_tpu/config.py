@@ -1,0 +1,39 @@
+"""Embedding parameter surface.
+
+Mirrors the reference `Params` struct (steganosaur.cpp:375-381) with the same
+defaults. Note the reference's `usage()` text claims adaptive_alpha /
+cover_dependent_path default to 1; the code (and README.md:101-102) says 0 —
+we follow the code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Params:
+    """Embedding/extraction parameters (reference steganosaur.cpp:375-381)."""
+
+    alpha: float = 0.50          # base phase shift magnitude (radians)
+    rmin: float = 0.05           # annulus inner radius as fraction of min(H, W)
+    rmax: float = 0.45           # annulus outer radius as fraction of min(H, W)
+    magmin: float = 0.01         # magnitude threshold factor (capacity only;
+                                 # the walk's mag check is disabled, :797-799)
+    density: float = 0.7         # Bernoulli embed probability per candidate bin
+    jitter: float = 0.0          # max keyed phase jitter (radians)
+    center: bool = False         # (-1)^(x+y) spectrum centering pre/post FFT
+    pbkdf2_iter: int = 600_000   # PBKDF2-HMAC-SHA256 iterations
+    adaptive_alpha: bool = False       # experimental: magnitude-scaled alpha
+    cover_dependent_path: bool = False  # experimental: spectral-hash-keyed walk
+
+    # --- rebuild-only knobs (no reference equivalent) ---
+    # FFT compute dtype: "complex64" (TPU default) or "complex128" (CPU-only
+    # parity arbiter; TPU has no f64).
+    fft_dtype: str = "complex64"
+
+    def replace(self, **kw) -> "Params":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULTS = Params()

@@ -1,0 +1,193 @@
+"""Host-side crypto: one implementation replacing the reference's duplicated pair.
+
+The reference carries two copies of SHA-256/HMAC/PBKDF2/HKDF/ChaCha20-Poly1305
+(inline in steganosaur.cpp:45-323 and again in src/crypto/). This package is
+the single crypto component (SURVEY.md §1 "Notable").
+
+Backends:
+- SHA-256 / HMAC / PBKDF2: Python stdlib (`hashlib`, `hmac`) — OpenSSL-backed,
+  faster than the reference's hand-rolled loops, RFC-identical output.
+- ChaCha20-Poly1305 AEAD: C++ native library (native/) when built, else the
+  pure-Python RFC 8439 implementation in `_pure.py`.
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+import hashlib
+import hmac as _hmac
+import os
+from dataclasses import dataclass
+
+from steganosaurus_tpu.crypto import _pure
+
+# ---------------------------------------------------------------------------
+# Hashes / MACs / KDFs (stdlib-backed)
+# ---------------------------------------------------------------------------
+
+
+def sha256(data: bytes) -> bytes:
+    """SHA-256 (reference sha256::hash, steganosaur.cpp:64-94)."""
+    return hashlib.sha256(data).digest()
+
+
+def hmac_sha256(key: bytes, msg: bytes) -> bytes:
+    """HMAC-SHA256 (reference sha256::hmac_sha256, steganosaur.cpp:96-110)."""
+    return _hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def pbkdf2_hmac_sha256(password: bytes, salt: bytes, iters: int, dklen: int) -> bytes:
+    """PBKDF2-HMAC-SHA256 (reference steganosaur.cpp:112-130, RFC 8018)."""
+    return hashlib.pbkdf2_hmac("sha256", password, salt, iters, dklen)
+
+
+def hkdf_extract(salt: bytes, ikm: bytes) -> bytes:
+    """HKDF-extract (RFC 5869 §2.2; reference steganosaur.cpp:132-134).
+
+    The reference calls hmac with a NULL/0-length salt for the passphrase
+    path; HMAC zero-pads the key, so b"" is equivalent to 32 zero bytes.
+    """
+    return hmac_sha256(salt, ikm)
+
+
+def hkdf_expand(prk: bytes, info: bytes, length: int) -> bytes:
+    """HKDF-expand (RFC 5869 §2.3; reference steganosaur.cpp:135-147)."""
+    out = bytearray()
+    t = b""
+    ctr = 1
+    while len(out) < length:
+        t = hmac_sha256(prk, t + info + bytes([ctr]))
+        out += t
+        ctr += 1
+    return bytes(out[:length])
+
+
+# ---------------------------------------------------------------------------
+# AEAD (native backend if available, pure-Python fallback)
+# ---------------------------------------------------------------------------
+
+
+def _native():
+    from steganosaurus_tpu import _native_loader
+
+    return _native_loader.get()
+
+
+def aead_seal(key: bytes, nonce: bytes, aad: bytes, plaintext: bytes) -> tuple[bytes, bytes]:
+    """ChaCha20-Poly1305 seal -> (ciphertext, tag). RFC 8439."""
+    lib = _native()
+    if lib is not None:
+        return lib.aead_seal(key, nonce, aad, plaintext)
+    return _pure.aead_seal(key, nonce, aad, plaintext)
+
+
+def aead_open(key: bytes, nonce: bytes, aad: bytes, ciphertext: bytes, tag: bytes) -> bytes | None:
+    """ChaCha20-Poly1305 open -> plaintext, or None on auth failure."""
+    lib = _native()
+    if lib is not None:
+        return lib.aead_open(key, nonce, aad, ciphertext, tag)
+    return _pure.aead_open(key, nonce, aad, ciphertext, tag)
+
+
+# ---------------------------------------------------------------------------
+# Key material split (reference steganosaur.cpp:549-591)
+# ---------------------------------------------------------------------------
+
+_KEYS_INFO = b"fft_turtle:keys"
+_TURTLE_INFO = b"turtle_keys"
+
+
+@dataclass(frozen=True)
+class KeyMaterial:
+    """AEAD key + nonce + salt (reference KeyMaterial, steganosaur.cpp:550-555).
+
+    The reference also derives a `path_key` field here but never uses it — the
+    walk key is deliberately salt-independent (rationale comment :1136-1143).
+    We drop the dead field (SURVEY.md §7 quirks ledger).
+    """
+
+    aead_key: bytes  # 32
+    nonce: bytes     # 12
+    salt: bytes      # 16
+
+
+def derive_keys(password: str, salt: bytes, iters: int) -> KeyMaterial:
+    """Passphrase path (reference derive_keys, steganosaur.cpp:556-573).
+
+    PBKDF2(pass, salt, iters) -> 32B dk; HKDF-extract(empty, dk) -> prk;
+    HKDF-expand(prk, "fft_turtle:keys", 76) -> path(32,dead) || aead(32) || nonce(12).
+    """
+    dk = pbkdf2_hmac_sha256(password.encode(), salt, iters, 32)
+    prk = hkdf_extract(b"", dk)
+    okm = hkdf_expand(prk, _KEYS_INFO, 76)
+    return KeyMaterial(aead_key=okm[32:64], nonce=okm[64:76], salt=salt)
+
+
+def derive_keys_from_raw(master_key: bytes, salt: bytes) -> KeyMaterial:
+    """Raw-key path (reference derive_keys_from_raw, steganosaur.cpp:576-591).
+
+    HKDF-extract(salt, master) -> prk; expand as in `derive_keys` (no PBKDF2).
+    """
+    prk = hkdf_extract(salt, master_key)
+    okm = hkdf_expand(prk, _KEYS_INFO, 76)
+    return KeyMaterial(aead_key=okm[32:64], nonce=okm[64:76], salt=salt)
+
+
+def derive_path_key(
+    password: str | None,
+    master_key: bytes | None,
+    cover_hash: bytes | None = None,
+) -> bytes:
+    """Turtle-walk path key (reference steganosaur.cpp:1017-1040, :1154-1176).
+
+    Deliberately salt-independent so the header can be located before the salt
+    is known: SHA256(pass | master [+ cover_hash]).
+    """
+    ikm = master_key if master_key is not None else password.encode()
+    if cover_hash is not None:
+        return sha256(ikm + cover_hash)
+    return sha256(ikm)
+
+
+def derive_turtle_keys(path_key: bytes) -> tuple[bytes, bytes, bytes, bytes]:
+    """HKDF-expand(path_key, "turtle_keys", 128) -> (walk, R, G, B) 32B keys
+    (reference steganosaur.cpp:1053-1061)."""
+    sub = hkdf_expand(path_key, _TURTLE_INFO, 128)
+    return sub[0:32], sub[32:64], sub[64:96], sub[96:128]
+
+
+# ---------------------------------------------------------------------------
+# Encoding helpers / CSPRNG / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def get_random_bytes(n: int) -> bytes:
+    """OS CSPRNG (reference crypto_utils::get_random_bytes, crypto_utils.h:87-155)."""
+    return os.urandom(n)
+
+
+def base64_encode(data: bytes) -> str:
+    return _b64.b64encode(data).decode("ascii")
+
+
+def base64_decode(text: str) -> bytes:
+    """Base64 decode skipping whitespace (reference crypto_utils.h:456-537).
+
+    Returns b"" on malformed input (the reference returns an empty vector).
+    """
+    compact = "".join(text.split())
+    try:
+        return _b64.b64decode(compact, validate=True)
+    except Exception:
+        return b""
+
+
+def key_fingerprint(key: bytes) -> str:
+    """First 8 bytes of SHA256(key) as lowercase hex
+    (reference crypto_utils::key_fingerprint, crypto_utils.h:554-558)."""
+    return sha256(key)[:8].hex()
+
+
+def constant_time_compare(a: bytes, b: bytes) -> bool:
+    """Timing-safe equality (reference steganosaur.cpp:327-333)."""
+    return _hmac.compare_digest(a, b)

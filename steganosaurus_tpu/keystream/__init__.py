@@ -1,0 +1,50 @@
+"""Keyed turtle-walk keystream expansion (host side).
+
+The reference's only strictly sequential component (steganosaur.cpp:665-810) —
+each accepted bin mutates the visited set, gating the next step — cannot be
+vmapped. We run it on the host (C++ when built, pure Python otherwise) and feed
+the resulting index arrays to one vectorized device pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from steganosaurus_tpu import _native_loader
+from steganosaurus_tpu.keystream import _pure
+from steganosaurus_tpu.keystream._pure import (  # noqa: F401 (re-exported API)
+    KS,
+    conj_idx,
+    on_axis,
+    turtle_seed,
+)
+
+
+def turtle_expand(
+    walk_key: bytes,
+    plane_keys: tuple[bytes, bytes, bytes],
+    H: int,
+    W: int,
+    rmin: float,
+    rmax: float,
+    density: float,
+    jitter_max: float,
+    nbits: int,
+    max_steps: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-bit (plane, y, x, jitter) arrays for `nbits` embedded bits.
+
+    See `_pure.turtle_expand` for exact semantics and reference citations.
+    """
+    if max_steps is None:
+        max_steps = max(1_000_000, 64 * nbits * 8)
+    lib = _native_loader.get()
+    if lib is not None:
+        return lib.turtle_expand(
+            walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
+            nbits, max_steps,
+        )
+    return _pure.turtle_expand(
+        walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
+        nbits, max_steps,
+    )

@@ -1,0 +1,191 @@
+"""Pure-Python keystream + turtle-walk expansion (reference semantics, exact).
+
+This replays, byte-for-byte, the reference's sequential per-bit selection loop
+(steganosaur.cpp:665-810 `KS`/`Turtle`, :1074-1097 embed loop, :1205-1220
+extract loop) and emits flat index/jitter arrays. The device side then runs a
+single vectorized gather -> phase-rotate -> scatter — the TPU-native
+refactoring of the reference's strictly sequential hot loop #3 (SURVEY.md §3.5).
+
+The C++ backend (native/keystream.cc) implements the same expansion ~100x
+faster; tests assert both produce identical streams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+
+import numpy as np
+
+
+class KS:
+    """Counter-mode SHA-256 PRG (reference struct KS, steganosaur.cpp:665-695).
+
+    Block i = SHA256(key || 0xAA || LE32(i)), 32 bytes each.
+    """
+
+    __slots__ = ("key", "state", "pos", "ctr", "bitpool", "bits")
+
+    def __init__(self, key: bytes):
+        assert len(key) == 32
+        self.key = key
+        self.state = b"\x00" * 32
+        self.pos = 32
+        self.ctr = 0
+        self.bitpool = 0
+        self.bits = 0
+
+    def next_byte(self) -> int:
+        if self.pos >= 32:
+            block = self.key + b"\xaa" + struct.pack("<I", self.ctr)
+            self.state = hashlib.sha256(block).digest()
+            self.pos = 0
+            self.ctr += 1
+        b = self.state[self.pos]
+        self.pos += 1
+        return b
+
+    def next_opcode3(self) -> int:
+        # 3 bits MSB-first from an accumulating bitpool (reference :685).
+        while self.bits < 3:
+            self.bitpool = ((self.bitpool << 8) | self.next_byte()) & 0xFFFFFFFF
+            self.bits += 8
+        op = (self.bitpool >> (self.bits - 3)) & 7
+        self.bits -= 3
+        return op
+
+    def hit_density(self, density: float) -> bool:
+        # true iff byte < uint8(floor(density*256)) (reference :686-689).
+        # NB the reference quirk: density >= 1.0 folds to threshold 0 via the
+        # uint8_t cast, so NOTHING ever embeds — replicated faithfully; the
+        # expansion loop's step budget turns the hang into an error.
+        thresh = int(math.floor(density * 256.0)) & 0xFF
+        return self.next_byte() < thresh
+
+    def jitter(self, maxj: float) -> float:
+        # int16 from two bytes -> u in [-1, 1) -> u*maxj (reference :690-694).
+        hi = self.next_byte()
+        lo = self.next_byte()
+        r = (hi << 8) | lo
+        if r >= 0x8000:
+            r -= 0x10000
+        return (r / 32768.0) * maxj
+
+
+def turtle_seed(walk_key: bytes, H: int, W: int) -> tuple[int, int, int]:
+    """Start position (y, x, plane) (reference Turtle ctor, :762-769)."""
+    seed = b"seed:" + f"{H}x{W}".encode() + b"|key:" + walk_key
+    h = hashlib.sha256(seed).digest()
+    s = int.from_bytes(h[:8], "big")
+    return s % H, (s >> 16) % W, (s >> 32) % 3
+
+
+def on_axis(y: int, x: int, H: int, W: int) -> bool:
+    """Axis/Nyquist exclusion (reference :698-700)."""
+    return y == 0 or x == 0 or (H % 2 == 0 and y == H // 2) or (W % 2 == 0 and x == W // 2)
+
+
+def conj_idx(y: int, x: int, H: int, W: int) -> tuple[int, int]:
+    """Hermitian-conjugate bin index (reference :370-372)."""
+    yy = 0 if y == 0 else H - y
+    xx = 0 if x == 0 else W - x
+    return yy % H, xx % W
+
+
+def turtle_expand(
+    walk_key: bytes,
+    plane_keys: tuple[bytes, bytes, bytes],
+    H: int,
+    W: int,
+    rmin: float,
+    rmax: float,
+    density: float,
+    jitter_max: float,
+    nbits: int,
+    max_steps: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Expand the keyed walk into per-bit (plane, y, x, jitter) arrays.
+
+    Exactly replays: per bit, `{advance_to_valid(); density-accept or
+    mark-and-retry}` (:1076-1081 / :1206), then one per-plane jitter draw — two
+    bytes consumed even when jitter_max == 0.0 (:719 / :1208) — then
+    mark_here() on the accepted bin AND its conjugate (:805-809).
+
+    `max_steps` bounds total walk steps, fixing the reference's unbounded-loop
+    hazard on corrupted clen (doc/TESTING.md:151-156). Raises RuntimeError when
+    exhausted.
+    """
+    ks_walk = KS(walk_key)
+    ks_planes = (KS(plane_keys[0]), KS(plane_keys[1]), KS(plane_keys[2]))
+    y, x, plane = turtle_seed(walk_key, H, W)
+    visited = np.zeros((3, H, W), dtype=bool)
+    rlo = rmin * min(H, W)
+    rhi = rmax * min(H, W)
+    if max_steps is None:
+        # Generous default: ~64 walk steps per candidate, >=1M.
+        max_steps = max(1_000_000, 64 * nbits * 8)
+
+    out_plane = np.empty(nbits, dtype=np.int32)
+    out_y = np.empty(nbits, dtype=np.int32)
+    out_x = np.empty(nbits, dtype=np.int32)
+    out_j = np.empty(nbits, dtype=np.float64)
+
+    steps = 0
+    for i in range(nbits):
+        while True:  # candidate loop (advance + density Bernoulli)
+            # --- advance_to_valid (reference :778-804) ---
+            while True:
+                steps += 1
+                if steps > max_steps:
+                    raise RuntimeError(
+                        f"turtle walk exhausted {max_steps} steps at bit {i}/{nbits}"
+                    )
+                op = ks_walk.next_opcode3()
+                if op == 0:
+                    plane = (plane + 1) % 3
+                elif op == 1:
+                    x = (x + 1) % W
+                elif op == 2:
+                    y = (y + 1) % H
+                elif op == 3:
+                    x = (x - 1) % W
+                elif op == 4:
+                    y = (y - 1) % H
+                elif op == 5:
+                    x = (x + 1) % W
+                    y = (y + 1) % H
+                elif op == 6:
+                    x = (x - 1) % W
+                    y = (y + 1) % H
+                # op 7: stay
+                if on_axis(y, x, H, W):
+                    continue
+                if y == 0 and x == 0:
+                    continue
+                if visited[plane, y, x]:
+                    continue
+                r = math.hypot(y, x)
+                if r < rlo or r > rhi:
+                    continue
+                # magnitude check intentionally disabled (reference :797-799)
+                cy, cx = conj_idx(y, x, H, W)
+                if visited[plane, cy, cx]:
+                    continue
+                break
+            if ks_walk.hit_density(density):
+                break
+            # density skip: mark used-but-empty (reference :1079-1080)
+            visited[plane, y, x] = True
+            cy, cx = conj_idx(y, x, H, W)
+            visited[plane, cy, cx] = True
+
+        out_plane[i] = plane
+        out_y[i] = y
+        out_x[i] = x
+        out_j[i] = ks_planes[plane].jitter(jitter_max)
+        visited[plane, y, x] = True
+        cy, cx = conj_idx(y, x, H, W)
+        visited[plane, cy, cx] = True
+
+    return out_plane, out_y, out_x, out_j

@@ -1,0 +1,71 @@
+"""Phase-domain embed/extract as one vectorized gather -> rotate -> scatter.
+
+Replaces the reference's sequential per-bit `write_bit_on_bin` /
+`read_bit_from_bin` (steganosaur.cpp:698-746) with batched device ops over the
+index arrays produced by host keystream expansion. The turtle guarantees every
+selected bin and its Hermitian mirror are distinct and selected at most once
+(axis/Nyquist bins are rejected, visited marks both of a pair), so the two
+scatters are conflict-free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def conj_indices(y, x, H: int, W: int):
+    """Vectorized Hermitian mirror index (reference conj_idx, :370-372)."""
+    cy = jnp.where(y == 0, 0, H - y) % H
+    cx = jnp.where(x == 0, 0, W - x) % W
+    return cy, cx
+
+
+def adaptive_alpha(base_alpha, mag, median_mag, enabled: bool):
+    """alpha * clamp(mag/median, 0.5, 2.0) when enabled (reference :704-710)."""
+    if not enabled:
+        return jnp.broadcast_to(jnp.asarray(base_alpha, mag.dtype), mag.shape)
+    scale = jnp.clip(mag / jnp.maximum(1e-12, median_mag), 0.5, 2.0)
+    return base_alpha * scale
+
+
+def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
+                 adaptive: bool):
+    """Write `bits` into the phases of the selected bins.
+
+    Per bin (reference write_bit_on_bin, :712-732): keep magnitude, set phase
+    to (bit ? +a : -a) + jitter where a may be magnitude-adaptive; mirror the
+    conjugate bin. Self-conjugate bins cannot occur (axis/Nyquist rejected by
+    the walk), so the forced-real branch (:726-731) is unreachable here.
+
+    spectrum: (3, PH, PW) complex. plane/y/x/bits: (nbits,) int32.
+    jitters: (nbits,) float. medians: (3,) float.
+    """
+    H, W = spectrum.shape[-2:]
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    v = spectrum[plane, y, x]
+    mag = jnp.maximum(1e-12, jnp.abs(v)).astype(real_dtype)
+    a = adaptive_alpha(alpha, mag, medians[plane].astype(real_dtype), adaptive)
+    theta = jnp.where(bits.astype(bool), a, -a) + jitters.astype(real_dtype)
+    nv = (mag * jnp.exp(1j * theta.astype(real_dtype))).astype(spectrum.dtype)
+    cy, cx = conj_indices(y, x, H, W)
+    out = spectrum.at[plane, y, x].set(nv)
+    out = out.at[plane, cy, cx].set(jnp.conj(nv))
+    return out
+
+
+def read_phases(spectrum, plane, y, x, jitters, alpha, medians, adaptive: bool):
+    """Read bits back from bin phases.
+
+    Decision (reference read_bit_from_bin, :734-746): bit = 1 iff the circular
+    distance from the bin phase to (jitter + a) is <= the distance to
+    (jitter - a). Since circular distance d(u,v) in [0, pi] satisfies
+    cos(d) = cos(u - v) and cos is monotone decreasing on [0, pi], this is
+    exactly cos(th - j - a) >= cos(th - j + a), with ties -> 1 as in the
+    reference's `dpos <= dneg`.
+    """
+    v = spectrum[plane, y, x]
+    th = jnp.angle(v)
+    mag = jnp.maximum(1e-12, jnp.abs(v))
+    a = adaptive_alpha(alpha, mag, medians[plane], adaptive)
+    base = th - jitters
+    return (jnp.cos(base - a) >= jnp.cos(base + a)).astype(jnp.uint8)

@@ -1,0 +1,189 @@
+"""Device compute cores for the embed/extract pipelines.
+
+Three pure functions per backend:
+- analyze:     planes -> (spectrum, medians, capacity_bits, cover_features)
+- embed_apply: spectrum + bit/bin arrays -> stego u8 image
+- read_bits:   spectrum + bin arrays -> raw embedded bits
+
+Backends:
+- "jax" (default): complex64, jitted, runs on TPU. Everything between PNG
+  decode and PNG encode is one traced graph per call; host<->device traffic is
+  the planes in, the u8 stego out, and the small index arrays.
+- "numpy": complex128 on host — bit-for-bit the reference's arithmetic
+  (double FFT, double phase math). Used as the CPU parity arbiter
+  (SURVEY.md §7 "precision parity") and as the test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from steganosaurus_tpu import spectral
+from steganosaurus_tpu.ops import mask as mask_ops
+from steganosaurus_tpu.ops import phase as phase_ops
+from steganosaurus_tpu.keystream import conj_idx
+
+# ---------------------------------------------------------------------------
+# JAX backend
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_analyze(H, W, PH, PW, center, rmin, rmax, magmin):
+    @jax.jit
+    def analyze(planes):
+        p = spectral.apply_center(planes, center)
+        padded = spectral.pad_planes(p, PH, PW)
+        spec = spectral.fft2(padded)
+        med = spectral.median_abs(spec)
+        thr = (magmin * med).astype(med.dtype)
+        cap = mask_ops.capacity_bits(spec, thr, rmin, rmax)
+        feat = spectral.cover_hash_features(spec)
+        return spec, med, cap, feat
+
+    return analyze
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_embed_apply(H, W, center, adaptive, nbits):
+    @jax.jit
+    def apply_fn(spec, med, plane, y, x, bits, jitters, alpha):
+        spec2 = phase_ops.embed_phases(
+            spec, plane, y, x, bits, jitters, alpha, med, adaptive
+        )
+        planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
+        planes2 = spectral.apply_center(planes2, center)
+        return spectral.from_planes(planes2)
+
+    return apply_fn
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_read_bits(adaptive, nbits):
+    @jax.jit
+    def read_fn(spec, med, plane, y, x, jitters, alpha):
+        return phase_ops.read_phases(spec, plane, y, x, jitters, alpha, med, adaptive)
+
+    return read_fn
+
+
+class JaxBackend:
+    name = "jax"
+
+    def analyze(self, planes_f64: np.ndarray, params):
+        H, W = planes_f64.shape[-2:]
+        PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+        fn = _jit_analyze(H, W, PH, PW, params.center,
+                          params.rmin, params.rmax, params.magmin)
+        # u8-valued planes are exactly representable in f32.
+        spec, med, cap, feat = fn(planes_f64.astype(np.float32))
+        return spec, med, int(cap), np.asarray(feat)
+
+    def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
+        plane, y, x = idx
+        fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha, len(bits))
+        out = fn(
+            spec, med,
+            jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
+            jnp.asarray(bits, jnp.uint8), jnp.asarray(jitters, jnp.float32),
+            jnp.float32(alpha),
+        )
+        return np.asarray(out)
+
+    def read_bits(self, spec, med, idx, jitters, alpha, params):
+        plane, y, x = idx
+        fn = _jit_read_bits(params.adaptive_alpha, len(jitters))
+        out = fn(
+            spec, med,
+            jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
+            jnp.asarray(jitters, jnp.float32), jnp.float32(alpha),
+        )
+        return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# numpy (f64) backend — reference-exact arithmetic, CPU-only arbiter
+# ---------------------------------------------------------------------------
+
+
+class NumpyBackend:
+    name = "numpy"
+
+    def analyze(self, planes_f64: np.ndarray, params):
+        H, W = planes_f64.shape[-2:]
+        PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+        p = planes_f64
+        if params.center:
+            yy, xx = np.arange(H)[:, None], np.arange(W)[None, :]
+            p = p * np.where((yy + xx) % 2 == 1, -1.0, 1.0)
+        padded = np.zeros((3, PH, PW), dtype=np.float64)
+        padded[:, :H, :W] = p
+        spec = np.fft.fft2(padded)
+        mags = np.abs(spec).reshape(3, -1)
+        n = mags.shape[-1]
+        med = np.partition(mags, n // 2, axis=-1)[:, n // 2]
+        thr = params.magmin * med
+        cap = self._capacity(spec, thr, params.rmin, params.rmax)
+        region = min(8, min(PH, PW) // 8)
+        feat = np.clip(
+            np.floor(np.log1p(np.abs(spec[:, :region, :region])) / 2.0), 0, 7
+        ).astype(np.uint8)
+        return spec, med, cap, feat
+
+    @staticmethod
+    def _capacity(spec, thr, rmin, rmax):
+        _, H, W = spec.shape
+        yy, xx = np.arange(H)[:, None], np.arange(W)[None, :]
+        axis = (yy == 0) | (xx == 0)
+        if H % 2 == 0:
+            axis |= yy == H // 2
+        if W % 2 == 0:
+            axis |= xx == W // 2
+        r = np.hypot(yy.astype(np.float64), xx.astype(np.float64))
+        ok = (~axis) & (r >= rmin * min(H, W)) & (r <= rmax * min(H, W))
+        magok = np.abs(spec) >= thr[:, None, None]
+        return int(((ok[None] & magok).sum(axis=(1, 2)) // 2).sum())
+
+    def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
+        plane, y, x = (np.asarray(a) for a in idx)
+        PH, PW = spec.shape[-2:]
+        spec = spec.copy()
+        v = spec[plane, y, x]
+        mag = np.maximum(1e-12, np.abs(v))
+        a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
+        theta = np.where(np.asarray(bits, bool), a, -a) + np.asarray(jitters)
+        nv = mag * np.exp(1j * theta)
+        cys, cxs = zip(*(conj_idx(int(yy), int(xxx), PH, PW) for yy, xxx in zip(y, x)))
+        spec[plane, y, x] = nv
+        spec[plane, np.asarray(cys), np.asarray(cxs)] = np.conj(nv)
+        planes2 = np.fft.ifft2(spec).real[:, :H, :W]
+        if params.center:
+            yy2, xx2 = np.arange(H)[:, None], np.arange(W)[None, :]
+            planes2 = planes2 * np.where((yy2 + xx2) % 2 == 1, -1.0, 1.0)
+        q = np.clip(np.floor(planes2 + 0.5), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(q.transpose(1, 2, 0))
+
+    @staticmethod
+    def _alpha(base, mag, med, adaptive):
+        if not adaptive:
+            return np.full_like(mag, base)
+        return base * np.clip(mag / np.maximum(1e-12, med), 0.5, 2.0)
+
+    def read_bits(self, spec, med, idx, jitters, alpha, params):
+        plane, y, x = (np.asarray(a) for a in idx)
+        v = spec[plane, y, x]
+        th = np.angle(v)
+        mag = np.maximum(1e-12, np.abs(v))
+        a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
+        base = th - np.asarray(jitters)
+        return (np.cos(base - a) >= np.cos(base + a)).astype(np.uint8)
+
+
+def get_backend(params) -> JaxBackend | NumpyBackend:
+    if params.fft_dtype == "complex128":
+        return NumpyBackend()
+    return JaxBackend()

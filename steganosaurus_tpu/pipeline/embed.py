@@ -1,0 +1,126 @@
+"""Embed pipeline (reference do_embed, steganosaur.cpp:907-1109).
+
+Host/device split (TPU-first redesign of the reference's sequential loop):
+
+  host: PNG decode -> planes
+  dev : analyze = center+pad+FFT + medians + capacity + cover features
+  host: [cover hash] -> salt -> KDF split -> AEAD seal -> ECC frame bits
+        -> path key -> turtle keystream expansion (C++) -> index arrays
+  dev : gather -> phase rotate -> conjugate-mirror scatter -> IFFT -> quantize
+  host: PNG encode
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from steganosaurus_tpu import crypto, keystream, spectral
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.io import image as image_io
+from steganosaurus_tpu.ops import bits as bit_ops
+from steganosaurus_tpu.ops import ecc
+from steganosaurus_tpu.pipeline import device
+from steganosaurus_tpu.pipeline.errors import StegoError
+from steganosaurus_tpu.pipeline.header import Header
+
+
+@dataclass
+class EmbedResult:
+    stego: np.ndarray       # (H, W, 3) uint8
+    written_bits: int
+    payload_bytes: int
+    capacity_bits: int
+
+
+def frame_bits(header_bytes: bytes, ct: bytes, tag: bytes) -> np.ndarray:
+    """ECC frame: rep3(bits(header)) || rep7(bits(ct || tag)) (reference :983-995)."""
+    header_rep3 = ecc.rep3_encode(bit_ops.bits_from_bytes(header_bytes))
+    payload_rep7 = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
+    return np.concatenate([np.asarray(header_rep3), np.asarray(payload_rep7)])
+
+
+def embed_array(
+    img: np.ndarray,
+    secret: bytes,
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+    salt: bytes | None = None,
+) -> EmbedResult:
+    """Embed `secret` into (H, W, 3) uint8 `img`. Returns the stego image.
+
+    Exactly one of password / master_key must be given. `salt` is injectable
+    for deterministic tests; default is 16 CSPRNG bytes (the reference pulls
+    from std::random_device, :927-929 — ledger says use the CSPRNG).
+    """
+    if (password is None) == (master_key is None):
+        raise ValueError("exactly one of password/master_key required")
+
+    backend = device.get_backend(params)
+    planes = spectral.to_planes(img)
+    H, W = img.shape[:2]
+    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+
+    spec, med, capacity, feat = backend.analyze(planes, params)
+
+    # Key material & AEAD seal (header is AAD, reference :946-975)
+    if salt is None:
+        salt = crypto.get_random_bytes(16)
+    if master_key is not None:
+        km = crypto.derive_keys_from_raw(master_key, salt)
+    else:
+        km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
+    hdr = Header(salt=km.salt, nonce=km.nonce, clen=len(secret))
+    header_bytes = hdr.to_bytes()
+    ct, tag = crypto.aead_seal(km.aead_key, km.nonce, header_bytes, secret)
+
+    bits = frame_bits(header_bytes, ct, tag)
+    if len(bits) > capacity:
+        raise StegoError(
+            f"Message too large. Need {len(bits)} bits (after ECC), "
+            f"capacity ~{capacity} bits."
+        )
+
+    # Path key (salt-independent; optionally cover-dependent, :1017-1040)
+    cover_hash = None
+    if params.cover_dependent_path:
+        cover_hash = crypto.sha256(np.asarray(feat).tobytes())
+    path_key = crypto.derive_path_key(password, master_key, cover_hash)
+    key_walk, key_r, key_g, key_b = crypto.derive_turtle_keys(path_key)
+
+    plane, y, x, jit = keystream.turtle_expand(
+        key_walk, (key_r, key_g, key_b), PH, PW,
+        params.rmin, params.rmax, params.density, params.jitter, len(bits),
+    )
+
+    stego = backend.embed_apply(
+        spec, med, (plane, y, x), bits, jit, params.alpha, params, H, W
+    )
+    return EmbedResult(
+        stego=stego,
+        written_bits=int(len(bits)),
+        payload_bytes=len(secret),
+        capacity_bits=capacity,
+    )
+
+
+def embed(
+    in_path: str,
+    out_path: str,
+    secret: str,
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+) -> EmbedResult:
+    """File-level embed: load PNG, embed, write stego PNG."""
+    try:
+        img = image_io.load_rgb(in_path)
+    except Exception as e:
+        raise StegoError(f"Failed to load {in_path}") from e
+    res = embed_array(
+        img, secret.encode(), password=password, master_key=master_key, params=params
+    )
+    image_io.save_png(out_path, res.stego)
+    return res

@@ -1,0 +1,119 @@
+"""Extract pipeline (reference do_extract, steganosaur.cpp:1112-1312).
+
+Two device dispatches with a host round-trip in between (clen is
+data-dependent, SURVEY.md §7): read the 38-byte Rep-3 header first, parse
+salt/nonce/clen, then read the Rep-7 payload. The walk key is deliberately
+salt-independent — SHA256(pass|master) — which is what makes the header
+locatable before the salt is known (reference rationale comment :1134-1143).
+
+Wrong-passphrase behavior matches the reference: the walk diverges, the header
+magic check fails FAST (before any PBKDF2); a correct walk with a corrupted
+payload fails AEAD auth after the KDF (doc/HARDENING.md:425-428).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from steganosaurus_tpu import crypto, keystream, spectral
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.io import image as image_io
+from steganosaurus_tpu.ops import bits as bit_ops
+from steganosaurus_tpu.ops import ecc
+from steganosaurus_tpu.pipeline import device
+from steganosaurus_tpu.pipeline.errors import StegoError
+from steganosaurus_tpu.pipeline import header as header_mod
+from steganosaurus_tpu.pipeline.header import Header
+
+_HEADER_STREAM_BITS = header_mod.FIXED_LEN * 8 * 3  # 38*8 under Rep-3 = 912
+
+
+def extract_array(
+    img: np.ndarray,
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+) -> bytes:
+    """Extract and authenticate the secret from a stego image."""
+    if (password is None) == (master_key is None):
+        raise ValueError("exactly one of password/master_key required")
+
+    backend = device.get_backend(params)
+    planes = spectral.to_planes(img)
+    H, W = img.shape[:2]
+    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+
+    spec, med, _capacity, feat = backend.analyze(planes, params)
+
+    # Path key from the *stego* planes (cover-dependent mode hashes the stego
+    # spectrum — the coarse quantization is what makes that mostly stable;
+    # reference :1156-1176).
+    cover_hash = None
+    if params.cover_dependent_path:
+        cover_hash = crypto.sha256(np.asarray(feat).tobytes())
+    path_key = crypto.derive_path_key(password, master_key, cover_hash)
+    key_walk, key_r, key_g, key_b = crypto.derive_turtle_keys(path_key)
+    plane_keys = (key_r, key_g, key_b)
+
+    # --- pass 1: header (38 bytes under Rep-3) ---
+    idx_p, idx_y, idx_x, jit = keystream.turtle_expand(
+        key_walk, plane_keys, PH, PW,
+        params.rmin, params.rmax, params.density, params.jitter,
+        _HEADER_STREAM_BITS,
+    )
+    hdr_stream = backend.read_bits(
+        spec, med, (idx_p, idx_y, idx_x), jit, params.alpha, params
+    )
+    hdr_bits = np.asarray(ecc.rep3_decode(hdr_stream))
+    hdr_bytes = bit_ops.bytes_from_bits(hdr_bits)
+    if hdr_bytes[:4] != header_mod.MAGIC:
+        raise StegoError("Magic not found.")
+    if hdr_bytes[4] != header_mod.VERSION:
+        raise StegoError(f"Unsupported version ({hdr_bytes[4]}).")
+    hdr = Header.from_bytes(hdr_bytes)
+
+    # --- pass 2: payload ((clen+16) bytes under Rep-7) ---
+    payload_stream_bits = (hdr.clen + 16) * 8 * 7
+    total_bits = _HEADER_STREAM_BITS + payload_stream_bits
+    # Re-expand from scratch: the walk is deterministic, the prefix replays
+    # identically; expansion is a few ms on the C++ path. The step budget in
+    # turtle_expand bounds a corrupted clen (fixes doc/TESTING.md:151-156).
+    idx_p, idx_y, idx_x, jit = keystream.turtle_expand(
+        key_walk, plane_keys, PH, PW,
+        params.rmin, params.rmax, params.density, params.jitter, total_bits,
+    )
+    sl = slice(_HEADER_STREAM_BITS, total_bits)
+    payload_stream = backend.read_bits(
+        spec, med, (idx_p[sl], idx_y[sl], idx_x[sl]), jit[sl], params.alpha, params
+    )
+    payload_bits = np.asarray(ecc.rep7_decode(payload_stream))
+    rest = bit_ops.bytes_from_bits(payload_bits)
+    if len(rest) < hdr.clen + 16:
+        raise StegoError("Payload truncated after ECC decode.")
+    ct, tag = rest[: hdr.clen], rest[hdr.clen : hdr.clen + 16]
+
+    # --- KDF + AEAD open (header bytes as AAD, reference :1299-1308) ---
+    if master_key is not None:
+        km = crypto.derive_keys_from_raw(master_key, hdr.salt)
+    else:
+        km = crypto.derive_keys(password, hdr.salt, params.pbkdf2_iter)
+    pt = crypto.aead_open(
+        km.aead_key, km.nonce, hdr_bytes[: header_mod.FIXED_LEN], ct, tag
+    )
+    if pt is None:
+        raise StegoError("Auth failed (wrong pass or data corrupted).")
+    return pt
+
+
+def extract(
+    in_path: str,
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+) -> bytes:
+    """File-level extract."""
+    try:
+        img = image_io.load_rgb(in_path)
+    except Exception as e:
+        raise StegoError(f"Failed to load {in_path}") from e
+    return extract_array(img, password=password, master_key=master_key, params=params)

@@ -1,0 +1,48 @@
+"""Wire-format header framing (reference Header, steganosaur.cpp:879-904).
+
+38-byte plaintext header embedded under Rep-3:
+MAGIC "FTTG"(4) || VER=2(1) || FLAGS(1) || SALT(16) || NONCE(12) || CLEN(4, BE).
+The 16-byte Poly1305 tag is NOT part of the header; it is appended after the
+ciphertext in the Rep-7 payload stream.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+MAGIC = b"FTTG"
+VERSION = 2
+FIXED_LEN = 4 + 1 + 1 + 16 + 12 + 4  # 38
+
+
+@dataclass
+class Header:
+    salt: bytes           # 16
+    nonce: bytes          # 12
+    clen: int
+    flags: int = 0
+    ver: int = VERSION
+
+    def to_bytes(self) -> bytes:
+        assert len(self.salt) == 16 and len(self.nonce) == 12
+        return (
+            MAGIC
+            + bytes([self.ver, self.flags])
+            + self.salt
+            + self.nonce
+            + struct.pack(">I", self.clen)
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Header":
+        """Parse without validation; callers check magic/version explicitly to
+        preserve the reference's distinct error messages (:1236-1238)."""
+        assert len(data) >= FIXED_LEN
+        return cls(
+            ver=data[4],
+            flags=data[5],
+            salt=bytes(data[6:22]),
+            nonce=bytes(data[22:34]),
+            clen=struct.unpack(">I", data[34:38])[0],
+        )
