@@ -1,0 +1,150 @@
+#include "keystream.h"
+
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "sha256.h"
+
+namespace stego {
+namespace {
+
+// Counter-mode SHA-256 PRG: block i = SHA256(key || 0xAA || LE32(i)).
+// (Reference struct KS, steganosaur.cpp:665-695.)
+struct KeystreamPrg {
+  uint8_t key[32];
+  uint8_t state[32];
+  int pos = 32;
+  uint32_t ctr = 0;
+  uint32_t bitpool = 0;
+  int bits = 0;
+
+  explicit KeystreamPrg(const uint8_t k[32]) { std::memcpy(key, k, 32); }
+
+  inline uint8_t next_byte() {
+    if (pos >= 32) {
+      uint8_t block[37];
+      std::memcpy(block, key, 32);
+      block[32] = 0xAA;
+      block[33] = uint8_t(ctr);
+      block[34] = uint8_t(ctr >> 8);
+      block[35] = uint8_t(ctr >> 16);
+      block[36] = uint8_t(ctr >> 24);
+      Sha256::hash(block, 37, state);
+      pos = 0;
+      ctr++;
+    }
+    return state[pos++];
+  }
+
+  inline int next_opcode3() {
+    while (bits < 3) {
+      bitpool = (bitpool << 8) | next_byte();
+      bits += 8;
+    }
+    int op = (bitpool >> (bits - 3)) & 7;
+    bits -= 3;
+    return op;
+  }
+
+  inline bool hit_density(uint8_t threshold) { return next_byte() < threshold; }
+
+  inline double jitter(double maxj) {
+    int hi = next_byte();
+    int lo = next_byte();
+    int r = (hi << 8) | lo;
+    if (r >= 0x8000) r -= 0x10000;
+    return (double(r) / 32768.0) * maxj;
+  }
+};
+
+inline bool on_axis(int y, int x, int H, int W) {
+  return y == 0 || x == 0 || (H % 2 == 0 && y == H / 2) ||
+         (W % 2 == 0 && x == W / 2);
+}
+
+}  // namespace
+
+int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
+                      const uint8_t key_g[32], const uint8_t key_b[32], int H,
+                      int W, double rmin, double rmax, double density,
+                      double jitter_max, int64_t nbits, int64_t max_steps,
+                      int32_t* out_plane, int32_t* out_y, int32_t* out_x,
+                      double* out_jitter) {
+  KeystreamPrg ks_walk(walk_key);
+  KeystreamPrg ks_planes[3] = {KeystreamPrg(key_r), KeystreamPrg(key_g),
+                               KeystreamPrg(key_b)};
+
+  // Start position: SHA256("seed:HxW|key:" || walk_key), first 8 bytes
+  // big-endian (reference Turtle ctor, :762-769).
+  char dims[64];
+  int dlen = std::snprintf(dims, sizeof(dims), "seed:%dx%d|key:", H, W);
+  uint8_t h[32];
+  {
+    Sha256 sh;
+    sh.update(reinterpret_cast<const uint8_t*>(dims), size_t(dlen));
+    sh.update(walk_key, 32);
+    sh.final(h);
+  }
+  uint64_t s = 0;
+  for (int i = 0; i < 8; ++i) s = (s << 8) | h[i];
+  int y = int(s % uint64_t(H));
+  int x = int((s >> 16) % uint64_t(W));
+  int plane = int((s >> 32) % 3);
+
+  std::vector<uint8_t> visited(size_t(3) * H * W, 0);
+  auto vis = [&](int p, int yy, int xx) -> uint8_t& {
+    return visited[(size_t(p) * H + yy) * W + xx];
+  };
+  const double rlo = rmin * (H < W ? H : W);
+  const double rhi = rmax * (H < W ? H : W);
+  const uint8_t dens_thresh = uint8_t(int(std::floor(density * 256.0)) & 0xFF);
+
+  int64_t steps = 0;
+  for (int64_t i = 0; i < nbits; ++i) {
+    for (;;) {  // candidate loop: advance_to_valid + density Bernoulli
+      for (;;) {  // advance_to_valid (reference :778-804)
+        if (++steps > max_steps) return -1;
+        switch (ks_walk.next_opcode3()) {
+          case 0: plane = (plane + 1) % 3; break;
+          case 1: x = (x + 1) % W; break;
+          case 2: y = (y + 1) % H; break;
+          case 3: x = (x - 1 + W) % W; break;
+          case 4: y = (y - 1 + H) % H; break;
+          case 5: x = (x + 1) % W; y = (y + 1) % H; break;
+          case 6: x = (x - 1 + W) % W; y = (y + 1) % H; break;
+          default: break;  // 7: stay
+        }
+        if (on_axis(y, x, H, W)) continue;
+        if (y == 0 && x == 0) continue;
+        if (vis(plane, y, x)) continue;
+        double r = std::hypot(double(y), double(x));
+        if (r < rlo || r > rhi) continue;
+        // magnitude check intentionally disabled (reference :797-799)
+        int cy = (y == 0) ? 0 : (H - y) % H;
+        int cx = (x == 0) ? 0 : (W - x) % W;
+        if (vis(plane, cy, cx)) continue;
+        break;
+      }
+      if (ks_walk.hit_density(dens_thresh)) break;
+      // density skip: mark used-but-empty (reference :1079-1080)
+      vis(plane, y, x) = 1;
+      int cy = (y == 0) ? 0 : (H - y) % H;
+      int cx = (x == 0) ? 0 : (W - x) % W;
+      vis(plane, cy, cx) = 1;
+    }
+    out_plane[i] = plane;
+    out_y[i] = y;
+    out_x[i] = x;
+    out_jitter[i] = ks_planes[plane].jitter(jitter_max);
+    vis(plane, y, x) = 1;
+    int cy = (y == 0) ? 0 : (H - y) % H;
+    int cx = (x == 0) ? 0 : (W - x) % W;
+    vis(plane, cy, cx) = 1;
+  }
+  return steps;
+}
+
+}  // namespace stego

@@ -1,0 +1,23 @@
+// Keyed turtle-walk keystream expansion — the reference's only strictly
+// sequential component (steganosaur.cpp:665-810), run on the host so the
+// device side is one vectorized gather/scatter. Semantics are byte-exact with
+// the reference; see steganosaurus_tpu/keystream/_pure.py for the annotated
+// Python twin used as the test oracle.
+#pragma once
+
+#include <cstdint>
+
+namespace stego {
+
+// Expands `nbits` accepted bins. Writes plane/y/x (int32) and jitter (double)
+// per bit. Returns total walk steps consumed (>= 0) on success, or -1 if
+// `max_steps` was exhausted (bounds the reference's corrupted-clen hang,
+// doc/TESTING.md:151-156).
+int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
+                      const uint8_t key_g[32], const uint8_t key_b[32], int H,
+                      int W, double rmin, double rmax, double density,
+                      double jitter_max, int64_t nbits, int64_t max_steps,
+                      int32_t* out_plane, int32_t* out_y, int32_t* out_x,
+                      double* out_jitter);
+
+}  // namespace stego

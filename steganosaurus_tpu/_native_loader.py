@@ -46,9 +46,9 @@ class NativeLib:
         u8p = ctypes.POINTER(ctypes.c_uint8)
 
         d.stego_aead_seal.restype = ctypes.c_int
-        d.stego_aead_seal.argtypes = [u8p, u8p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, u8p]
+        d.stego_aead_seal.argtypes = [u8p, u8p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, u8p, ctypes.c_int]
         d.stego_aead_open.restype = ctypes.c_int
-        d.stego_aead_open.argtypes = [u8p, u8p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, u8p]
+        d.stego_aead_open.argtypes = [u8p, u8p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, u8p, ctypes.c_int]
         d.stego_turtle_expand.restype = ctypes.c_longlong
         d.stego_turtle_expand.argtypes = [
             u8p, u8p, u8p, u8p,                       # walk/r/g/b keys (32B each)
@@ -66,7 +66,8 @@ class NativeLib:
     def _buf(b: bytes):
         return ctypes.cast(ctypes.create_string_buffer(b, len(b)), ctypes.POINTER(ctypes.c_uint8))
 
-    def aead_seal(self, key: bytes, nonce: bytes, aad: bytes, pt: bytes) -> tuple[bytes, bytes]:
+    def aead_seal(self, key: bytes, nonce: bytes, aad: bytes, pt: bytes,
+                  ref_compat: bool = True) -> tuple[bytes, bytes]:
         ct = ctypes.create_string_buffer(max(len(pt), 1))
         tag = ctypes.create_string_buffer(16)
         rc = self._dll.stego_aead_seal(
@@ -75,12 +76,14 @@ class NativeLib:
             self._buf(pt), len(pt),
             ctypes.cast(ct, ctypes.POINTER(ctypes.c_uint8)),
             ctypes.cast(tag, ctypes.POINTER(ctypes.c_uint8)),
+            int(ref_compat),
         )
         if rc != 0:
             raise RuntimeError("native aead_seal failed")
         return ct.raw[: len(pt)], tag.raw[:16]
 
-    def aead_open(self, key: bytes, nonce: bytes, aad: bytes, ct: bytes, tag: bytes) -> bytes | None:
+    def aead_open(self, key: bytes, nonce: bytes, aad: bytes, ct: bytes, tag: bytes,
+                  ref_compat: bool = True) -> bytes | None:
         pt = ctypes.create_string_buffer(max(len(ct), 1))
         rc = self._dll.stego_aead_open(
             self._buf(key), self._buf(nonce),
@@ -88,6 +91,7 @@ class NativeLib:
             self._buf(ct), len(ct),
             self._buf(tag),
             ctypes.cast(pt, ctypes.POINTER(ctypes.c_uint8)),
+            int(ref_compat),
         )
         if rc != 0:
             return None

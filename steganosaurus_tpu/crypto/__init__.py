@@ -73,20 +73,31 @@ def _native():
     return _native_loader.get()
 
 
-def aead_seal(key: bytes, nonce: bytes, aad: bytes, plaintext: bytes) -> tuple[bytes, bytes]:
-    """ChaCha20-Poly1305 seal -> (ciphertext, tag). RFC 8439."""
+def aead_seal(
+    key: bytes, nonce: bytes, aad: bytes, plaintext: bytes, ref_compat: bool = True
+) -> tuple[bytes, bytes]:
+    """ChaCha20-Poly1305 seal -> (ciphertext, tag).
+
+    ``ref_compat=True`` (default) emits the reference's self-consistent but
+    non-RFC Poly1305 tag serialization — REQUIRED for interop with
+    reference-produced stego images and wrapped keys. ``False`` = RFC 8439.
+    See crypto._pure.poly1305_mac for the full quirk analysis.
+    """
     lib = _native()
     if lib is not None:
-        return lib.aead_seal(key, nonce, aad, plaintext)
-    return _pure.aead_seal(key, nonce, aad, plaintext)
+        return lib.aead_seal(key, nonce, aad, plaintext, ref_compat)
+    return _pure.aead_seal(key, nonce, aad, plaintext, ref_compat)
 
 
-def aead_open(key: bytes, nonce: bytes, aad: bytes, ciphertext: bytes, tag: bytes) -> bytes | None:
+def aead_open(
+    key: bytes, nonce: bytes, aad: bytes, ciphertext: bytes, tag: bytes,
+    ref_compat: bool = True,
+) -> bytes | None:
     """ChaCha20-Poly1305 open -> plaintext, or None on auth failure."""
     lib = _native()
     if lib is not None:
-        return lib.aead_open(key, nonce, aad, ciphertext, tag)
-    return _pure.aead_open(key, nonce, aad, ciphertext, tag)
+        return lib.aead_open(key, nonce, aad, ciphertext, tag, ref_compat)
+    return _pure.aead_open(key, nonce, aad, ciphertext, tag, ref_compat)
 
 
 # ---------------------------------------------------------------------------

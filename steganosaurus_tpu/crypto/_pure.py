@@ -68,19 +68,42 @@ def chacha20_xor(key: bytes, nonce: bytes, data: bytes, counter: int = 1) -> byt
     return bytes(out)
 
 
-def poly1305_mac(msg: bytes, key: bytes) -> bytes:
-    """Poly1305 one-time MAC (RFC 8439 §2.5)."""
+def poly1305_mac(msg: bytes, key: bytes, ref_compat: bool = True) -> bytes:
+    """Poly1305 one-time MAC (RFC 8439 §2.5) with a reference-compat mode.
+
+    REFERENCE QUIRK (must-reproduce for interop): the reference's final tag
+    serialization (steganosaur.cpp:261-264, chacha20poly1305.cpp:180-188)
+    converts the 26-bit limbs of h to 32-bit words with an UNMASKED carry —
+    `f1 = ((h1>>6)|(h2<<20)) + s1 + (f0>>32)` where f0 still holds ALL of
+    h1<<26 — so the high bits of each limb are added TWICE (once explicitly,
+    once via the carry). The tag therefore differs from RFC 8439 whenever
+    h1 >= 64 (essentially always), but embed and extract share the bug, so the
+    reference is self-consistent. `ref_compat=True` (default) reproduces it;
+    `ref_compat=False` is the RFC-correct tag. Verified empirically: the
+    reference binary's stego images authenticate only under compat mode.
+    """
     if len(key) != 32:
         raise ValueError("poly1305: key must be 32B")
     r = int.from_bytes(key[:16], "little") & 0x0FFFFFFC0FFFFFFC0FFFFFFC0FFFFFFF
-    s = int.from_bytes(key[16:], "little")
     acc = 0
     for off in range(0, len(msg), 16):
         block = msg[off : off + 16]
         n = int.from_bytes(block, "little") + (1 << (8 * len(block)))
         acc = ((acc + n) * r) % _P1305
-    acc = (acc + s) & ((1 << 128) - 1)
-    return acc.to_bytes(16, "little")
+    if not ref_compat:
+        s = int.from_bytes(key[16:], "little")
+        return ((acc + s) & ((1 << 128) - 1)).to_bytes(16, "little")
+    # Reference-compat serialization: 26-bit limbs of (acc mod p), then the
+    # buggy f-chain with double-counted carries.
+    h = [(acc >> (26 * i)) & 0x3FFFFFF for i in range(5)]
+    sp = [int.from_bytes(key[16 + 4 * i : 20 + 4 * i], "little") for i in range(4)]
+    f0 = (h[0] | (h[1] << 26)) + sp[0]
+    f1 = ((h[1] >> 6) | (h[2] << 20)) + sp[1] + (f0 >> 32)
+    f2 = ((h[2] >> 12) | (h[3] << 14)) + sp[2] + (f1 >> 32)
+    f3 = ((h[3] >> 18) | (h[4] << 8)) + sp[3] + (f2 >> 32)
+    return struct.pack(
+        "<4I", f0 & _MASK32, f1 & _MASK32, f2 & _MASK32, f3 & _MASK32
+    )
 
 
 def _pad16(n: int) -> bytes:
@@ -99,26 +122,32 @@ def _aead_mac_input(aad: bytes, ct: bytes) -> bytes:
     )
 
 
-def aead_seal(key: bytes, nonce: bytes, aad: bytes, plaintext: bytes) -> tuple[bytes, bytes]:
+def aead_seal(
+    key: bytes, nonce: bytes, aad: bytes, plaintext: bytes, ref_compat: bool = True
+) -> tuple[bytes, bytes]:
     """AEAD_CHACHA20_POLY1305 encrypt. Returns (ciphertext, tag).
 
     One-time Poly key = first 32B of ChaCha20 block at counter 0; encryption
-    starts at counter 1 (reference steganosaur.cpp:273-293).
+    starts at counter 1 (reference steganosaur.cpp:273-293). Default tags are
+    reference-compatible (see poly1305_mac docstring).
     """
     otk = chacha20_block(key, 0, nonce)[:32]
     ct = chacha20_xor(key, nonce, plaintext, counter=1)
-    tag = poly1305_mac(_aead_mac_input(aad, ct), otk)
+    tag = poly1305_mac(_aead_mac_input(aad, ct), otk, ref_compat)
     return ct, tag
 
 
-def aead_open(key: bytes, nonce: bytes, aad: bytes, ciphertext: bytes, tag: bytes) -> bytes | None:
+def aead_open(
+    key: bytes, nonce: bytes, aad: bytes, ciphertext: bytes, tag: bytes,
+    ref_compat: bool = True,
+) -> bytes | None:
     """AEAD_CHACHA20_POLY1305 decrypt. Returns plaintext or None on auth failure.
 
     Constant-time tag compare (reference steganosaur.cpp:309-315 uses a
     volatile XOR-accumulate; hmac.compare_digest is the Python equivalent).
     """
     otk = chacha20_block(key, 0, nonce)[:32]
-    expect = poly1305_mac(_aead_mac_input(aad, ciphertext), otk)
+    expect = poly1305_mac(_aead_mac_input(aad, ciphertext), otk, ref_compat)
     if not _hmac.compare_digest(expect, tag):
         return None
     return chacha20_xor(key, nonce, ciphertext, counter=1)

@@ -122,7 +122,8 @@ class NumpyBackend:
             p = p * np.where((yy + xx) % 2 == 1, -1.0, 1.0)
         padded = np.zeros((3, PH, PW), dtype=np.float64)
         padded[:, :H, :W] = p
-        spec = np.fft.fft2(padded)
+        # conj: reference forward-FFT sign convention (see spectral.fft2)
+        spec = np.conj(np.fft.fft2(padded))
         mags = np.abs(spec).reshape(3, -1)
         n = mags.shape[-1]
         med = np.partition(mags, n // 2, axis=-1)[:, n // 2]
@@ -160,7 +161,7 @@ class NumpyBackend:
         cys, cxs = zip(*(conj_idx(int(yy), int(xxx), PH, PW) for yy, xxx in zip(y, x)))
         spec[plane, y, x] = nv
         spec[plane, np.asarray(cys), np.asarray(cxs)] = np.conj(nv)
-        planes2 = np.fft.ifft2(spec).real[:, :H, :W]
+        planes2 = np.fft.ifft2(np.conj(spec)).real[:, :H, :W]
         if params.center:
             yy2, xx2 = np.arange(H)[:, None], np.arange(W)[None, :]
             planes2 = planes2 * np.where((yy2 + xx2) % 2 == 1, -1.0, 1.0)

@@ -66,13 +66,25 @@ def pad_planes(planes, PH: int, PW: int):
 
 
 def fft2(planes, dtype=jnp.complex64):
-    """Forward 2D FFT over the last two axes."""
-    return jnp.fft.fft2(jnp.asarray(planes).astype(_real_of(dtype))).astype(dtype)
+    """Forward 2D FFT over the last two axes — REFERENCE SIGN CONVENTION.
+
+    The reference's radix-2 kernel uses w = e^{+2*pi*i/len} for the FORWARD
+    transform (steganosaur.cpp:347: `ang = 2*M_PI/len * (inverse?-1:1)`),
+    which is the CONJUGATE of the numpy/XLA forward convention. Phases are
+    therefore negated relative to jnp.fft.fft2; for the real-valued inputs in
+    this pipeline, conj(fft2(x)) reproduces the reference spectrum exactly.
+    """
+    out = jnp.fft.fft2(jnp.asarray(planes).astype(_real_of(dtype))).astype(dtype)
+    return jnp.conj(out)
 
 
 def ifft2_real(spectrum):
-    """Inverse 2D FFT, real part (reference fft2d(inverse)+ifft_crop, :359-403)."""
-    return jnp.fft.ifft2(spectrum).real
+    """Inverse 2D FFT (reference convention), real part.
+
+    Reference inverse (steganosaur.cpp:347,357) sums F * e^{-2*pi*i...} / N =
+    conj(ifft_np(conj(F))); the real part equals real(ifft_np(conj(F))).
+    """
+    return jnp.fft.ifft2(jnp.conj(spectrum)).real
 
 
 def _real_of(cdtype):
