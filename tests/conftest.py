@@ -7,14 +7,20 @@ import os
 import pathlib
 import subprocess
 
-# Force CPU: the harness pre-sets JAX_PLATFORMS=axon (the tunneled TPU chip);
-# unit tests run on a virtual 8-device CPU mesh regardless.
+# Force CPU: the harness pre-sets JAX_PLATFORMS=axon (the tunneled TPU chip)
+# AND pre-imports jax before any user code runs, so env vars alone are too
+# late — jax.config.update is the only reliable switch. Unit tests run on a
+# virtual 8-device CPU mesh regardless of the session platform.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
