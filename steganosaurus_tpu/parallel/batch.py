@@ -1,0 +1,187 @@
+"""Sharded batch embed/extract device cores (the DP axis).
+
+One traced graph covers the full device side of a batch: u8 decode -> pad ->
+FFT -> median -> phase scatter -> IFFT -> quantize for embed; extract splits
+into one analyze graph (u8 -> spectrum + medians, kept device-resident) plus
+cheap bin-gather graphs, so the header and payload passes reuse one FFT and
+the image crosses the host<->device link exactly once, as uint8.
+
+Transfer discipline (the tunnel/PCIe link is the bottleneck, not the MXU):
+- images move as uint8 in native (B, H, W, 3) layout; plane split, f32
+  conversion, and padding happen on device inside the graph.
+- the turtle walk is salt-independent (steganosaur.cpp:1134-1143), so one
+  (nbits,) index set serves the whole batch when the key is shared — indices
+  upload once, not B times; only the bit values are per-image.
+
+Batches shard over a `jax.sharding.Mesh` axis named "batch" with no
+steady-state collectives (each image is independent — SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from steganosaurus_tpu import spectral
+from steganosaurus_tpu.ops import phase as phase_ops
+from steganosaurus_tpu.parallel import transfer
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
+    """1D device mesh over the first `n_devices` local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(arr, mesh: Mesh, axis: str = "batch"):
+    """Place `arr` with its leading dim sharded over `axis`, rest replicated."""
+    spec = P(axis, *([None] * (np.ndim(arr) - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def _to_planes_dev(img_u8, center: bool, PH: int, PW: int):
+    """(H, W, 3) u8 -> (3, PH, PW) f32 padded planes, on device."""
+    planes = jnp.transpose(img_u8, (2, 0, 1)).astype(jnp.float32)
+    planes = spectral.apply_center(planes, center)
+    return spectral.pad_planes(planes, PH, PW)
+
+
+def _analyze_core(img_u8, *, PH, PW, center):
+    """(H, W, 3) u8 -> (3, PH, PW) c64 spectrum + (3,) exact medians."""
+    spec = spectral.fft2(_to_planes_dev(img_u8, center, PH, PW))
+    return spec, spectral.median_abs(spec)
+
+
+def _embed_core(img_u8, plane, y, x, bits, jitters, alpha,
+                *, H, W, PH, PW, center, adaptive):
+    """Single-image embed: (H, W, 3) u8 -> (H, W, 3) u8 stego.
+
+    The full embed data path of reference do_embed (steganosaur.cpp:907-1109)
+    minus host crypto/keystream: center -> pad -> FFT -> median -> vectorized
+    phase write with conjugate mirror -> IFFT -> crop -> quantize.
+    """
+    spec, med = _analyze_core(img_u8, PH=PH, PW=PW, center=center)
+    spec2 = phase_ops.embed_phases(spec, plane, y, x, bits, jitters, alpha,
+                                   med, adaptive)
+    planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
+    planes2 = spectral.apply_center(planes2, center)
+    return spectral.from_planes(planes2)
+
+
+def _read_core(spec, med, plane, y, x, jitters, alpha, *, adaptive):
+    """Gather bits from a device-resident spectrum (cheap; no FFT)."""
+    return phase_ops.read_phases(spec, plane, y, x, jitters, alpha, med,
+                                 adaptive)
+
+
+@functools.lru_cache(maxsize=32)
+def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
+                       mesh: Mesh | None = None, shared_idx: bool = True,
+                       pack: bool = False):
+    """Jitted batched embed core.
+
+    shared_idx=True (one walk for the batch — shared key):
+      (imgs (B,H,W,3) u8, plane/y/x (n,) i32, bits (B,n) u8,
+       jitters (n,) f32, alpha () f32) -> (B,H,W,3) u8
+    shared_idx=False: plane/y/x/jitters are (B, n) per-image.
+    pack=True: output is transfer.pack_u8'd f32 words (see transfer module —
+    raw u8 device->host is pathologically slow on the tunneled runtime);
+    unpack with transfer.unpack_u8(host, (B, H, W, 3)).
+    """
+    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    core = functools.partial(_embed_core, H=H, W=W, PH=PH, PW=PW,
+                             center=center, adaptive=adaptive)
+    inner = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+    def fn(imgs, plane, y, x, bits, jitters, alpha):
+        if shared_idx:
+            # Shared indices upload once as (n,) and broadcast to (B, n)
+            # inside the graph — the batch never pays B copies on the link.
+            B = imgs.shape[0]
+            bc = lambda a: jnp.broadcast_to(a, (B,) + a.shape)  # noqa: E731
+            plane, y, x, jitters = bc(plane), bc(y), bc(x), bc(jitters)
+        out = inner(imgs, plane, y, x, bits, jitters, alpha)
+        return transfer.pack_u8(out) if pack else out
+
+    if mesh is None:
+        return jax.jit(fn)
+    shard = NamedSharding(mesh, P("batch"))
+    rep = NamedSharding(mesh, P())
+    in_sh = ((shard, rep, rep, rep, shard, rep, rep) if shared_idx
+             else (shard,) * 6 + (rep,))
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=shard)
+
+
+@functools.lru_cache(maxsize=32)
+def batched_analyze_core(H: int, W: int, center: bool,
+                         mesh: Mesh | None = None):
+    """Jitted: (B,H,W,3) u8 imgs -> ((B,3,PH,PW) c64 spectra, (B,3) medians).
+
+    Run once per extract batch; outputs stay device-resident for the header
+    and payload gather passes.
+    """
+    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    core = functools.partial(_analyze_core, PH=PH, PW=PW, center=center)
+    fn = jax.vmap(core)
+    if mesh is None:
+        return jax.jit(fn)
+    shard = NamedSharding(mesh, P("batch"))
+    return jax.jit(fn, in_shardings=(shard,), out_shardings=(shard, shard))
+
+
+@functools.lru_cache(maxsize=32)
+def batched_gather_bits_core(adaptive: bool, mesh: Mesh | None = None,
+                             shared_idx: bool = True):
+    """Jitted: (spectra, medians, plane/y/x (n,), jitters (n,), alpha) ->
+    (B, n) i32 raw bits (i32, not u8: see transfer module — u8 device->host
+    is pathologically slow). Spectra/medians come from batched_analyze_core.
+    """
+    inner = functools.partial(_read_core, adaptive=adaptive)
+
+    def core(*args):
+        return inner(*args).astype(jnp.int32)
+
+    if shared_idx:
+        fn = jax.vmap(core, in_axes=(0, 0, None, None, None, None, None))
+    else:
+        fn = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
+    if mesh is None:
+        return jax.jit(fn)
+    shard = NamedSharding(mesh, P("batch"))
+    rep = NamedSharding(mesh, P())
+    n_rep = 5 if shared_idx else 1
+    n_shard = 2 if shared_idx else 6
+    return jax.jit(fn, in_shardings=(shard,) * n_shard + (rep,) * n_rep,
+                   out_shardings=shard)
+
+
+# Back-compat convenience: full extract in one graph (FFT included), used by
+# __graft_entry__ and places that do a single read pass.
+@functools.lru_cache(maxsize=32)
+def batched_read_core(H: int, W: int, center: bool, adaptive: bool,
+                      mesh: Mesh | None = None, shared_idx: bool = True):
+    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+
+    def full(img_u8, plane, y, x, jitters, alpha):
+        spec, med = _analyze_core(img_u8, PH=PH, PW=PW, center=center)
+        return _read_core(spec, med, plane, y, x, jitters, alpha,
+                          adaptive=adaptive).astype(jnp.int32)
+
+    if shared_idx:
+        fn = jax.vmap(full, in_axes=(0, None, None, None, None, None))
+    else:
+        fn = jax.vmap(full, in_axes=(0, 0, 0, 0, 0, None))
+    if mesh is None:
+        return jax.jit(fn)
+    shard = NamedSharding(mesh, P("batch"))
+    rep = NamedSharding(mesh, P())
+    n_shard = 1 if shared_idx else 5
+    n_rep = 5 if shared_idx else 1
+    return jax.jit(fn, in_shardings=(shard,) * n_shard + (rep,) * n_rep,
+                   out_shardings=shard)

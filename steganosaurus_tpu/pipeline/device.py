@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from steganosaurus_tpu import spectral
+from steganosaurus_tpu.parallel import transfer
 from steganosaurus_tpu.ops import mask as mask_ops
 from steganosaurus_tpu.ops import phase as phase_ops
 from steganosaurus_tpu.keystream import conj_idx
@@ -43,7 +44,10 @@ def _jit_analyze(H, W, PH, PW, center, rmin, rmax, magmin):
         thr = (magmin * med).astype(med.dtype)
         cap = mask_ops.capacity_bits(spec, thr, rmin, rmax)
         feat = spectral.cover_hash_features(spec)
-        return spec, med, cap, feat
+        # f32 returns: the tunneled runtime hangs on scalar/tiny-int and u8
+        # device->host pulls (see parallel.transfer); capacity < 2^24 and
+        # feat values 0..7 are exact in f32.
+        return spec, med, cap.astype(jnp.float32), feat.astype(jnp.float32)
 
     return analyze
 
@@ -57,7 +61,9 @@ def _jit_embed_apply(H, W, center, adaptive, nbits):
         )
         planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
         planes2 = spectral.apply_center(planes2, center)
-        return spectral.from_planes(planes2)
+        # pack: raw u8 device->host is pathologically slow on the tunneled
+        # runtime (see parallel.transfer); rows act as the pack batch dim.
+        return transfer.pack_u8(spectral.from_planes(planes2))
 
     return apply_fn
 
@@ -66,7 +72,9 @@ def _jit_embed_apply(H, W, center, adaptive, nbits):
 def _jit_read_bits(adaptive, nbits):
     @jax.jit
     def read_fn(spec, med, plane, y, x, jitters, alpha):
-        return phase_ops.read_phases(spec, plane, y, x, jitters, alpha, med, adaptive)
+        return phase_ops.read_phases(
+            spec, plane, y, x, jitters, alpha, med, adaptive
+        ).astype(jnp.int32)  # i32 not u8: fast device->host path
 
     return read_fn
 
@@ -81,7 +89,9 @@ class JaxBackend:
                           params.rmin, params.rmax, params.magmin)
         # u8-valued planes are exactly representable in f32.
         spec, med, cap, feat = fn(planes_f64.astype(np.float32))
-        return spec, med, int(cap), np.asarray(feat)
+        # cap/feat arrive as f32 (transfer quirk, see _jit_analyze); restore
+        # the u8 feature bytes the cover hash is defined over (:415-444).
+        return spec, med, int(cap), np.asarray(feat).astype(np.uint8)
 
     def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
         plane, y, x = idx
@@ -92,7 +102,7 @@ class JaxBackend:
             jnp.asarray(bits, jnp.uint8), jnp.asarray(jitters, jnp.float32),
             jnp.float32(alpha),
         )
-        return np.asarray(out)
+        return transfer.unpack_u8(np.asarray(out), (H, W, 3))
 
     def read_bits(self, spec, med, idx, jitters, alpha, params):
         plane, y, x = idx
@@ -102,7 +112,7 @@ class JaxBackend:
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
             jnp.asarray(jitters, jnp.float32), jnp.float32(alpha),
         )
-        return np.asarray(out)
+        return np.asarray(out).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
