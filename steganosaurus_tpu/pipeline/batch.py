@@ -44,7 +44,7 @@ _HEADER_STREAM_BITS = header_mod.FIXED_LEN * 8 * 3
 
 @dataclass
 class BatchEmbedResult:
-    stego: np.ndarray            # (B, H, W, 3) uint8
+    stego: np.ndarray            # (B, H, W, 3) uint8 (jax array if device_resident)
     written_bits: list[int]
     payload_bytes: list[int]
 
@@ -66,11 +66,18 @@ def embed_batch(
     params: Params = Params(),
     salts: list[bytes] | None = None,
     mesh=None,
+    device_resident: bool = False,
 ) -> BatchEmbedResult:
     """Embed `secrets[i]` into `imgs[i]` under one shared password/master key.
 
-    imgs: (B, H, W, 3) uint8. cover_dependent_path is not supported on the
-    batch path (the walk would differ per image; use embed_array).
+    imgs: (B, H, W, 3) uint8 — numpy, or an already-device-resident jax array
+    (amortize the upload across calls by `jax.device_put`-ing covers once).
+    cover_dependent_path is not supported on the batch path (the walk would
+    differ per image; use embed_array).
+
+    device_resident=True returns the stego batch as a device u8 array (no
+    host pull) — feed it straight to extract_batch or pull it later; the
+    host<->device link is the bulk path's bottleneck, not compute.
     """
     if (password is None) == (master_key is None):
         raise ValueError("exactly one of password/master_key required")
@@ -106,16 +113,18 @@ def embed_batch(
         bits[i, len(f):] = f[-1]  # surplus bins: repeat; never read back
 
     fn = pbatch.batched_embed_core(H, W, params.center, params.adaptive_alpha,
-                                   mesh, pack=True)
-    if mesh is not None:
+                                   mesh, pack=not device_resident)
+    if mesh is not None and not isinstance(imgs, jnp.ndarray):
         imgs_d = pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
         bits_d = pbatch.shard_batch(bits, mesh)
     else:
-        imgs_d, bits_d = np.ascontiguousarray(imgs), bits
-    packed = np.asarray(
-        fn(imgs_d, plane, y, x, bits_d, jit, jnp.float32(params.alpha))
-    )
-    stego = transfer.unpack_u8(packed, (B, H, W, 3))
+        imgs_d = imgs if isinstance(imgs, jnp.ndarray) else np.ascontiguousarray(imgs)
+        bits_d = bits
+    out = fn(imgs_d, plane, y, x, bits_d, jit, jnp.float32(params.alpha))
+    if device_resident:
+        stego = out
+    else:
+        stego = transfer.unpack_u8(np.asarray(out), (B, H, W, 3))
     return BatchEmbedResult(
         stego=stego,
         written_bits=[len(f) for f in frames],
@@ -145,8 +154,12 @@ def extract_batch(
 
     analyze = pbatch.batched_analyze_core(H, W, params.center, mesh)
     gather = pbatch.batched_gather_bits_core(params.adaptive_alpha, mesh)
-    imgs_d = (pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
-              if mesh is not None else np.ascontiguousarray(imgs))
+    if isinstance(imgs, jnp.ndarray):
+        imgs_d = imgs  # already device-resident (e.g. embed's output)
+    elif mesh is not None:
+        imgs_d = pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
+    else:
+        imgs_d = np.ascontiguousarray(imgs)
     spec, med = analyze(imgs_d)  # device-resident; one FFT per image total
 
     alpha = jnp.float32(params.alpha)

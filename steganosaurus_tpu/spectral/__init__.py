@@ -65,7 +65,39 @@ def pad_planes(planes, PH: int, PW: int):
     return xp.pad(planes, pad)
 
 
-def fft2(planes, dtype=jnp.complex64):
+def _default_impl() -> str:
+    """Pick the FFT implementation for the current backend, once.
+
+    "mxu" (DFT/four-step as f32 matmuls, fft_mxu.py) on TPU, where XLA's
+    generic FFT measures ~9 GFLOP/s effective; "xla" (jnp.fft) on CPU where
+    it is exact and the tests' parity arbiter. Override with
+    STEGANOSAURUS_FFT_IMPL=mxu|xla.
+    """
+    global _IMPL
+    if _IMPL is None:
+        import os
+
+        forced = os.environ.get("STEGANOSAURUS_FFT_IMPL")
+        if forced in ("mxu", "xla"):
+            _IMPL = forced
+        else:
+            import jax
+
+            _IMPL = "mxu" if jax.default_backend() not in ("cpu",) else "xla"
+    return _IMPL
+
+
+_IMPL: str | None = None
+
+
+def set_impl(impl: str | None) -> None:
+    """Force the FFT implementation ("mxu" / "xla"); None re-auto-detects."""
+    global _IMPL
+    assert impl in (None, "mxu", "xla"), impl
+    _IMPL = impl
+
+
+def fft2(planes, dtype=jnp.complex64, impl: str | None = None):
     """Forward 2D FFT over the last two axes — REFERENCE SIGN CONVENTION.
 
     The reference's radix-2 kernel uses w = e^{+2*pi*i/len} for the FORWARD
@@ -73,17 +105,28 @@ def fft2(planes, dtype=jnp.complex64):
     which is the CONJUGATE of the numpy/XLA forward convention. Phases are
     therefore negated relative to jnp.fft.fft2; for the real-valued inputs in
     this pipeline, conj(fft2(x)) reproduces the reference spectrum exactly.
+
+    impl "mxu" evaluates the DFT as MXU matmuls (fft_mxu.py); "xla" uses
+    jnp.fft. Default is per-backend (_default_impl).
     """
+    if (impl or _default_impl()) == "mxu" and jnp.dtype(dtype) == jnp.complex64:
+        from steganosaurus_tpu.spectral import fft_mxu
+
+        return fft_mxu.fft2(planes)
     out = jnp.fft.fft2(jnp.asarray(planes).astype(_real_of(dtype))).astype(dtype)
     return jnp.conj(out)
 
 
-def ifft2_real(spectrum):
+def ifft2_real(spectrum, impl: str | None = None):
     """Inverse 2D FFT (reference convention), real part.
 
     Reference inverse (steganosaur.cpp:347,357) sums F * e^{-2*pi*i...} / N =
     conj(ifft_np(conj(F))); the real part equals real(ifft_np(conj(F))).
     """
+    if (impl or _default_impl()) == "mxu" and spectrum.dtype == jnp.complex64:
+        from steganosaurus_tpu.spectral import fft_mxu
+
+        return fft_mxu.ifft2_real(spectrum)
     return jnp.fft.ifft2(jnp.conj(spectrum)).real
 
 
