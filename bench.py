@@ -109,7 +109,8 @@ def bench_ours(covers: np.ndarray, secrets: list[bytes], master_key: bytes):
     def step():
         res = embed_batch(covers_d, secrets, master_key=master_key, params=p,
                           salts=salts, device_resident=True)
-        got = extract_batch(res.stego, master_key=master_key, params=p)
+        got = extract_batch(res.stego, master_key=master_key, params=p,
+                            clen_hint=SECRET_LEN)
         assert got == secrets, "payload recovery failed"
         return res.stego
 

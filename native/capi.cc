@@ -27,11 +27,12 @@ long long stego_turtle_expand(const uint8_t* walk_key, const uint8_t* key_r,
                               int H, int W, double rmin, double rmax,
                               double density, double jitter_max,
                               long long nbits, long long max_steps,
-                              int32_t* out_plane, int32_t* out_y,
-                              int32_t* out_x, double* out_jitter) {
+                              int allow_short, int32_t* out_plane,
+                              int32_t* out_y, int32_t* out_x,
+                              double* out_jitter) {
   return stego::turtle_expand(walk_key, key_r, key_g, key_b, H, W, rmin, rmax,
-                              density, jitter_max, nbits, max_steps, out_plane,
-                              out_y, out_x, out_jitter);
+                              density, jitter_max, nbits, max_steps,
+                              allow_short, out_plane, out_y, out_x, out_jitter);
 }
 
 }  // extern "C"

@@ -71,8 +71,8 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
                       const uint8_t key_g[32], const uint8_t key_b[32], int H,
                       int W, double rmin, double rmax, double density,
                       double jitter_max, int64_t nbits, int64_t max_steps,
-                      int32_t* out_plane, int32_t* out_y, int32_t* out_x,
-                      double* out_jitter) {
+                      int allow_short, int32_t* out_plane, int32_t* out_y,
+                      int32_t* out_x, double* out_jitter) {
   KeystreamPrg ks_walk(walk_key);
   KeystreamPrg ks_planes[3] = {KeystreamPrg(key_r), KeystreamPrg(key_g),
                                KeystreamPrg(key_b)};
@@ -102,11 +102,22 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
   const double rhi = rmax * (H < W ? H : W);
   const uint8_t dens_thresh = uint8_t(int(std::floor(density * 256.0)) & 0xFF);
 
+  // On exhaustion with allow_short: pad remaining slots with the last valid
+  // bin so downstream gathers index real memory; callers slice by true count.
+  auto pad_from = [&](int64_t i) -> int64_t {
+    int32_t lp = 0, ly = 1, lx = 1;  // safe dummy bin if nothing was produced
+    if (i > 0) { lp = out_plane[i - 1]; ly = out_y[i - 1]; lx = out_x[i - 1]; }
+    for (int64_t k = i; k < nbits; ++k) {
+      out_plane[k] = lp; out_y[k] = ly; out_x[k] = lx; out_jitter[k] = 0.0;
+    }
+    return i;
+  };
+
   int64_t steps = 0;
   for (int64_t i = 0; i < nbits; ++i) {
     for (;;) {  // candidate loop: advance_to_valid + density Bernoulli
       for (;;) {  // advance_to_valid (reference :778-804)
-        if (++steps > max_steps) return -1;
+        if (++steps > max_steps) return allow_short ? pad_from(i) : -1;
         switch (ks_walk.next_opcode3()) {
           case 0: plane = (plane + 1) % 3; break;
           case 1: x = (x + 1) % W; break;
@@ -144,7 +155,7 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
     int cx = (x == 0) ? 0 : (W - x) % W;
     vis(plane, cy, cx) = 1;
   }
-  return steps;
+  return nbits;
 }
 
 }  // namespace stego

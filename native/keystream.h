@@ -10,14 +10,16 @@
 namespace stego {
 
 // Expands `nbits` accepted bins. Writes plane/y/x (int32) and jitter (double)
-// per bit. Returns total walk steps consumed (>= 0) on success, or -1 if
-// `max_steps` was exhausted (bounds the reference's corrupted-clen hang,
-// doc/TESTING.md:151-156).
+// per bit. Returns the number of bits produced (== nbits on full success).
+// If `max_steps` is exhausted first (bounds the reference's corrupted-clen
+// hang, doc/TESTING.md:151-156): with allow_short != 0 the remaining output
+// slots are padded with the last produced bin (jitter 0) and the true count
+// is returned; with allow_short == 0 returns -1.
 int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
                       const uint8_t key_g[32], const uint8_t key_b[32], int H,
                       int W, double rmin, double rmax, double density,
                       double jitter_max, int64_t nbits, int64_t max_steps,
-                      int32_t* out_plane, int32_t* out_y, int32_t* out_x,
-                      double* out_jitter);
+                      int allow_short, int32_t* out_plane, int32_t* out_y,
+                      int32_t* out_x, double* out_jitter);
 
 }  // namespace stego

@@ -56,6 +56,7 @@ class NativeLib:
             ctypes.c_double, ctypes.c_double,         # rmin, rmax
             ctypes.c_double, ctypes.c_double,         # density, jitter_max
             ctypes.c_longlong, ctypes.c_longlong,     # nbits, max_steps
+            ctypes.c_int,                             # allow_short
             ctypes.POINTER(ctypes.c_int32),           # out plane
             ctypes.POINTER(ctypes.c_int32),           # out y
             ctypes.POINTER(ctypes.c_int32),           # out x
@@ -98,7 +99,7 @@ class NativeLib:
         return pt.raw[: len(ct)]
 
     def turtle_expand(self, walk_key, plane_keys, H, W, rmin, rmax, density,
-                      jitter_max, nbits, max_steps):
+                      jitter_max, nbits, max_steps, allow_short=False):
         import numpy as np
 
         plane = np.empty(nbits, dtype=np.int32)
@@ -109,6 +110,7 @@ class NativeLib:
             self._buf(walk_key), self._buf(plane_keys[0]),
             self._buf(plane_keys[1]), self._buf(plane_keys[2]),
             H, W, rmin, rmax, density, jitter_max, nbits, max_steps,
+            int(allow_short),
             plane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -119,7 +121,7 @@ class NativeLib:
                 f"native turtle_expand failed (rc={rc}): walk exhausted the "
                 f"step budget — image too small for the requested bit count?"
             )
-        return plane, y, x, jit
+        return plane, y, x, jit, int(rc)
 
 
 def get() -> NativeLib | None:

@@ -31,20 +31,29 @@ def turtle_expand(
     jitter_max: float,
     nbits: int,
     max_steps: int | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    allow_short: bool = False,
+) -> tuple:
     """Per-bit (plane, y, x, jitter) arrays for `nbits` embedded bits.
 
     See `_pure.turtle_expand` for exact semantics and reference citations.
+
+    allow_short=False (default): raises RuntimeError if the walk exhausts its
+    step budget (image too small for nbits); returns a 4-tuple.
+    allow_short=True: on exhaustion the tail is padded with the last valid bin
+    and a 5-tuple (plane, y, x, jitter, nproduced) is returned — extraction
+    uses this so an oversized gather (hinted or corrupt-clen) degrades to
+    garbage trailing bits instead of aborting the batch.
     """
     if max_steps is None:
         max_steps = max(1_000_000, 64 * nbits * 8)
     lib = _native_loader.get()
     if lib is not None:
-        return lib.turtle_expand(
+        p, y, x, j, n = lib.turtle_expand(
             walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
-            nbits, max_steps,
+            nbits, max_steps, allow_short=allow_short,
         )
+        return (p, y, x, j, n) if allow_short else (p, y, x, j)
     return _pure.turtle_expand(
         walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
-        nbits, max_steps,
+        nbits, max_steps, allow_short=allow_short,
     )

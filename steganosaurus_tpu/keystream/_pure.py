@@ -104,7 +104,8 @@ def turtle_expand(
     jitter_max: float,
     nbits: int,
     max_steps: int | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    allow_short: bool = False,
+) -> tuple:
     """Expand the keyed walk into per-bit (plane, y, x, jitter) arrays.
 
     Exactly replays: per bit, `{advance_to_valid(); density-accept or
@@ -113,8 +114,10 @@ def turtle_expand(
     mark_here() on the accepted bin AND its conjugate (:805-809).
 
     `max_steps` bounds total walk steps, fixing the reference's unbounded-loop
-    hazard on corrupted clen (doc/TESTING.md:151-156). Raises RuntimeError when
-    exhausted.
+    hazard on corrupted clen (doc/TESTING.md:151-156). On exhaustion: raises
+    RuntimeError, unless allow_short=True — then the remaining slots are padded
+    with the last produced bin and a 5-tuple (plane, y, x, jitter, nproduced)
+    is returned. With allow_short the return is always the 5-tuple.
     """
     ks_walk = KS(walk_key)
     ks_planes = (KS(plane_keys[0]), KS(plane_keys[1]), KS(plane_keys[2]))
@@ -138,9 +141,21 @@ def turtle_expand(
             while True:
                 steps += 1
                 if steps > max_steps:
-                    raise RuntimeError(
-                        f"turtle walk exhausted {max_steps} steps at bit {i}/{nbits}"
-                    )
+                    if not allow_short:
+                        raise RuntimeError(
+                            f"turtle walk exhausted {max_steps} steps at bit "
+                            f"{i}/{nbits}"
+                        )
+                    # pad remaining slots with the last valid bin (jitter 0)
+                    if i > 0:
+                        lp, ly, lx = out_plane[i - 1], out_y[i - 1], out_x[i - 1]
+                    else:
+                        lp, ly, lx = 0, 1, 1
+                    out_plane[i:] = lp
+                    out_y[i:] = ly
+                    out_x[i:] = lx
+                    out_j[i:] = 0.0
+                    return out_plane, out_y, out_x, out_j, i
                 op = ks_walk.next_opcode3()
                 if op == 0:
                     plane = (plane + 1) % 3
@@ -188,4 +203,6 @@ def turtle_expand(
         cy, cx = conj_idx(y, x, H, W)
         visited[plane, cy, cx] = True
 
+    if allow_short:
+        return out_plane, out_y, out_x, out_j, nbits
     return out_plane, out_y, out_x, out_j

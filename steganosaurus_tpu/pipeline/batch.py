@@ -49,12 +49,14 @@ class BatchEmbedResult:
     payload_bytes: list[int]
 
 
-def _walk_indices(password, master_key, params, PH, PW, nbits):
+def _walk_indices(password, master_key, params, PH, PW, nbits,
+                  allow_short=False):
     path_key = crypto.derive_path_key(password, master_key, None)
     key_walk, key_r, key_g, key_b = crypto.derive_turtle_keys(path_key)
     return keystream.turtle_expand(
         key_walk, (key_r, key_g, key_b), PH, PW,
         params.rmin, params.rmax, params.density, params.jitter, nbits,
+        allow_short=allow_short,
     )
 
 
@@ -138,12 +140,20 @@ def extract_batch(
     master_key: bytes | None = None,
     params: Params = Params(),
     mesh=None,
+    clen_hint: int | None = None,
 ) -> list[bytes | None]:
     """Extract secrets from a batch of stego images (shared key).
 
     Returns one bytes per image, or None where extraction failed (bad magic /
     truncated / auth failure) — batch semantics must not abort the whole batch
     on one bad image.
+
+    clen_hint: expected ciphertext length (= secret length) in bytes. When
+    given, the header and payload bins are gathered in ONE device pass —
+    halving the host<->device round-trips, which dominate extract latency on
+    high-RTT links. Images whose actual header clen exceeds the hint fall
+    back to a second gather; a wrong hint never misdecodes (clen is read
+    from the authenticated header either way).
     """
     if (password is None) == (master_key is None):
         raise ValueError("exactly one of password/master_key required")
@@ -164,37 +174,68 @@ def extract_batch(
 
     alpha = jnp.float32(params.alpha)
 
-    # pass 1: headers (identical walk prefix for every image)
-    plane, y, x, jit = _walk_indices(password, master_key, params, PH, PW,
-                                     _HEADER_STREAM_BITS)
-    hdr_streams = np.asarray(gather(spec, med, plane, y, x, jit, alpha))
+    # Walk capacity upper bound: each accepted bit marks a bin + its
+    # conjugate, so no image can carry more than this many bits. Bounds both
+    # the gather size under a corrupt header clen (the reference hangs here,
+    # doc/TESTING.md:151-156) and oversized clen_hints.
+    cap_bits = 3 * PH * PW // 2
 
-    headers: list[Header | None] = []
-    for i in range(B):
-        hb = bit_ops.bytes_from_bits(np.asarray(ecc.rep3_decode(hdr_streams[i])))
-        if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
-            headers.append(None)
-        else:
-            headers.append(Header.from_bytes(hb))
+    def gather_stream(nbits: int, skip: int = 0) -> np.ndarray:
+        """One device gather of walk bits [skip, nbits), bucketed to reuse
+        compiled graphs across nearby sizes. Bits past walk exhaustion are
+        garbage (last-bin re-reads) — callers only consume bits their
+        authenticated clen covers, or fail AEAD."""
+        bucket = -(-(nbits - skip) // 4096) * 4096
+        plane, y, x, jit, _ = _walk_indices(password, master_key, params, PH,
+                                            PW, nbits, allow_short=True)
+        pad = bucket - (nbits - skip)
+        sl = slice(skip, nbits)
+        pl, yy, xx, jj = (np.concatenate([a[sl], np.repeat(a[nbits - 1], pad)])
+                          for a in (plane, y, x, jit))
+        out = np.asarray(gather(spec, med, pl, yy, xx, jj, alpha))
+        return out[:, : nbits - skip]
 
-    clens = [h.clen for h in headers if h is not None]
-    if not clens:
-        return [None] * B
+    def parse_headers(hdr_streams: np.ndarray) -> list[Header | None]:
+        headers: list[Header | None] = []
+        for i in range(B):
+            hb = bit_ops.bytes_from_bits(
+                np.asarray(ecc.rep3_decode(hdr_streams[i]))
+            )
+            if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
+                headers.append(None)
+            else:
+                headers.append(Header.from_bytes(hb))
+        return headers
 
-    # pass 2: payloads up to the largest clen in the batch (spectrum reused).
-    # The gather size is bucketed to a multiple of 4096 so distinct payload
-    # lengths reuse one compiled graph; surplus gathered bits are sliced off.
-    need = (max(clens) + 16) * 8 * 7
-    bucket = -(-need // 4096) * 4096
-    total = _HEADER_STREAM_BITS + need
-    plane, y, x, jit = _walk_indices(password, master_key, params, PH, PW, total)
-    sl = slice(_HEADER_STREAM_BITS, total)
-    pad = bucket - need
-    pl, yy, xx, jj = (np.concatenate([a[sl], np.repeat(a[total - 1], pad)])
-                      for a in (plane, y, x, jit))
-    payload_streams = np.asarray(
-        gather(spec, med, pl, yy, xx, jj, alpha)
-    )[:, :need]
+    if clen_hint is not None:
+        # fused pass: header + hinted payload in one gather (one link RTT)
+        hint_bits = min((clen_hint + 16) * 8 * 7, cap_bits)
+        streams = gather_stream(_HEADER_STREAM_BITS + hint_bits)
+        headers = parse_headers(streams[:, :_HEADER_STREAM_BITS])
+        clens = [h.clen for h in headers if h is not None]
+        if not clens:
+            return [None] * B
+        need = min((max(clens) + 16) * 8 * 7, cap_bits)
+        if need <= hint_bits:
+            payload_streams = streams[:, _HEADER_STREAM_BITS:]
+        else:  # hint too small for some image: re-gather the full payload
+            payload_streams = gather_stream(
+                _HEADER_STREAM_BITS + need, skip=_HEADER_STREAM_BITS
+            )
+    else:
+        # pass 1: headers (identical walk prefix for every image)
+        headers = parse_headers(gather_stream(_HEADER_STREAM_BITS))
+        clens = [h.clen for h in headers if h is not None]
+        if not clens:
+            return [None] * B
+        # pass 2: payloads up to the largest clen in the batch (spectrum
+        # stays device-resident between the passes). cap_bits bounds the
+        # gather so a corrupt decoded clen cannot blow up memory; images
+        # claiming more than capacity simply fail AEAD -> None.
+        need = min((max(clens) + 16) * 8 * 7, cap_bits)
+        payload_streams = gather_stream(
+            _HEADER_STREAM_BITS + need, skip=_HEADER_STREAM_BITS
+        )
 
     out: list[bytes | None] = []
     for i, hdr in enumerate(headers):
@@ -202,6 +243,9 @@ def extract_batch(
             out.append(None)
             continue
         nbits = (hdr.clen + 16) * 8 * 7
+        if nbits > payload_streams.shape[1]:  # clen beyond walk capacity
+            out.append(None)
+            continue
         pb = np.asarray(ecc.rep7_decode(payload_streams[i, :nbits]))
         rest = bit_ops.bytes_from_bits(pb)
         if len(rest) < hdr.clen + 16:

@@ -58,6 +58,35 @@ def test_batch_failure_isolation(covers):
     assert got == [b"good0", None, b"good2"]
 
 
+def test_batch_clen_hint_paths(covers):
+    """clen_hint fuses gathers; exact, oversized, and undersized hints all
+    decode correctly (an undersized hint falls back to a second gather)."""
+    p = Params(**FAST)
+    secrets = [b"short", b"a much longer secret payload here", b"mid-size!"]
+    res = embed_batch(covers[:3], secrets, password="pw", params=p)
+    for hint in (33, 64, 2):  # exact max, oversized, undersized
+        got = extract_batch(res.stego, password="pw", params=p, clen_hint=hint)
+        assert got == secrets, hint
+
+
+def test_batch_device_resident_roundtrip(covers):
+    """Device-resident covers in, device-resident stego out, no host hop."""
+    p = Params(**FAST)
+    secrets = [b"dev0", b"dev1"]
+    covers_d = jax.device_put(covers[:2])
+    res = embed_batch(covers_d, secrets, password="pw", params=p,
+                      device_resident=True)
+    assert not isinstance(res.stego, np.ndarray)
+    got = extract_batch(res.stego, password="pw", params=p, clen_hint=8)
+    assert got == secrets
+    # pulled stego matches the host-path pixels exactly
+    res2 = embed_batch(covers[:2], secrets, password="pw", params=p,
+                       salts=[bytes(16)] * 2)
+    res3 = embed_batch(covers_d, secrets, password="pw", params=p,
+                       salts=[bytes(16)] * 2, device_resident=True)
+    np.testing.assert_array_equal(res2.stego, np.asarray(res3.stego))
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_batch_sharded_over_mesh(covers):
     p = Params(**FAST)
