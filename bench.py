@@ -63,8 +63,11 @@ def build_reference() -> pathlib.Path | None:
 
 
 def bench_reference(exe: pathlib.Path, cover: np.ndarray, secret: bytes,
-                    key_b64: str) -> float | None:
-    """Seconds per embed+extract round-trip via the reference binary."""
+                    key_b64: str) -> tuple[float, float] | None:
+    """(Seconds per embed+extract round-trip, stego PSNR dB) via the
+    reference binary — PSNR on the identical cover/secret gives the
+    apples-to-apples imperceptibility baseline (the docs' '>50 dB typical'
+    is for small payloads; at 100B both sides land ~42 dB)."""
     from PIL import Image
 
     with tempfile.TemporaryDirectory() as td:
@@ -84,7 +87,10 @@ def bench_reference(exe: pathlib.Path, cover: np.ndarray, secret: bytes,
             times.append(time.perf_counter() - t0)
             if r1.returncode or r2.returncode or txt.encode() not in r2.stdout:
                 return None
-        return min(times)
+        st = np.asarray(Image.open(sp)).astype(np.float64)
+        mse = float(np.mean(np.square(st - cover.astype(np.float64))))
+        psnr = 10.0 * np.log10(255.0 * 255.0 / mse) if mse > 0 else float("inf")
+        return min(times), psnr
 
 
 def bench_ours(covers: np.ndarray, secrets: list[bytes], master_key: bytes):
@@ -141,13 +147,13 @@ def main():
     ours_ips, psnr = bench_ours(covers, secrets, master_key)
 
     exe = build_reference()
-    ref_spi = None
+    ref = None
     if exe is not None:
-        ref_spi = bench_reference(exe, covers[0], b"A" * SECRET_LEN,
-                                  base64.b64encode(master_key).decode())
-    measured = ref_spi is not None
-    if not measured:
-        ref_spi = 2.0  # documented FFT+walk floor (doc/SUMMARY.md:99-104)
+        ref = bench_reference(exe, covers[0], b"A" * SECRET_LEN,
+                              base64.b64encode(master_key).decode())
+    measured = ref is not None
+    ref_spi, ref_psnr = ref if measured else (
+        2.0, None)  # documented FFT+walk floor (doc/SUMMARY.md:99-104)
     ref_ips = 1.0 / ref_spi
 
     print(json.dumps({
@@ -160,6 +166,7 @@ def main():
         "batch": BATCH,
         "secret_bytes": SECRET_LEN,
         "stego_psnr_db": round(psnr, 2),
+        "stego_psnr_ref_db": round(ref_psnr, 2) if ref_psnr else None,
         "device": str(jax.devices()[0]).split(":")[0],
     }))
 

@@ -102,6 +102,27 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
   const double rhi = rmax * (H < W ? H : W);
   const uint8_t dens_thresh = uint8_t(int(std::floor(density * 256.0)) & 0xFF);
 
+  // Annulus test, hot-path form. The reference compares r = hypot(y, x)
+  // (:793); y^2 + x^2 is an exact integer (< 2^26), so comparing squares is
+  // exact as reals — but hypot's final rounding could flip a comparison in a
+  // ~1-ulp shell around each radius. Integer bands with a generous relative
+  // guard decide everything except that shell, where we defer to hypot so
+  // accept decisions stay bit-identical to the reference/python oracle.
+  // This removes a libm call from ~91% of steps at 4K (the annulus covers
+  // only ~9% of bins).
+  const double rlo2 = rlo * rlo, rhi2 = rhi * rhi;
+  const int64_t rlo2_lo = int64_t(rlo2 * (1.0 - 1e-9)) - 1;
+  const int64_t rlo2_hi = int64_t(rlo2 * (1.0 + 1e-9)) + 1;
+  const int64_t rhi2_lo = int64_t(rhi2 * (1.0 - 1e-9)) - 1;
+  const int64_t rhi2_hi = int64_t(rhi2 * (1.0 + 1e-9)) + 1;
+  auto annulus_ok = [&](int yy, int xx) -> bool {
+    int64_t s = int64_t(yy) * yy + int64_t(xx) * xx;
+    if (s < rlo2_lo || s > rhi2_hi) return false;
+    if (s > rlo2_hi && s < rhi2_lo) return true;
+    double r = std::hypot(double(yy), double(xx));
+    return r >= rlo && r <= rhi;
+  };
+
   // On exhaustion with allow_short: pad remaining slots with the last valid
   // bin so downstream gathers index real memory; callers slice by true count.
   auto pad_from = [&](int64_t i) -> int64_t {
@@ -128,11 +149,14 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
           case 6: x = (x - 1 + W) % W; y = (y + 1) % H; break;
           default: break;  // 7: stay
         }
+        // Pure-rejection predicates: evaluation order is free (no keystream
+        // side effects), so the memory-free checks run first — the annulus
+        // rejects ~91% of steps at 4K before the visited array (24.9 MB at
+        // 4K, random access = cache miss) is ever touched.
         if (on_axis(y, x, H, W)) continue;
         if (y == 0 && x == 0) continue;
+        if (!annulus_ok(y, x)) continue;
         if (vis(plane, y, x)) continue;
-        double r = std::hypot(double(y), double(x));
-        if (r < rlo || r > rhi) continue;
         // magnitude check intentionally disabled (reference :797-799)
         int cy = (y == 0) ? 0 : (H - y) % H;
         int cx = (x == 0) ? 0 : (W - x) % W;

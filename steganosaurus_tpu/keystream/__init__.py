@@ -8,6 +8,9 @@ the resulting index arrays to one vectorized device pass.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 import numpy as np
 
 from steganosaurus_tpu import _native_loader
@@ -18,6 +21,28 @@ from steganosaurus_tpu.keystream._pure import (  # noqa: F401 (re-exported API)
     on_axis,
     turtle_seed,
 )
+
+# Expansion cache: the walk is a pure function of (keys, dims, walk params)
+# and every request is a PREFIX of the same infinite sequence, so one long
+# expansion serves all shorter requests. In bulk serving (shared key across
+# batches) this amortizes the strictly sequential ~1.5 s/M-bit host walk to
+# zero — it otherwise dominates 4K batch latency (device graphs are ~12 ms).
+_CACHE: OrderedDict[tuple, tuple] = OrderedDict()
+_CACHE_MAX_ENTRIES = 8
+_CACHE_LOCK = threading.Lock()
+
+
+def _expand_raw(walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
+                nbits, max_steps):
+    """Uncached expansion, always allow_short (5-tuple)."""
+    lib = _native_loader.get()
+    if lib is not None:
+        return lib.turtle_expand(walk_key, plane_keys, H, W, rmin, rmax,
+                                 density, jitter_max, nbits, max_steps,
+                                 allow_short=True)
+    return _pure.turtle_expand(walk_key, plane_keys, H, W, rmin, rmax,
+                               density, jitter_max, nbits, max_steps,
+                               allow_short=True)
 
 
 def turtle_expand(
@@ -43,17 +68,62 @@ def turtle_expand(
     and a 5-tuple (plane, y, x, jitter, nproduced) is returned — extraction
     uses this so an oversized gather (hinted or corrupt-clen) degrades to
     garbage trailing bits instead of aborting the batch.
+
+    Results are cached per (keys, dims, walk params) and served as read-only
+    prefix views; passing an explicit `max_steps` bypasses the cache (used by
+    tests that probe tight step budgets).
     """
-    if max_steps is None:
-        max_steps = max(1_000_000, 64 * nbits * 8)
-    lib = _native_loader.get()
-    if lib is not None:
-        p, y, x, j, n = lib.turtle_expand(
+    if max_steps is not None:
+        lib = _native_loader.get()
+        if lib is not None:
+            p, y, x, j, n = lib.turtle_expand(
+                walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
+                nbits, max_steps, allow_short=allow_short,
+            )
+            return (p, y, x, j, n) if allow_short else (p, y, x, j)
+        return _pure.turtle_expand(
             walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
             nbits, max_steps, allow_short=allow_short,
         )
-        return (p, y, x, j, n) if allow_short else (p, y, x, j)
-    return _pure.turtle_expand(
-        walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
-        nbits, max_steps, allow_short=allow_short,
-    )
+
+    key = (walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max)
+    with _CACHE_LOCK:
+        ent = _CACHE.get(key)
+        exhausted = ent is not None and ent[4] < ent[5]
+        if ent is None or (ent[5] < nbits and not exhausted):
+            # Grow geometrically so repeated slightly-longer requests do not
+            # re-run the sequential walk from scratch each time.
+            target = max(nbits, 2 * ent[5] if ent is not None else 0)
+            # The +4*H*W term covers the initial diffusion to the annulus:
+            # the +-1 random walk needs ~distance^2 steps to reach it from a
+            # random seed, which dominates small-nbits requests on big grids.
+            budget = max(10_000_000, 64 * target * 8 + 4 * H * W)
+            p, y, x, j, n = _expand_raw(walk_key, plane_keys, H, W, rmin,
+                                        rmax, density, jitter_max, target,
+                                        budget)
+            for a in (p, y, x, j):
+                a.setflags(write=False)
+            ent = (p, y, x, j, n, target)
+            _CACHE[key] = ent
+        _CACHE.move_to_end(key)
+        while len(_CACHE) > _CACHE_MAX_ENTRIES:
+            _CACHE.popitem(last=False)
+
+    p, y, x, j, nprod, navail = ent
+    if nbits <= navail:
+        p, y, x, j = p[:nbits], y[:nbits], x[:nbits], j[:nbits]
+    else:  # cached walk exhausted below request: extend with last-bin padding
+        pad = nbits - navail
+        p = np.concatenate([p, np.repeat(p[-1], pad)])
+        y = np.concatenate([y, np.repeat(y[-1], pad)])
+        x = np.concatenate([x, np.repeat(x[-1], pad)])
+        j = np.concatenate([j, np.zeros(pad, j.dtype)])
+    n = min(nprod, nbits)
+    if allow_short:
+        return p, y, x, j, n
+    if n < nbits:
+        raise RuntimeError(
+            f"turtle walk exhausted at bit {n}/{nbits} — image too small for "
+            f"the requested bit count"
+        )
+    return p, y, x, j

@@ -126,8 +126,9 @@ def turtle_expand(
     rlo = rmin * min(H, W)
     rhi = rmax * min(H, W)
     if max_steps is None:
-        # Generous default: ~64 walk steps per candidate, >=1M.
-        max_steps = max(1_000_000, 64 * nbits * 8)
+        # Generous default: ~64 walk steps per candidate, plus the initial
+        # ~distance^2 diffusion to reach the annulus on large grids.
+        max_steps = max(10_000_000, 64 * nbits * 8 + 4 * H * W)
 
     out_plane = np.empty(nbits, dtype=np.int32)
     out_y = np.empty(nbits, dtype=np.int32)

@@ -29,13 +29,22 @@ def adaptive_alpha(base_alpha, mag, median_mag, enabled: bool):
 
 
 def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
-                 adaptive: bool):
+                 adaptive: bool, gain: float = 1.0):
     """Write `bits` into the phases of the selected bins.
 
     Per bin (reference write_bit_on_bin, :712-732): keep magnitude, set phase
     to (bit ? +a : -a) + jitter where a may be magnitude-adaptive; mirror the
     conjugate bin. Self-conjugate bins cannot occur (axis/Nyquist rejected by
     the walk), so the forced-real branch (:726-731) is unreachable here.
+
+    gain: crop retention factor (H*W)/(PH*PW). Cropping the padded IFFT back
+    to H x W multiplies every written spectral delta by `gain` when the stego
+    is re-FFT'd (the cover passes through unchanged — it is window-supported).
+    The REFERENCE ignores this and silently fails on every non-pow2 image
+    (verified: its own embed->extract at 1080p/4K returns "Magic not found").
+    Writing v + (target - v)/gain pre-compensates so the measured bin reads
+    exactly target; at pow2 sizes gain == 1 and this reduces bit-identically
+    to the reference's magnitude-preserving write.
 
     spectrum: (3, PH, PW) complex. plane/y/x/bits: (nbits,) int32.
     jitters: (nbits,) float. medians: (3,) float.
@@ -47,6 +56,8 @@ def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
     a = adaptive_alpha(alpha, mag, medians[plane].astype(real_dtype), adaptive)
     theta = jnp.where(bits.astype(bool), a, -a) + jitters.astype(real_dtype)
     nv = (mag * jnp.exp(1j * theta.astype(real_dtype))).astype(spectrum.dtype)
+    if gain != 1.0:
+        nv = v + (nv - v) / jnp.asarray(gain, real_dtype)
     cy, cx = conj_indices(y, x, H, W)
     out = spectrum.at[plane, y, x].set(nv)
     out = out.at[plane, cy, cx].set(jnp.conj(nv))

@@ -68,7 +68,7 @@ def _embed_core(img_u8, plane, y, x, bits, jitters, alpha,
     """
     spec, med = _analyze_core(img_u8, PH=PH, PW=PW, center=center)
     spec2 = phase_ops.embed_phases(spec, plane, y, x, bits, jitters, alpha,
-                                   med, adaptive)
+                                   med, adaptive, gain=(H * W) / (PH * PW))
     planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
     planes2 = spectral.apply_center(planes2, center)
     return spectral.from_planes(planes2)
@@ -94,7 +94,7 @@ def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
     raw u8 device->host is pathologically slow on the tunneled runtime);
     unpack with transfer.unpack_u8(host, (B, H, W, 3)).
     """
-    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    PH, PW = spectral.fft_dims(H, W)
     core = functools.partial(_embed_core, H=H, W=W, PH=PH, PW=PW,
                              center=center, adaptive=adaptive)
     inner = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
@@ -126,7 +126,7 @@ def batched_analyze_core(H: int, W: int, center: bool,
     Run once per extract batch; outputs stay device-resident for the header
     and payload gather passes.
     """
-    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    PH, PW = spectral.fft_dims(H, W)
     core = functools.partial(_analyze_core, PH=PH, PW=PW, center=center)
     fn = jax.vmap(core)
     if mesh is None:
@@ -166,7 +166,7 @@ def batched_gather_bits_core(adaptive: bool, mesh: Mesh | None = None,
 @functools.lru_cache(maxsize=32)
 def batched_read_core(H: int, W: int, center: bool, adaptive: bool,
                       mesh: Mesh | None = None, shared_idx: bool = True):
-    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    PH, PW = spectral.fft_dims(H, W)
 
     def full(img_u8, plane, y, x, jitters, alpha):
         spec, med = _analyze_core(img_u8, PH=PH, PW=PW, center=center)

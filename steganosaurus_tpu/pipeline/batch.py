@@ -87,7 +87,7 @@ def embed_batch(
         raise StegoError("cover_dependent_path is per-image; use embed_array")
     B, H, W = imgs.shape[:3]
     assert len(secrets) == B
-    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    PH, PW = spectral.fft_dims(H, W)
 
     if salts is None:
         salts = [crypto.get_random_bytes(16) for _ in range(B)]
@@ -160,7 +160,7 @@ def extract_batch(
     if params.cover_dependent_path:
         raise StegoError("cover_dependent_path is per-image; use extract_array")
     B, H, W = imgs.shape[:3]
-    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    PH, PW = spectral.fft_dims(H, W)
 
     analyze = pbatch.batched_analyze_core(H, W, params.center, mesh)
     gather = pbatch.batched_gather_bits_core(params.adaptive_alpha, mesh)

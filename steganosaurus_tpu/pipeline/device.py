@@ -54,10 +54,13 @@ def _jit_analyze(H, W, PH, PW, center, rmin, rmax, magmin):
 
 @functools.lru_cache(maxsize=32)
 def _jit_embed_apply(H, W, center, adaptive, nbits):
+    PH, PW = spectral.fft_dims(H, W)
+    gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
+
     @jax.jit
     def apply_fn(spec, med, plane, y, x, bits, jitters, alpha):
         spec2 = phase_ops.embed_phases(
-            spec, plane, y, x, bits, jitters, alpha, med, adaptive
+            spec, plane, y, x, bits, jitters, alpha, med, adaptive, gain=gain
         )
         planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
         planes2 = spectral.apply_center(planes2, center)
@@ -84,7 +87,7 @@ class JaxBackend:
 
     def analyze(self, planes_f64: np.ndarray, params):
         H, W = planes_f64.shape[-2:]
-        PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+        PH, PW = spectral.fft_dims(H, W)
         fn = _jit_analyze(H, W, PH, PW, params.center,
                           params.rmin, params.rmax, params.magmin)
         # u8-valued planes are exactly representable in f32.
@@ -125,7 +128,7 @@ class NumpyBackend:
 
     def analyze(self, planes_f64: np.ndarray, params):
         H, W = planes_f64.shape[-2:]
-        PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+        PH, PW = spectral.fft_dims(H, W)
         p = planes_f64
         if params.center:
             yy, xx = np.arange(H)[:, None], np.arange(W)[None, :]
@@ -168,6 +171,9 @@ class NumpyBackend:
         a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
         theta = np.where(np.asarray(bits, bool), a, -a) + np.asarray(jitters)
         nv = mag * np.exp(1j * theta)
+        gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
+        if gain != 1.0:
+            nv = v + (nv - v) / gain
         cys, cxs = zip(*(conj_idx(int(yy), int(xxx), PH, PW) for yy, xxx in zip(y, x)))
         spec[plane, y, x] = nv
         spec[plane, np.asarray(cys), np.asarray(cxs)] = np.conj(nv)

@@ -61,7 +61,7 @@ def embed_array(
     backend = device.get_backend(params)
     planes = spectral.to_planes(img)
     H, W = img.shape[:2]
-    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    PH, PW = spectral.fft_dims(H, W)
 
     spec, med, capacity, feat = backend.analyze(planes, params)
 

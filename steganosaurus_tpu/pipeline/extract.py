@@ -41,7 +41,7 @@ def extract_array(
     backend = device.get_backend(params)
     planes = spectral.to_planes(img)
     H, W = img.shape[:2]
-    PH, PW = spectral.next_pow2(H), spectral.next_pow2(W)
+    PH, PW = spectral.fft_dims(H, W)
 
     spec, med, _capacity, feat = backend.analyze(planes, params)
 

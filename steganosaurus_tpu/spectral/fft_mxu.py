@@ -36,11 +36,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Largest N evaluated as one dense N x N matmul. Above this, one four-step
-# split (both factors <= 512 for every pow2 grid the pipeline produces).
+# Largest N evaluated as one dense N x N matmul. Above this, a four-step
+# split; sizes whose smallest prime factor exceeds this fall back to
+# Bluestein's chirp-z over a pow2 grid.
 _DIRECT_MAX = 512
 
-# N -> (N1, N2) splits, biased toward MXU-native 128 tiles.
+# Hand-tuned pow2 (N1, N2) splits, biased toward MXU-native 128 tiles.
+# Non-pow2 sizes (native-resolution grids, see spectral.fft_dims) get a
+# computed split from _find_split.
 _SPLIT = {
     1024: (128, 8),
     2048: (128, 16),
@@ -48,6 +51,28 @@ _SPLIT = {
     8192: (128, 64),
     16384: (128, 128),
 }
+
+
+@functools.lru_cache(maxsize=None)
+def _find_split(N: int) -> tuple[int, int] | None:
+    """Best (N1, N2) with N = N1*N2 for the four-step transform, or None.
+
+    Prefers a balanced pair with both factors <= _DIRECT_MAX (cost per row
+    ~ N*(N1+N2) MACs); otherwise takes the largest inner factor <= _DIRECT_MAX
+    and recurses on the outer (N1 > _DIRECT_MAX splits again). None only when
+    N's smallest prime factor exceeds _DIRECT_MAX (then: Bluestein).
+    """
+    if N in _SPLIT:
+        return _SPLIT[N]
+    divisors = [d for d in range(2, _DIRECT_MAX + 1) if N % d == 0]
+    if not divisors:
+        return None
+    balanced = [d for d in divisors if N // d <= _DIRECT_MAX]
+    if balanced:
+        n2 = min(balanced, key=lambda d: (N // d) + d)
+        return N // n2, n2
+    n2 = max(divisors)
+    return N // n2, n2
 
 _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -90,7 +115,10 @@ def _dft_last(xr, xi, N: int, sign: int, precision):
         return _cmm(xr, xi, jnp.asarray(wr, xr.dtype), jnp.asarray(wi, xr.dtype),
                     precision)
 
-    N1, N2 = _SPLIT[N]
+    split = _find_split(N)
+    if split is None:
+        return _bluestein_last(xr, xi, N, sign, precision)
+    N1, N2 = split
     lead = xr.shape[:-1]
     # j = j2*N1 + j1  ->  A[..., j2, j1]
     ar = xr.reshape(*lead, N2, N1)
@@ -112,6 +140,61 @@ def _dft_last(xr, xi, N: int, sign: int, precision):
     # y[k1*N2 + k2] = D[k2, k1]
     yr = jnp.swapaxes(dr, -1, -2).reshape(*lead, N)
     yi = jnp.swapaxes(di, -1, -2).reshape(*lead, N)
+    return yr, yi
+
+
+@functools.lru_cache(maxsize=None)
+def _bluestein_consts(N: int, sign: int):
+    """Host-side f64 constants for the chirp-z transform of length N.
+
+    DFT as a linear convolution (Bluestein 1970): with
+    w_m = e^{sign*pi*i*m^2/N}, y_k = w_k * sum_j (x_j*w_j) * conj(w)_{k-j}.
+    Returns (chirp re/im of length N, FFT_M(kernel) re/im of length M) where
+    M = next pow2 >= 2N-1 and the kernel is conj(w) wrapped circularly.
+    The m^2 mod 2N reduction keeps the f64 phase argument exact.
+    """
+    M = 1
+    while M < 2 * N - 1:
+        M <<= 1
+    m = np.arange(N, dtype=np.int64)
+    ang = (sign * np.pi / N) * ((m * m) % (2 * N))
+    w = np.cos(ang) + 1j * np.sin(ang)           # chirp
+    kern = np.zeros(M, dtype=np.complex128)
+    kern[:N] = np.conj(w)
+    kern[M - N + 1:] = np.conj(w)[1:][::-1]      # kern[M-m] = conj(w_m)
+    # Kernel spectrum under OUR forward convention (e^{+2pi i jk/M} for
+    # sign=+1 pipelines and numpy's for sign=-1): any consistent FFT pair
+    # works for the convolution; we match _dft_last's `sign` so the variable
+    # transforms below can reuse it directly.
+    if sign > 0:
+        kf = np.conj(np.fft.fft(np.conj(kern)))   # sum kern_j e^{+2pi i jk/M}
+    else:
+        kf = np.fft.fft(kern)
+    return (w.real, w.imag, kf.real, kf.imag, M)
+
+
+def _bluestein_last(xr, xi, N: int, sign: int, precision):
+    """Chirp-z DFT for awkward N (smallest prime factor > _DIRECT_MAX)."""
+    wr_, wi_, kfr_, kfi_, M = _bluestein_consts(N, sign)
+    wr = jnp.asarray(wr_, xr.dtype)
+    wi = jnp.asarray(wi_, xr.dtype)
+    kfr = jnp.asarray(kfr_, xr.dtype)
+    kfi = jnp.asarray(kfi_, xr.dtype)
+    # a = x * w, zero-padded to M
+    ar = xr * wr - xi * wi
+    ai = xr * wi + xi * wr
+    pad = [(0, 0)] * (ar.ndim - 1) + [(0, M - N)]
+    ar = jnp.pad(ar, pad)
+    ai = jnp.pad(ai, pad)
+    # circular convolution via the pow2 matmul-DFT path
+    fr, fi = _dft_last(ar, ai, M, sign, precision)
+    gr = fr * kfr - fi * kfi
+    gi = fr * kfi + fi * kfr
+    cr, ci = _dft_last(gr, gi, M, -sign, precision)  # inverse of the pair
+    cr = cr[..., :N] * (1.0 / M)
+    ci = ci[..., :N] * (1.0 / M)
+    yr = cr * wr - ci * wi
+    yi = cr * wi + ci * wr
     return yr, yi
 
 

@@ -30,6 +30,26 @@ def test_embed_extract_batch_ragged(covers):
     assert got == secrets
 
 
+def test_batch_1080p_multikb_payload():
+    """BASELINE config 2: 1080p covers, multi-KB secrets (Rep-3 header +
+    Rep-7 payload). Non-pow2 dims run at native spectral size — the reference
+    binary cannot round-trip these at all (see test_rectangular_image)."""
+    rng = np.random.default_rng(31)
+    base = np.linspace(140, 230, 1920)
+    covers = np.clip(base[None, None, :, None]
+                     + rng.integers(-25, 26, (2, 1080, 1920, 3)),
+                     0, 255).astype(np.uint8)
+    p = Params(**FAST)
+    secrets = [bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+               bytes(rng.integers(0, 256, 2000, dtype=np.uint8))]
+    res = embed_batch(covers, secrets, password="pw", params=p)
+    got = extract_batch(res.stego, password="pw", params=p, clen_hint=4096)
+    assert got == secrets
+    err = res.stego.astype(np.float64) - covers.astype(np.float64)
+    psnr = 10 * np.log10(255.0 ** 2 / np.mean(np.square(err)))
+    assert psnr > 30.0, psnr  # imperceptibility sanity at 4KB payloads
+
+
 def test_batch_matches_single_image_pipeline(covers):
     """A batch-embedded stego must decode with the single-image extractor."""
     p = Params(**FAST)

@@ -108,17 +108,19 @@ def test_center_mode(small_image):
 
 
 def test_rectangular_image():
-    """Rectangular covers (pad 96x200 -> 128x256) do NOT round-trip in the
-    reference binary either — its extraction diverges and reports 'Magic not
-    found' (verified directly). We match that behavior bit-for-bit; embed
-    itself must still succeed and produce a valid PNG."""
+    """Non-pow2 covers round-trip HERE but not in the reference: it pads to
+    pow2 and crops the IFFT, which attenuates + cross-couples the written
+    phases, so its own embed->extract fails with 'Magic not found' on every
+    non-pow2 image (verified directly at 96x200, 1080p, and 4K). We run the
+    transform at native size instead (spectral.fft_dims), which makes the
+    round-trip exact — a deliberate, documented improvement. pow2 covers
+    keep bit-exact cross-interop (test_reference_parity)."""
     rng = np.random.default_rng(11)
     img = np.clip(190 + rng.integers(-20, 21, (96, 200, 3)), 0, 255).astype(np.uint8)
     p = Params(**FAST)
     res = embed_array(img, b"rect", password="pw", params=p)
     assert res.stego.shape == img.shape
-    with pytest.raises(StegoError, match="Magic not found"):
-        extract_array(res.stego, password="pw", params=p)
+    assert extract_array(res.stego, password="pw", params=p) == b"rect"
 
 
 def test_wrong_password_fails_fast(small_image):
