@@ -29,7 +29,8 @@ def adaptive_alpha(base_alpha, mag, median_mag, enabled: bool):
 
 
 def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
-                 adaptive: bool, gain: float = 1.0):
+                 adaptive: bool, gain: float = 1.0,
+                 hermitian_half: bool = False):
     """Write `bits` into the phases of the selected bins.
 
     Per bin (reference write_bit_on_bin, :712-732): keep magnitude, set phase
@@ -46,6 +47,15 @@ def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
     exactly target; at pow2 sizes gain == 1 and this reduces bit-identically
     to the reference's magnitude-preserving write.
 
+    hermitian_half: write only the primary bins, pre-doubled. Consumers that
+    take real(IFFT(S)) — both FFT backends do — see the effective spectrum
+    (S + mirror(conj(S)))/2, so writing 2*nv - v at bin k while leaving the
+    stale conj(v) at its mirror yields exactly nv effective (and conj(nv) at
+    the mirror). This HALVES the scatter, the embed graph's dominant cost on
+    TPU (XLA scatter is ~8M updates/s). Bit-identical in exact arithmetic to
+    the mirrored write; the f64 numpy backend keeps the literal reference
+    form as the parity oracle.
+
     spectrum: (3, PH, PW) complex. plane/y/x/bits: (nbits,) int32.
     jitters: (nbits,) float. medians: (3,) float.
     """
@@ -58,6 +68,9 @@ def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
     nv = (mag * jnp.exp(1j * theta.astype(real_dtype))).astype(spectrum.dtype)
     if gain != 1.0:
         nv = v + (nv - v) / jnp.asarray(gain, real_dtype)
+    if hermitian_half:
+        return spectrum.at[plane, y, x].set(
+            2.0 * nv - v, unique_indices=True, mode="promise_in_bounds")
     cy, cx = conj_indices(y, x, H, W)
     out = spectrum.at[plane, y, x].set(nv)
     out = out.at[plane, cy, cx].set(jnp.conj(nv))

@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from steganosaurus_tpu import spectral
+from steganosaurus_tpu.ops import ecc
 from steganosaurus_tpu.ops import phase as phase_ops
 from steganosaurus_tpu.parallel import transfer
 
@@ -52,10 +53,16 @@ def _to_planes_dev(img_u8, center: bool, PH: int, PW: int):
     return spectral.pad_planes(planes, PH, PW)
 
 
-def _analyze_core(img_u8, *, PH, PW, center):
-    """(H, W, 3) u8 -> (3, PH, PW) c64 spectrum + (3,) exact medians."""
+def _analyze_core(img_u8, *, PH, PW, center, adaptive=True):
+    """(H, W, 3) u8 -> (3, PH, PW) c64 spectrum + (3,) medians.
+
+    The exact median costs 32 count-passes over the spectrum (~27 ms/4 imgs
+    at 4K); it only feeds adaptive-alpha, so non-adaptive graphs return ones.
+    """
     spec = spectral.fft2(_to_planes_dev(img_u8, center, PH, PW))
-    return spec, spectral.median_abs(spec)
+    if adaptive:
+        return spec, spectral.median_abs(spec)
+    return spec, jnp.ones((3,), spec.real.dtype)
 
 
 def _embed_core(img_u8, plane, y, x, bits, jitters, alpha,
@@ -63,12 +70,15 @@ def _embed_core(img_u8, plane, y, x, bits, jitters, alpha,
     """Single-image embed: (H, W, 3) u8 -> (H, W, 3) u8 stego.
 
     The full embed data path of reference do_embed (steganosaur.cpp:907-1109)
-    minus host crypto/keystream: center -> pad -> FFT -> median -> vectorized
-    phase write with conjugate mirror -> IFFT -> crop -> quantize.
+    minus host crypto/keystream: center -> pad -> FFT -> [median] ->
+    vectorized phase write (Hermitian-half scatter) -> IFFT -> crop ->
+    quantize.
     """
-    spec, med = _analyze_core(img_u8, PH=PH, PW=PW, center=center)
+    spec, med = _analyze_core(img_u8, PH=PH, PW=PW, center=center,
+                              adaptive=adaptive)
     spec2 = phase_ops.embed_phases(spec, plane, y, x, bits, jitters, alpha,
-                                   med, adaptive, gain=(H * W) / (PH * PW))
+                                   med, adaptive, gain=(H * W) / (PH * PW),
+                                   hermitian_half=True)
     planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
     planes2 = spectral.apply_center(planes2, center)
     return spectral.from_planes(planes2)
@@ -97,15 +107,15 @@ def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
     PH, PW = spectral.fft_dims(H, W)
     core = functools.partial(_embed_core, H=H, W=W, PH=PH, PW=PW,
                              center=center, adaptive=adaptive)
-    inner = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
+    # shared_idx vmaps the index arrays with in_axes=None, NOT broadcast_to:
+    # broadcasting makes XLA treat the scatter indices as per-image varying,
+    # which compiles to a ~3x slower batched scatter (measured at 4K).
+    if shared_idx:
+        inner = jax.vmap(core, in_axes=(0, None, None, None, 0, None, None))
+    else:
+        inner = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
 
     def fn(imgs, plane, y, x, bits, jitters, alpha):
-        if shared_idx:
-            # Shared indices upload once as (n,) and broadcast to (B, n)
-            # inside the graph — the batch never pays B copies on the link.
-            B = imgs.shape[0]
-            bc = lambda a: jnp.broadcast_to(a, (B,) + a.shape)  # noqa: E731
-            plane, y, x, jitters = bc(plane), bc(y), bc(x), bc(jitters)
         out = inner(imgs, plane, y, x, bits, jitters, alpha)
         return transfer.pack_u8(out) if pack else out
 
@@ -120,14 +130,15 @@ def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
 
 @functools.lru_cache(maxsize=32)
 def batched_analyze_core(H: int, W: int, center: bool,
-                         mesh: Mesh | None = None):
+                         mesh: Mesh | None = None, adaptive: bool = True):
     """Jitted: (B,H,W,3) u8 imgs -> ((B,3,PH,PW) c64 spectra, (B,3) medians).
 
     Run once per extract batch; outputs stay device-resident for the header
-    and payload gather passes.
+    and payload gather passes. adaptive=False skips the (unused) median.
     """
     PH, PW = spectral.fft_dims(H, W)
-    core = functools.partial(_analyze_core, PH=PH, PW=PW, center=center)
+    core = functools.partial(_analyze_core, PH=PH, PW=PW, center=center,
+                             adaptive=adaptive)
     fn = jax.vmap(core)
     if mesh is None:
         return jax.jit(fn)
@@ -158,6 +169,57 @@ def batched_gather_bits_core(adaptive: bool, mesh: Mesh | None = None,
     n_rep = 5 if shared_idx else 1
     n_shard = 2 if shared_idx else 6
     return jax.jit(fn, in_shardings=(shard,) * n_shard + (rep,) * n_rep,
+                   out_shardings=shard)
+
+
+def _pack_bits_words(bits):
+    """(m,) 0/1 -> (ceil(m/32),) int32, MSB-first big-endian byte order.
+
+    Host decode: words.view(np.uint32).astype('>u4').tobytes() is the byte
+    stream. Packing on device shrinks the extract pull 32x — the tunneled
+    host<->device link, not the gather, dominates extract latency.
+    """
+    bits = jnp.asarray(bits, jnp.uint32)
+    pad = (-bits.shape[0]) % 32
+    if pad:
+        bits = jnp.pad(bits, (0, pad))
+    weights = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(31, -1, -1, dtype=jnp.uint32))
+    words = (bits.reshape(-1, 32) * weights).sum(axis=1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
+                               hdr_stream_bits: int = 0):
+    """Jitted: gather walk bins AND ECC-decode on device, returning packed
+    bytes as i32 words — (B, 10 + ceil(payload_bytes/4)) instead of (B, n)
+    raw bits, a ~250x smaller pull (ECC 3x/7x + bit->word 32x).
+
+    Input bin arrays cover [0, hdr_stream_bits + payload_stream_bits): the
+    first hdr_stream_bits are Rep-3 decoded (-> 10 words = 38 header bytes +
+    2 pad), the rest Rep-7 decoded (reference frame layout,
+    steganosaur.cpp:986-995). hdr_stream_bits=0 skips the header section
+    (payload-only second pass).
+    """
+    inner = functools.partial(_read_core, adaptive=adaptive)
+
+    def core(spec, med, plane, y, x, jitters, alpha):
+        raw = inner(spec, med, plane, y, x, jitters, alpha)
+        outs = []
+        if hdr_stream_bits:
+            outs.append(_pack_bits_words(
+                ecc.rep_decode(raw[:hdr_stream_bits], 3)))
+        outs.append(_pack_bits_words(
+            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+        return jnp.concatenate(outs)
+
+    fn = jax.vmap(core, in_axes=(0, 0, None, None, None, None, None))
+    if mesh is None:
+        return jax.jit(fn)
+    shard = NamedSharding(mesh, P("batch"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(shard, shard) + (rep,) * 5,
                    out_shardings=shard)
 
 

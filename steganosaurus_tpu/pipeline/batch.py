@@ -47,6 +47,10 @@ class BatchEmbedResult:
     stego: np.ndarray            # (B, H, W, 3) uint8 (jax array if device_resident)
     written_bits: list[int]
     payload_bytes: list[int]
+    salts: list[bytes] | None = None     # final per-image salts (verify mode
+    #                                      may re-salt failed images)
+    verified: list[bool] | None = None   # per-image read-back success
+    #                                      (None unless verify=True)
 
 
 def _walk_indices(password, master_key, params, PH, PW, nbits,
@@ -60,6 +64,54 @@ def _walk_indices(password, master_key, params, PH, PW, nbits,
     )
 
 
+# Device-resident walk index cache. The host walk cache (keystream) makes
+# expansion free for repeated keys, but each gather/embed still re-uploaded
+# ~20 B/bit of index arrays over the host<->device link (~18 MB at 4K/16KB —
+# the dominant extract cost on the tunneled runtime). The arrays are a pure
+# function of (path_key, dims, walk params, slice), so one upload serves all
+# subsequent calls.
+_DEV_IDX_CACHE: "OrderedDict[tuple, tuple]" = __import__(
+    "collections").OrderedDict()
+_DEV_IDX_MAX = 16
+
+
+def _walk_indices_device(password, master_key, params, PH, PW, nbits,
+                         skip, bucket, mesh):
+    """((plane, y, x, jitter) device arrays of length `bucket` covering walk
+    bits [skip, nbits) tail-padded with the last index, nproduced). jitter is
+    f32. nproduced < nbits means the walk exhausted (gathers past it read the
+    last bin; embed must treat it as capacity exceeded)."""
+    import jax
+
+    path_key = crypto.derive_path_key(password, master_key, None)
+    key = (path_key, PH, PW, params.rmin, params.rmax, params.density,
+           params.jitter, skip, bucket, nbits, id(mesh))
+    ent = _DEV_IDX_CACHE.get(key)
+    if ent is None:
+        plane, y, x, jit, nprod = _walk_indices(password, master_key, params,
+                                                PH, PW, nbits,
+                                                allow_short=True)
+        pad = bucket - (nbits - skip)
+        sl = slice(skip, nbits)
+        host = [np.concatenate([a[sl], np.repeat(a[nbits - 1], pad)])
+                for a in (plane, y, x)]
+        host.append(np.concatenate([jit[sl], np.repeat(jit[nbits - 1], pad)])
+                    .astype(np.float32))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            arrs = tuple(jax.device_put(a, rep) for a in host)
+        else:
+            arrs = tuple(jax.device_put(a) for a in host)
+        ent = (arrs, nprod)
+        _DEV_IDX_CACHE[key] = ent
+    _DEV_IDX_CACHE.move_to_end(key)
+    while len(_DEV_IDX_CACHE) > _DEV_IDX_MAX:
+        _DEV_IDX_CACHE.popitem(last=False)
+    return ent
+
+
 def embed_batch(
     imgs: np.ndarray,
     secrets: list[bytes],
@@ -69,6 +121,8 @@ def embed_batch(
     salts: list[bytes] | None = None,
     mesh=None,
     device_resident: bool = False,
+    verify: bool = False,
+    max_retries: int = 2,
 ) -> BatchEmbedResult:
     """Embed `secrets[i]` into `imgs[i]` under one shared password/master key.
 
@@ -80,6 +134,15 @@ def embed_batch(
     device_resident=True returns the stego batch as a device u8 array (no
     host pull) — feed it straight to extract_batch or pull it later; the
     host<->device link is the bulk path's bottleneck, not compute.
+
+    verify=True read-back-verifies every image on device after embedding
+    (costs ~one extract pass) and re-embeds failures with FRESH SALTS up to
+    max_retries times: a new salt produces a different AEAD stream, hence
+    different bits and different quantization/clamp noise — heavy payloads
+    near the Rep-3 header margin (e.g. 16 KB on full-range noise covers,
+    ~7%/image failure odds) converge to 100% recovery in 1-2 retries.
+    Result.verified reports per-image status; result.salts the final salts.
+    Explicit `salts` are respected on the first attempt only.
     """
     if (password is None) == (master_key is None):
         raise ValueError("exactly one of password/master_key required")
@@ -106,10 +169,21 @@ def embed_batch(
         frames.append(np.concatenate([np.asarray(h), np.asarray(p)]))
 
     nmax = max(len(f) for f in frames)
-    # One walk serves the whole batch (salt-independent path key)
-    plane, y, x, jit = _walk_indices(password, master_key, params, PH, PW, nmax)
+    # One walk serves the whole batch (salt-independent path key). Indices
+    # are bucketed to a multiple of 4096 and live on device (see
+    # _walk_indices_device) — nearby payload sizes reuse one compiled graph
+    # and one index upload. Surplus bins repeat the last (bin, bit) pair:
+    # duplicate scatters of an identical value are benign and never read.
+    bucket = -(-nmax // 4096) * 4096
+    (plane, y, x, jit), nprod = _walk_indices_device(
+        password, master_key, params, PH, PW, nmax, 0, bucket, mesh)
+    if nprod < nmax:
+        raise StegoError(
+            f"Message too large. Need {nmax} bits (after ECC), walk "
+            f"exhausted after {nprod}."
+        )
 
-    bits = np.zeros((B, nmax), np.uint8)
+    bits = np.zeros((B, bucket), np.uint8)
     for i, f in enumerate(frames):
         bits[i, : len(f)] = f
         bits[i, len(f):] = f[-1]  # surplus bins: repeat; never read back
@@ -123,7 +197,45 @@ def embed_batch(
         imgs_d = imgs if isinstance(imgs, jnp.ndarray) else np.ascontiguousarray(imgs)
         bits_d = bits
     out = fn(imgs_d, plane, y, x, bits_d, jit, jnp.float32(params.alpha))
-    if device_resident:
+
+    verified = None
+    if verify:
+        salts = list(salts)
+        maxlen = max(len(s) for s in secrets)
+        # np.array: unpack_u8 returns a read-only buffer view; retries patch
+        # failed rows in place.
+        check_src = out if device_resident else np.array(
+            transfer.unpack_u8(np.asarray(out), (B, H, W, 3)))
+        got = extract_batch(check_src, password=password,
+                            master_key=master_key, params=params, mesh=mesh,
+                            clen_hint=maxlen)
+        verified = [g == s for g, s in zip(got, secrets)]
+        for _ in range(max_retries):
+            failed = [i for i, ok in enumerate(verified) if not ok]
+            if not failed:
+                break
+            sub_imgs = (imgs_d[np.asarray(failed)]
+                        if isinstance(imgs_d, jnp.ndarray)
+                        else np.ascontiguousarray(imgs_d[failed]))
+            new_salts = [crypto.get_random_bytes(16) for _ in failed]
+            sub = embed_batch(sub_imgs, [secrets[i] for i in failed],
+                              password=password, master_key=master_key,
+                              params=params, salts=new_salts, mesh=mesh,
+                              device_resident=device_resident, verify=False)
+            if device_resident:
+                check_src = check_src.at[jnp.asarray(failed)].set(sub.stego)
+            else:
+                check_src[np.asarray(failed)] = sub.stego
+            got = extract_batch(check_src, password=password,
+                                master_key=master_key, params=params,
+                                mesh=mesh, clen_hint=maxlen)
+            for i, s_new in zip(failed, new_salts):
+                salts[i] = s_new
+            verified = [g == s for g, s in zip(got, secrets)]
+
+    if verify:
+        stego = check_src  # device or host array, patched by retries
+    elif device_resident:
         stego = out
     else:
         stego = transfer.unpack_u8(np.asarray(out), (B, H, W, 3))
@@ -131,6 +243,8 @@ def embed_batch(
         stego=stego,
         written_bits=[len(f) for f in frames],
         payload_bytes=[len(s) for s in secrets],
+        salts=list(salts),
+        verified=verified,
     )
 
 
@@ -149,11 +263,11 @@ def extract_batch(
     on one bad image.
 
     clen_hint: expected ciphertext length (= secret length) in bytes. When
-    given, the header and payload bins are gathered in ONE device pass —
-    halving the host<->device round-trips, which dominate extract latency on
-    high-RTT links. Images whose actual header clen exceeds the hint fall
-    back to a second gather; a wrong hint never misdecodes (clen is read
-    from the authenticated header either way).
+    given, the header and hinted payload are gathered AND ECC-decoded in ONE
+    device pass (device decode shrinks the pull ~250x; the link, not the
+    gather, dominates extract latency). Images whose actual header clen
+    exceeds the hint fall back to a second pass; a wrong hint never
+    misdecodes (clen is read from the authenticated header either way).
     """
     if (password is None) == (master_key is None):
         raise ValueError("exactly one of password/master_key required")
@@ -162,8 +276,8 @@ def extract_batch(
     B, H, W = imgs.shape[:3]
     PH, PW = spectral.fft_dims(H, W)
 
-    analyze = pbatch.batched_analyze_core(H, W, params.center, mesh)
-    gather = pbatch.batched_gather_bits_core(params.adaptive_alpha, mesh)
+    analyze = pbatch.batched_analyze_core(H, W, params.center, mesh,
+                                          adaptive=params.adaptive_alpha)
     if isinstance(imgs, jnp.ndarray):
         imgs_d = imgs  # already device-resident (e.g. embed's output)
     elif mesh is not None:
@@ -180,75 +294,58 @@ def extract_batch(
     # doc/TESTING.md:151-156) and oversized clen_hints.
     cap_bits = 3 * PH * PW // 2
 
-    def gather_stream(nbits: int, skip: int = 0) -> np.ndarray:
-        """One device gather of walk bits [skip, nbits), bucketed to reuse
-        compiled graphs across nearby sizes. Bits past walk exhaustion are
-        garbage (last-bin re-reads) — callers only consume bits their
+    def decode_pass(payload_stream_bits: int, with_header: bool):
+        """Gather + device-ECC-decode one pass; returns per-image byte
+        buffers (header 40-byte block first when with_header). The payload
+        stream length is bucketed so nearby sizes share one compiled graph
+        and one cached device index upload. Bits past walk exhaustion are
+        garbage (last-bin re-reads) — consumers only use bytes their
         authenticated clen covers, or fail AEAD."""
-        bucket = -(-(nbits - skip) // 4096) * 4096
-        plane, y, x, jit, _ = _walk_indices(password, master_key, params, PH,
-                                            PW, nbits, allow_short=True)
-        pad = bucket - (nbits - skip)
-        sl = slice(skip, nbits)
-        pl, yy, xx, jj = (np.concatenate([a[sl], np.repeat(a[nbits - 1], pad)])
-                          for a in (plane, y, x, jit))
-        out = np.asarray(gather(spec, med, pl, yy, xx, jj, alpha))
-        return out[:, : nbits - skip]
+        S = -(-payload_stream_bits // 4096) * 4096 if payload_stream_bits else 0
+        hdr_bits = _HEADER_STREAM_BITS if with_header else 0
+        skip = 0 if with_header else _HEADER_STREAM_BITS
+        nbits = _HEADER_STREAM_BITS + S
+        core = pbatch.batched_gather_decode_core(params.adaptive_alpha, mesh,
+                                                 hdr_stream_bits=hdr_bits)
+        (pl, yy, xx, jj), _ = _walk_indices_device(
+            password, master_key, params, PH, PW, nbits, skip,
+            hdr_bits + S, mesh)
+        words = np.asarray(core(spec, med, pl, yy, xx, jj, alpha))
+        return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
 
-    def parse_headers(hdr_streams: np.ndarray) -> list[Header | None]:
+    def parse_headers(bufs) -> list[Header | None]:
         headers: list[Header | None] = []
-        for i in range(B):
-            hb = bit_ops.bytes_from_bits(
-                np.asarray(ecc.rep3_decode(hdr_streams[i]))
-            )
+        for buf in bufs:
+            hb = buf[:header_mod.FIXED_LEN]
             if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
                 headers.append(None)
             else:
                 headers.append(Header.from_bytes(hb))
         return headers
 
-    if clen_hint is not None:
-        # fused pass: header + hinted payload in one gather (one link RTT)
-        hint_bits = min((clen_hint + 16) * 8 * 7, cap_bits)
-        streams = gather_stream(_HEADER_STREAM_BITS + hint_bits)
-        headers = parse_headers(streams[:, :_HEADER_STREAM_BITS])
-        clens = [h.clen for h in headers if h is not None]
-        if not clens:
-            return [None] * B
-        need = min((max(clens) + 16) * 8 * 7, cap_bits)
-        if need <= hint_bits:
-            payload_streams = streams[:, _HEADER_STREAM_BITS:]
-        else:  # hint too small for some image: re-gather the full payload
-            payload_streams = gather_stream(
-                _HEADER_STREAM_BITS + need, skip=_HEADER_STREAM_BITS
-            )
-    else:
-        # pass 1: headers (identical walk prefix for every image)
-        headers = parse_headers(gather_stream(_HEADER_STREAM_BITS))
-        clens = [h.clen for h in headers if h is not None]
-        if not clens:
-            return [None] * B
-        # pass 2: payloads up to the largest clen in the batch (spectrum
-        # stays device-resident between the passes). cap_bits bounds the
-        # gather so a corrupt decoded clen cannot blow up memory; images
-        # claiming more than capacity simply fail AEAD -> None.
-        need = min((max(clens) + 16) * 8 * 7, cap_bits)
-        payload_streams = gather_stream(
-            _HEADER_STREAM_BITS + need, skip=_HEADER_STREAM_BITS
-        )
+    # Fused pass: header + hinted payload in one device round-trip. With no
+    # hint the payload section is empty and the second pass always runs.
+    hint_bits = min((clen_hint + 16) * 8 * 7, cap_bits) if clen_hint else 0
+    bufs = decode_pass(hint_bits, with_header=True)
+    headers = parse_headers(bufs)
+    clens = [h.clen for h in headers if h is not None]
+    if not clens:
+        return [None] * B
+    need = min((max(clens) + 16) * 8 * 7, cap_bits)
+    S_hint = -(-hint_bits // 4096) * 4096 if hint_bits else 0
+    if need <= S_hint:
+        # payload bytes follow the 40-byte header block in the fused buffers
+        payloads = [buf[40:] for buf in bufs]
+    else:  # hint too small (or absent): payload-only second pass
+        payloads = decode_pass(need, with_header=False)
 
     out: list[bytes | None] = []
     for i, hdr in enumerate(headers):
         if hdr is None:
             out.append(None)
             continue
-        nbits = (hdr.clen + 16) * 8 * 7
-        if nbits > payload_streams.shape[1]:  # clen beyond walk capacity
-            out.append(None)
-            continue
-        pb = np.asarray(ecc.rep7_decode(payload_streams[i, :nbits]))
-        rest = bit_ops.bytes_from_bits(pb)
-        if len(rest) < hdr.clen + 16:
+        rest = payloads[i][: hdr.clen + 16]
+        if len(rest) < hdr.clen + 16:  # clen beyond walk capacity / budget
             out.append(None)
             continue
         ct, tag = rest[: hdr.clen], rest[hdr.clen : hdr.clen + 16]

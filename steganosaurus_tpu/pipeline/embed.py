@@ -24,6 +24,7 @@ from steganosaurus_tpu.ops import ecc
 from steganosaurus_tpu.pipeline import device
 from steganosaurus_tpu.pipeline.errors import StegoError
 from steganosaurus_tpu.pipeline.header import Header
+from steganosaurus_tpu.utils import debug
 
 
 @dataclass
@@ -94,6 +95,11 @@ def embed_array(
         key_walk, (key_r, key_g, key_b), PH, PW,
         params.rmin, params.rmax, params.density, params.jitter, len(bits),
     )
+    if debug.enabled():  # reference -DDEBUG=1 dumps (steganosaur.cpp:1082-1094)
+        debug.dump_dims("embed", H, W, PH, PW)
+        debug.dump_key_prefix("embed path_key", path_key)
+        debug.dump_walk("embed", plane, y, x)
+        debug.dump_header("embed header", header_bytes)
 
     stego = backend.embed_apply(
         spec, med, (plane, y, x), bits, jit, params.alpha, params, H, W

@@ -24,6 +24,7 @@ from steganosaurus_tpu.pipeline import device
 from steganosaurus_tpu.pipeline.errors import StegoError
 from steganosaurus_tpu.pipeline import header as header_mod
 from steganosaurus_tpu.pipeline.header import Header
+from steganosaurus_tpu.utils import debug
 
 _HEADER_STREAM_BITS = header_mod.FIXED_LEN * 8 * 3  # 38*8 under Rep-3 = 912
 
@@ -61,11 +62,16 @@ def extract_array(
         params.rmin, params.rmax, params.density, params.jitter,
         _HEADER_STREAM_BITS,
     )
+    if debug.enabled():  # reference -DDEBUG=1 dumps (steganosaur.cpp:1211-1218)
+        debug.dump_dims("extract", H, W, PH, PW)
+        debug.dump_key_prefix("extract path_key", path_key)
+        debug.dump_walk("extract", idx_p, idx_y, idx_x)
     hdr_stream = backend.read_bits(
         spec, med, (idx_p, idx_y, idx_x), jit, params.alpha, params
     )
     hdr_bits = np.asarray(ecc.rep3_decode(hdr_stream))
     hdr_bytes = bit_ops.bytes_from_bits(hdr_bits)
+    debug.dump_header("extract header", hdr_bytes)
     if hdr_bytes[:4] != header_mod.MAGIC:
         raise StegoError("Magic not found.")
     if hdr_bytes[4] != header_mod.VERSION:

@@ -1,0 +1,92 @@
+"""Stego quality metrics: PSNR, SSIM, and ECC bit-error rates.
+
+The reference ships no metrics code; its docs cite PSNR >50 dB and
+SSIM >0.995 as the imperceptibility bar (README.md:137,
+doc/ATTACKS.md:162-166) and ~43%/33% as the Rep-7/Rep-3 BER budgets
+(doc/HARDENING.md:277-283). This module makes those numbers measurable
+(SURVEY.md §5 "Rebuild should emit: images/sec/chip, payload bit accuracy,
+PSNR/SSIM vs cover, and BER before/after ECC").
+
+Pure numpy — these run host-side on pulled images; they are reporting
+tools, not part of the device hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(cover: np.ndarray, stego: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio in dB over all channels."""
+    err = stego.astype(np.float64) - cover.astype(np.float64)
+    mse = float(np.mean(np.square(err)))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def ssim(cover: np.ndarray, stego: np.ndarray, peak: float = 255.0,
+         win: int = 8) -> float:
+    """Mean structural similarity (Wang et al. 2004), non-overlapping
+    win x win windows, per channel, standard constants K1=0.01, K2=0.03.
+
+    Block SSIM (not gaussian-windowed) keeps this dependency-free; for the
+    >0.995 imperceptibility bar the two agree to ~1e-4.
+    """
+    a = cover.astype(np.float64)
+    b = stego.astype(np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+        b = b[..., None]
+    H, W, C = a.shape
+    h = (H // win) * win
+    w = (W // win) * win
+    # (nby, nbx, win, win, C) blocks
+    ab = a[:h, :w].reshape(h // win, win, w // win, win, C).transpose(0, 2, 1, 3, 4)
+    bb = b[:h, :w].reshape(h // win, win, w // win, win, C).transpose(0, 2, 1, 3, 4)
+    mu_a = ab.mean(axis=(2, 3))
+    mu_b = bb.mean(axis=(2, 3))
+    var_a = ab.var(axis=(2, 3))
+    var_b = bb.var(axis=(2, 3))
+    cov = (ab * bb).mean(axis=(2, 3)) - mu_a * mu_b
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)
+    )
+    return float(s.mean())
+
+
+def ber(sent_bits: np.ndarray, received_bits: np.ndarray) -> float:
+    """Raw bit-error rate between two 0/1 arrays (pre-ECC channel quality)."""
+    s = np.asarray(sent_bits).ravel()
+    r = np.asarray(received_bits).ravel()
+    n = min(len(s), len(r))
+    if n == 0:
+        return 0.0
+    return float(np.mean(s[:n] != r[:n]))
+
+
+def ecc_report(sent_frame: np.ndarray, received_frame: np.ndarray,
+               header_stream_bits: int) -> dict:
+    """BER before/after ECC for one embedded frame.
+
+    sent/received: full on-wire bit frames (Rep-3 header stream followed by
+    Rep-7 payload stream, reference steganosaur.cpp:986-995).
+    """
+    from steganosaurus_tpu.ops import ecc
+
+    s = np.asarray(sent_frame).ravel()
+    r = np.asarray(received_frame).ravel()
+    hdr_raw = ber(s[:header_stream_bits], r[:header_stream_bits])
+    pay_raw = ber(s[header_stream_bits:], r[header_stream_bits:])
+    hdr_post = ber(np.asarray(ecc.rep3_decode(s[:header_stream_bits])),
+                   np.asarray(ecc.rep3_decode(r[:header_stream_bits])))
+    pay_post = ber(np.asarray(ecc.rep7_decode(s[header_stream_bits:])),
+                   np.asarray(ecc.rep7_decode(r[header_stream_bits:])))
+    return {
+        "header_ber_raw": hdr_raw,
+        "header_ber_post_ecc": hdr_post,
+        "payload_ber_raw": pay_raw,
+        "payload_ber_post_ecc": pay_post,
+    }

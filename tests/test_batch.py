@@ -50,6 +50,41 @@ def test_batch_1080p_multikb_payload():
     assert psnr > 30.0, psnr  # imperceptibility sanity at 4KB payloads
 
 
+def test_batch_embed_verify_mode(covers, monkeypatch):
+    """verify=True read-back-verifies and re-salts failures until recovery."""
+    p = Params(**FAST)
+    secrets = [b"v0", b"v1", b"v2"]
+    res = embed_batch(covers[:3], secrets, password="pw", params=p, verify=True)
+    assert res.verified == [True, True, True]
+    assert len(res.salts) == 3 and all(len(s) == 16 for s in res.salts)
+    assert extract_batch(res.stego, password="pw", params=p) == secrets
+
+    # Force one failure on the first read-back: the retry must re-embed that
+    # image with a fresh salt and converge.
+    import steganosaurus_tpu.pipeline.batch as pb
+
+    real_extract = pb.extract_batch
+    calls = {"n": 0}
+
+    def flaky_extract(*a, **kw):
+        out = real_extract(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            out = list(out)
+            out[1] = None
+        return out
+
+    monkeypatch.setattr(pb, "extract_batch", flaky_extract)
+    fixed_salts = [bytes([i]) * 16 for i in range(3)]
+    res2 = pb.embed_batch(covers[:3], secrets, password="pw", params=p,
+                          salts=fixed_salts, verify=True)
+    monkeypatch.undo()
+    assert res2.verified == [True, True, True]
+    assert res2.salts[0] == fixed_salts[0] and res2.salts[2] == fixed_salts[2]
+    assert res2.salts[1] != fixed_salts[1]  # re-salted on retry
+    assert extract_batch(res2.stego, password="pw", params=p) == secrets
+
+
 def test_batch_matches_single_image_pipeline(covers):
     """A batch-embedded stego must decode with the single-image extractor."""
     p = Params(**FAST)
