@@ -202,3 +202,25 @@ def key_fingerprint(key: bytes) -> str:
 def constant_time_compare(a: bytes, b: bytes) -> bool:
     """Timing-safe equality (reference steganosaur.cpp:327-333)."""
     return _hmac.compare_digest(a, b)
+
+
+def secure_zero(buf) -> None:
+    """Best-effort in-place wipe of key material (reference secure_zero,
+    steganosaur.cpp:27-30 / crypto_utils.h:37-40).
+
+    Works on mutable buffers (bytearray, numpy arrays, memoryview). Python's
+    immutable `bytes` cannot be wiped in place — key material that must be
+    wipeable should be held in bytearray; the C++ side wipes its own
+    temporaries natively (native/aead.cc).
+    """
+    import numpy as _np
+
+    if isinstance(buf, bytearray):
+        for i in range(len(buf)):
+            buf[i] = 0
+    elif isinstance(buf, memoryview):
+        buf[:] = b"\x00" * len(buf)
+    elif isinstance(buf, _np.ndarray):
+        buf.fill(0)
+    else:
+        raise TypeError(f"cannot wipe immutable/unknown buffer {type(buf)}")

@@ -95,7 +95,11 @@ def unwrap_key_tool(blob: bytes, wrap_pass: str) -> bytes | None:
 def decode_or_unwrap_key(key_b64: str, wrap_pass: str, pbkdf2_iter: int) -> bytes | None:
     """Decode a `--key` value (reference decode_or_unwrap_key, :599-662).
 
-    80B TFKW blob -> unwrap (requires wrap_pass); 32B -> raw key; else None.
+    80B main TFKW blob -> unwrap (requires wrap_pass); 32B -> raw key.
+    ALSO accepts the key tool's 81B versioned TFKW-v1 format — the reference
+    has an interop bug where `turtlefft --key` rejects keys wrapped by its
+    own `turtlefft-key` tool (SURVEY.md §3.4); reading both fixes it without
+    changing what either writer emits.
     """
     decoded = crypto.base64_decode(key_b64)
     if not decoded and key_b64:
@@ -104,6 +108,11 @@ def decode_or_unwrap_key(key_b64: str, wrap_pass: str, pbkdf2_iter: int) -> byte
         if not wrap_pass:
             return None
         return unwrap_key_main(decoded, wrap_pass, pbkdf2_iter)
+    if (len(decoded) == TOOL_WRAPPED_LEN and decoded[:4] == MAGIC
+            and decoded[4] == TOOL_VERSION):
+        if not wrap_pass:
+            return None
+        return unwrap_key_tool(decoded, wrap_pass)
     if len(decoded) == 32:
         return decoded
     return None

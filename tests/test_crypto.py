@@ -126,3 +126,19 @@ def test_decode_or_unwrap_key():
 def test_fingerprint_and_base64():
     assert crypto.key_fingerprint(b"\x00" * 32) == crypto.sha256(b"\x00" * 32)[:8].hex()
     assert crypto.base64_decode(" QU JD \n ") == b"ABC"  # whitespace skipping
+
+
+def test_decode_or_unwrap_accepts_tool_format():
+    """Interop-bug fix: `--key` accepts keys wrapped by the key TOOL (81B
+    TFKW v1) as well as the main binary's 80B format (SURVEY.md §3.4 — the
+    reference rejects its own tool's output)."""
+    from steganosaurus_tpu import crypto
+    from steganosaurus_tpu.crypto import keywrap
+
+    key = bytes(range(32))
+    tool_blob = keywrap.wrap_key_tool(key, "pw")
+    assert len(tool_blob) == keywrap.TOOL_WRAPPED_LEN
+    b64 = crypto.base64_encode(tool_blob)
+    assert keywrap.decode_or_unwrap_key(b64, "pw", 1000) == key
+    assert keywrap.decode_or_unwrap_key(b64, "", 1000) is None
+    assert keywrap.decode_or_unwrap_key(b64, "wrong", 1000) is None
