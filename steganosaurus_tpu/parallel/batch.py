@@ -93,7 +93,7 @@ def _read_core(spec, med, plane, y, x, jitters, alpha, *, adaptive):
 @functools.lru_cache(maxsize=32)
 def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
                        mesh: Mesh | None = None, shared_idx: bool = True,
-                       pack: bool = False):
+                       pack: bool = False, bits_packed: bool = False):
     """Jitted batched embed core.
 
     shared_idx=True (one walk for the batch — shared key):
@@ -103,6 +103,9 @@ def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
     pack=True: output is transfer.pack_u8'd f32 words (see transfer module —
     raw u8 device->host is pathologically slow on the tunneled runtime);
     unpack with transfer.unpack_u8(host, (B, H, W, 3)).
+    bits_packed=True: bits arrive as (B, n/32) int32 words from
+    pack_bits_words_host (32x less upload traffic) and are unpacked on
+    device.
     """
     PH, PW = spectral.fft_dims(H, W)
     core = functools.partial(_embed_core, H=H, W=W, PH=PH, PW=PW,
@@ -116,6 +119,9 @@ def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
         inner = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
 
     def fn(imgs, plane, y, x, bits, jitters, alpha):
+        if bits_packed:
+            n = bits.shape[-1] * 32
+            bits = jax.vmap(functools.partial(_unpack_bits_words, n=n))(bits)
         out = inner(imgs, plane, y, x, bits, jitters, alpha)
         return transfer.pack_u8(out) if pack else out
 
@@ -170,6 +176,27 @@ def batched_gather_bits_core(adaptive: bool, mesh: Mesh | None = None,
     n_shard = 2 if shared_idx else 6
     return jax.jit(fn, in_shardings=(shard,) * n_shard + (rep,) * n_rep,
                    out_shardings=shard)
+
+
+def pack_bits_words_host(bits: np.ndarray) -> np.ndarray:
+    """(B, n) 0/1 u8 -> (B, n/32) int32, MSB-first big-endian byte order —
+    host-side twin of _pack_bits_words. The embed path uploads bit frames as
+    words (32x fewer bytes): the tunneled host->device link moves ~80 MB/s,
+    so a raw (16, 934K) u8 frame costs ~190 ms/batch."""
+    B, n = bits.shape
+    assert n % 32 == 0
+    byts = np.packbits(bits, axis=1).reshape(B, n // 32, 4).astype(np.uint32)
+    words = ((byts[:, :, 0] << 24) | (byts[:, :, 1] << 16)
+             | (byts[:, :, 2] << 8) | byts[:, :, 3])
+    return words.view(np.int32)
+
+
+def _unpack_bits_words(words, n: int):
+    """(n/32,) int32 -> (n,) u8 bits, inverse of pack_bits_words_host."""
+    w = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = (w[:, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(n).astype(jnp.uint8)
 
 
 def _pack_bits_words(bits):

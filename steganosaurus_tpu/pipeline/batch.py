@@ -187,15 +187,18 @@ def embed_batch(
     for i, f in enumerate(frames):
         bits[i, : len(f)] = f
         bits[i, len(f):] = f[-1]  # surplus bins: repeat; never read back
+    # bit frames cross the link packed 32x (bucket is a 4096-multiple)
+    bits_w = pbatch.pack_bits_words_host(bits)
 
     fn = pbatch.batched_embed_core(H, W, params.center, params.adaptive_alpha,
-                                   mesh, pack=not device_resident)
+                                   mesh, pack=not device_resident,
+                                   bits_packed=True)
     if mesh is not None and not isinstance(imgs, jnp.ndarray):
         imgs_d = pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
-        bits_d = pbatch.shard_batch(bits, mesh)
+        bits_d = pbatch.shard_batch(bits_w, mesh)
     else:
         imgs_d = imgs if isinstance(imgs, jnp.ndarray) else np.ascontiguousarray(imgs)
-        bits_d = bits
+        bits_d = bits_w
     out = fn(imgs_d, plane, y, x, bits_d, jit, jnp.float32(params.alpha))
 
     verified = None
