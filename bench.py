@@ -169,10 +169,15 @@ def bench_ours(h: int, w: int, batch: int, secret_len: int, iters: int,
         step()
     dt = time.perf_counter() - t0
 
-    err = np.asarray(stego_d).astype(np.float64) - covers.astype(np.float64)
+    from steganosaurus_tpu.utils import metrics
+
+    stego = np.asarray(stego_d)
+    err = stego.astype(np.float64) - covers.astype(np.float64)
     mse = float(np.mean(np.square(err)))
     psnr = 10.0 * np.log10(255.0 * 255.0 / mse) if mse > 0 else float("inf")
-    return (batch * iters) / dt, psnr
+    ssim = float(np.mean([metrics.ssim(covers[i], stego[i])
+                          for i in range(min(batch, 4))]))
+    return (batch * iters) / dt, psnr, ssim
 
 
 def main():
@@ -184,10 +189,10 @@ def main():
     master_key = bytes(range(32))
     key_b64 = base64.b64encode(master_key).decode()
 
-    uhd_ips, uhd_psnr = bench_ours(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET,
-                                   UHD_ITERS, master_key)
-    small_ips, small_psnr = bench_ours(SMALL, SMALL, SMALL_BATCH,
-                                       SMALL_SECRET, SMALL_ITERS, master_key)
+    uhd_ips, uhd_psnr, uhd_ssim = bench_ours(UHD_H, UHD_W, UHD_BATCH,
+                                             UHD_SECRET, UHD_ITERS, master_key)
+    small_ips, small_psnr, small_ssim = bench_ours(
+        SMALL, SMALL, SMALL_BATCH, SMALL_SECRET, SMALL_ITERS, master_key)
 
     ref = reference_baselines(build_reference(), key_b64)
     ref_4096_ips = 1.0 / ref["spi_4096"]
@@ -206,9 +211,11 @@ def main():
         "batch": UHD_BATCH,
         "secret_bytes": UHD_SECRET,
         "stego_psnr_db": round(uhd_psnr, 2),
+        "stego_ssim": round(uhd_ssim, 4),
         "secondary_512px_images_per_sec": round(small_ips, 3),
         "secondary_512px_vs_baseline": round(small_ips * ref["spi_512"], 2),
         "secondary_512px_psnr_db": round(small_psnr, 2),
+        "secondary_512px_ssim": round(small_ssim, 4),
         "ref_psnr_512_db": (round(ref["psnr_512"], 2)
                             if ref.get("psnr_512") else None),
         "device": str(jax.devices()[0]).split(":")[0],
