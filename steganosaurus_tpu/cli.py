@@ -28,6 +28,14 @@ USAGE = """Usage:
   Extract: turtlefft extract --in stego.png (--pass PW | --key KEY_BASE64)
             [--pbkdf2_iter 600000 --adaptive_alpha 1 --cover_dependent_path 1]
 
+  Batch  : turtlefft batch-embed   --in-dir D --out-dir D2 --secrets-file F
+            (--pass PW | --key KEY_BASE64) [--verify 1] [flags]
+            F holds one secret per line, paired with the sorted *.png files
+            in --in-dir; same-size covers are embedded as one device batch.
+           turtlefft batch-extract --in-dir D (--pass PW | --key KEY_BASE64)
+            [flags]  — prints "filename<TAB>secret" per image ("<FAILED>"
+            for images that do not authenticate).
+
   Key options:
     --pass PW              : Use passphrase (derives key via PBKDF2+HKDF)
     --key KEY_BASE64       : Use raw 32-byte key (base64 encoded)
@@ -51,6 +59,10 @@ class Args:
         self.key_b64 = ""
         self.key_out = ""
         self.wrap_pass = ""
+        self.in_dir = ""
+        self.out_dir = ""
+        self.secrets_file = ""
+        self.verify = False
         self.params = Params()
 
 
@@ -106,12 +118,26 @@ def parse_args(argv: list[str]) -> Args | None:
             p["cover_dependent_path"] = need() in ("1", "true")
         elif k == "--fft_dtype":  # rebuild-only: complex64|complex128
             p["fft_dtype"] = need()
+        elif k == "--in-dir":  # batch modes (rebuild-only)
+            a.in_dir = need()
+        elif k == "--out-dir":
+            a.out_dir = need()
+        elif k == "--secrets-file":
+            a.secrets_file = need()
+        elif k == "--verify":
+            a.verify = need() in ("1", "true")
         else:
             print(f"Unknown arg: {k}", file=sys.stderr)
             return None
         i += 1
     a.params = Params(**p)
     if a.mode == "gen-key":
+        return a
+    if a.mode in ("batch-embed", "batch-extract"):
+        if not a.in_dir or (not a.password and not a.key_b64):
+            return None
+        if a.mode == "batch-embed" and (not a.out_dir or not a.secrets_file):
+            return None
         return a
     if a.mode not in ("embed", "extract"):
         return None
@@ -157,6 +183,79 @@ def do_extract(a: Args) -> int:
     return 0
 
 
+def _batch_groups(in_dir: str):
+    """Sorted *.png files in in_dir, loaded and grouped by (H, W) — each
+    group runs as one device batch (batched graphs are shape-specialized)."""
+    import pathlib
+
+    import numpy as np
+
+    from steganosaurus_tpu.io import image as image_io
+
+    files = sorted(pathlib.Path(in_dir).glob("*.png"))
+    if not files:
+        raise StegoError(f"No *.png files in {in_dir}")
+    groups: dict[tuple[int, int], list[tuple[int, str, object]]] = {}
+    for i, f in enumerate(files):
+        img = image_io.load_rgb(str(f))
+        groups.setdefault(img.shape[:2], []).append((i, f.name, img))
+    return files, {k: (np.stack([g[2] for g in v]), [g[0] for g in v],
+                       [g[1] for g in v]) for k, v in groups.items()}
+
+
+def do_batch_embed(a: Args) -> int:
+    import pathlib
+
+    from steganosaurus_tpu.io import image as image_io
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+
+    password, mk = _resolve_key(a)
+    secrets = [line.encode() for line in
+               pathlib.Path(a.secrets_file).read_text().splitlines()]
+    files, groups = _batch_groups(a.in_dir)
+    if len(secrets) != len(files):
+        raise StegoError(
+            f"{len(files)} images in {a.in_dir} but {len(secrets)} secrets "
+            f"in {a.secrets_file}"
+        )
+    out_dir = pathlib.Path(a.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n_ok = 0
+    for (H, W), (covers, idxs, names) in groups.items():
+        res = embed_batch(covers, [secrets[i] for i in idxs],
+                          password=password, master_key=mk, params=a.params,
+                          verify=a.verify)
+        for j, name in enumerate(names):
+            if a.verify and not res.verified[j]:
+                print(f"FAILED verify: {name}", file=sys.stderr)
+                continue
+            image_io.save_png(str(out_dir / name), res.stego[j])
+            n_ok += 1
+    print(f"Embedded {n_ok}/{len(files)} images into {a.out_dir}")
+    return 0 if n_ok == len(files) else 1
+
+
+def do_batch_extract(a: Args) -> int:
+    from steganosaurus_tpu.pipeline.batch import extract_batch
+
+    password, mk = _resolve_key(a)
+    _, groups = _batch_groups(a.in_dir)
+    results: list[tuple[int, str, bytes | None]] = []
+    for (H, W), (stegos, idxs, names) in groups.items():
+        got = extract_batch(stegos, password=password, master_key=mk,
+                            params=a.params)
+        results += list(zip(idxs, names, got))
+    failed = 0
+    for _, name, secret in sorted(results):
+        if secret is None:
+            failed += 1
+            print(f"{name}\t<FAILED>")
+        else:
+            sys.stdout.write(name + "\t")
+            sys.stdout.buffer.write(secret + b"\n")
+    return 0 if failed == 0 else 1
+
+
 def do_gen_key(a: Args) -> int:
     """Mirror of reference do_gen_key (steganosaur.cpp:1315-1416)."""
     master_key = crypto.get_random_bytes(32)
@@ -191,6 +290,10 @@ def main(argv: list[str] | None = None) -> int:
             return do_gen_key(a)
         if a.mode == "embed":
             return do_embed(a)
+        if a.mode == "batch-embed":
+            return do_batch_embed(a)
+        if a.mode == "batch-extract":
+            return do_batch_extract(a)
         return do_extract(a)
     except StegoError as e:
         print(str(e), file=sys.stderr)

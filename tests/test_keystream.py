@@ -116,3 +116,31 @@ def test_step_budget_raises():
         with pytest.raises(RuntimeError):
             lib.turtle_expand(kw, (kr, kg, kb), 64, 64, 0.05, 0.45, 0.7, 0.0,
                               50_000, 200_000)
+
+
+def test_expansion_cache_prefix_property():
+    """The cache serves shorter requests as prefix views and re-expands for
+    longer ones; every answer must equal a fresh uncached expansion."""
+    import steganosaurus_tpu.keystream as ks
+
+    kw, kr, kg, kb = crypto.derive_turtle_keys(crypto.sha256(b"cache-test"))
+    args = (kw, (kr, kg, kb), 128, 128, 0.05, 0.45, 0.7, 0.0)
+    ks._CACHE.clear()
+    a100 = ks.turtle_expand(*args, 100)            # miss: expands 100
+    a40 = ks.turtle_expand(*args, 40)              # hit: prefix view
+    a400 = ks.turtle_expand(*args, 400)            # miss: re-expands >= 400
+    a100_again = ks.turtle_expand(*args, 100)      # hit on the longer entry
+    fresh = _pure.turtle_expand(*args, 400, max_steps=10**9)
+    for got, n in ((a40, 40), (a100, 100), (a400, 400), (a100_again, 100)):
+        for g, f in zip(got, fresh):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(f)[:n])
+    # allow_short on a cached entry reports full production
+    p, y, x, j, nprod = ks.turtle_expand(*args, 200, allow_short=True)
+    assert nprod == 200
+    # exhaustion via cache: tiny grid cannot host 50k bits
+    kw2, kr2, kg2, kb2 = crypto.derive_turtle_keys(crypto.sha256(b"tiny2"))
+    args2 = (kw2, (kr2, kg2, kb2), 32, 32, 0.05, 0.45, 0.7, 0.0)
+    p, y, x, j, nprod = ks.turtle_expand(*args2, 50_000, allow_short=True)
+    assert nprod < 50_000
+    with pytest.raises(RuntimeError):
+        ks.turtle_expand(*args2, 50_000)  # same entry, strict mode raises
