@@ -81,6 +81,36 @@ def test_cross_decode_with_params_sweep(reference_bin, host_png, tmp_path):
         assert r.stdout.strip() == f"ours{i}"
 
 
+def test_512px_batch_cross_decode(reference_bin, tmp_path):
+    """The bench headline size: a 512x512 stego produced by the BATCH device
+    pipeline must extract bit-exactly with the reference binary, and a
+    reference-embedded 512x512 stego must decode via extract_batch."""
+    from steganosaurus_tpu.pipeline.batch import embed_batch, extract_batch
+
+    rng = np.random.default_rng(9)
+    base = np.linspace(150, 235, 512)
+    cover = np.clip(base[None, :, None] + rng.integers(-18, 19, (512, 512, 3)),
+                    0, 255).astype(np.uint8)
+    mk = crypto.get_random_bytes(32)
+    key_b64 = crypto.base64_encode(mk)
+
+    res = embed_batch(cover[None], [b"batch 512 parity"], master_key=mk)
+    stego = tmp_path / "b512.png"
+    image_io.save_png(str(stego), res.stego[0])
+    r = _run([reference_bin, "extract", "--in", stego, "--key", key_b64])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "batch 512 parity"
+
+    cp = tmp_path / "c512.png"
+    sp = tmp_path / "r512.png"
+    image_io.save_png(str(cp), cover)
+    r = _run([reference_bin, "embed", "--in", cp, "--out", sp,
+              "--secret", "ref to batch", "--key", key_b64])
+    assert r.returncode == 0, r.stderr
+    got = extract_batch(image_io.load_rgb(str(sp))[None], master_key=mk)
+    assert got == [b"ref to batch"]
+
+
 def test_raw_key_cross_decode(reference_bin, host_png, tmp_path):
     mk = crypto.get_random_bytes(32)
     key_b64 = crypto.base64_encode(mk)
@@ -134,8 +164,22 @@ def test_wrapped_key_interop_main_format(reference_bin, host_png, tmp_path):
                crypto.base64_encode(blob), "--wrap-pass", "wp2",
                "--pbkdf2_iter", ITER])
     assert rr.returncode == 0, rr.stderr
-    assert extract(str(stego), master_key=mk,
-                   params=Params(pbkdf2_iter=int(ITER))) == b"wrapped roundtrip"
+    try:
+        got = extract(str(stego), master_key=mk,
+                      params=Params(pbkdf2_iter=int(ITER)))
+        assert got == b"wrapped roundtrip"
+    except StegoError:
+        # The reference has an inherent ~3%-per-key failure rate on this
+        # cover class (mag_ok intentionally disabled, steganosaur.cpp:797-799
+        # -> the walk can land on near-zero-magnitude bins whose phases lose
+        # to u8 quantization noise beyond the ECC budget). Parity means we
+        # fail exactly when IT fails — verified: the reference cannot extract
+        # its own stego for such keys (both our f32 and f64 backends agree).
+        rx = _run([reference_bin, "extract", "--in", stego, "--key",
+                   crypto.base64_encode(mk), "--pbkdf2_iter", ITER])
+        assert rx.returncode != 0 or "wrapped roundtrip" not in rx.stdout, (
+            "our extract failed but the reference succeeded — real parity bug"
+        )
 
 
 def test_wrapped_key_interop_tool_format(reference_keytool, tmp_path):
