@@ -222,5 +222,17 @@ def main():
     }))
 
 
+def main_with_retry():
+    """The tunneled device occasionally throws transient RESOURCE_EXHAUSTED /
+    stalls (see .claude/skills/verify gotchas); one retry rides it out."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001 - deliberate broad retry
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
+              f"retrying once...", file=sys.stderr)
+        time.sleep(20)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_with_retry())
