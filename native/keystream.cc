@@ -94,9 +94,17 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
   int x = int((s >> 16) % uint64_t(W));
   int plane = int((s >> 32) % 3);
 
-  std::vector<uint8_t> visited(size_t(3) * H * W, 0);
-  auto vis = [&](int p, int yy, int xx) -> uint8_t& {
-    return visited[(size_t(p) * H + yy) * W + xx];
+  // Bitset visited map: 3*H*W bits (3.1 MB at 4K vs 24.9 MB as bytes) —
+  // the walk's random probes are cache-miss bound, and the 8x smaller
+  // footprint keeps the hot annulus region resident in L2/LLC.
+  std::vector<uint64_t> visited((size_t(3) * H * W + 63) / 64, 0);
+  auto vis = [&](int p, int yy, int xx) -> bool {
+    size_t i = (size_t(p) * H + yy) * W + xx;
+    return (visited[i >> 6] >> (i & 63)) & 1;
+  };
+  auto mark = [&](int p, int yy, int xx) {
+    size_t i = (size_t(p) * H + yy) * W + xx;
+    visited[i >> 6] |= uint64_t(1) << (i & 63);
   };
   const double rlo = rmin * (H < W ? H : W);
   const double rhi = rmax * (H < W ? H : W);
@@ -165,19 +173,19 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
       }
       if (ks_walk.hit_density(dens_thresh)) break;
       // density skip: mark used-but-empty (reference :1079-1080)
-      vis(plane, y, x) = 1;
+      mark(plane, y, x);
       int cy = (y == 0) ? 0 : (H - y) % H;
       int cx = (x == 0) ? 0 : (W - x) % W;
-      vis(plane, cy, cx) = 1;
+      mark(plane, cy, cx);
     }
     out_plane[i] = plane;
     out_y[i] = y;
     out_x[i] = x;
     out_jitter[i] = ks_planes[plane].jitter(jitter_max);
-    vis(plane, y, x) = 1;
+    mark(plane, y, x);
     int cy = (y == 0) ? 0 : (H - y) % H;
     int cx = (x == 0) ? 0 : (W - x) % W;
-    vis(plane, cy, cx) = 1;
+    mark(plane, cy, cx);
   }
   return nbits;
 }
