@@ -32,6 +32,10 @@ _CACHE_MAX_ENTRIES = 8
 _CACHE_LOCK = threading.Lock()
 
 
+def _step_budget(target: int, H: int, W: int) -> int:
+    return max(10_000_000, 64 * target * 8 + 4 * H * W)
+
+
 def _expand_raw(walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
                 nbits, max_steps):
     """Uncached expansion, always allow_short (5-tuple)."""
@@ -89,27 +93,37 @@ def turtle_expand(
     key = (walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max)
     with _CACHE_LOCK:
         ent = _CACHE.get(key)
-        exhausted = ent is not None and ent[4] < ent[5]
-        if ent is None or (ent[5] < nbits and not exhausted):
+        if ent is None:
+            grow = True
+            target = nbits
+        else:
             # Grow geometrically so repeated slightly-longer requests do not
-            # re-run the sequential walk from scratch each time.
-            target = max(nbits, 2 * ent[5] if ent is not None else 0)
+            # re-run the sequential walk from scratch each time. A cached
+            # exhaustion (nprod < navail) is only final for budgets the prior
+            # expansion already covered: the step budget scales with the
+            # target, so a larger request must retry with its larger budget
+            # rather than inherit a smaller run's give-up point.
+            target = max(nbits, 2 * ent[5])
+            exhausted = ent[4] < ent[5]
+            grow = ent[5] < nbits and (
+                not exhausted or _step_budget(target, H, W) > ent[6])
+        if grow:
             # The +4*H*W term covers the initial diffusion to the annulus:
             # the +-1 random walk needs ~distance^2 steps to reach it from a
             # random seed, which dominates small-nbits requests on big grids.
-            budget = max(10_000_000, 64 * target * 8 + 4 * H * W)
+            budget = _step_budget(target, H, W)
             p, y, x, j, n = _expand_raw(walk_key, plane_keys, H, W, rmin,
                                         rmax, density, jitter_max, target,
                                         budget)
             for a in (p, y, x, j):
                 a.setflags(write=False)
-            ent = (p, y, x, j, n, target)
+            ent = (p, y, x, j, n, target, budget)
             _CACHE[key] = ent
         _CACHE.move_to_end(key)
         while len(_CACHE) > _CACHE_MAX_ENTRIES:
             _CACHE.popitem(last=False)
 
-    p, y, x, j, nprod, navail = ent
+    p, y, x, j, nprod, navail = ent[:6]
     if nbits <= navail:
         p, y, x, j = p[:nbits], y[:nbits], x[:nbits], j[:nbits]
     else:  # cached walk exhausted below request: extend with last-bin padding

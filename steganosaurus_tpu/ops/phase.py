@@ -69,8 +69,13 @@ def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
     if gain != 1.0:
         nv = v + (nv - v) / jnp.asarray(gain, real_dtype)
     if hermitian_half:
+        # No unique_indices promise: the batch path pads index arrays to the
+        # bucket size by repeating the last walk bin, so duplicates (carrying
+        # identical values) are the norm, and XLA defines duplicate scatter
+        # under unique_indices=True as UB. Measured: the promise buys nothing
+        # on TPU scatter throughput anyway.
         return spectrum.at[plane, y, x].set(
-            2.0 * nv - v, unique_indices=True, mode="promise_in_bounds")
+            2.0 * nv - v, mode="promise_in_bounds")
     cy, cx = conj_indices(y, x, H, W)
     out = spectrum.at[plane, y, x].set(nv)
     out = out.at[plane, cy, cx].set(jnp.conj(nv))

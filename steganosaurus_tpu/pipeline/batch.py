@@ -84,8 +84,12 @@ def _walk_indices_device(password, master_key, params, PH, PW, nbits,
     import jax
 
     path_key = crypto.derive_path_key(password, master_key, None)
+    # Key on the Mesh object itself (hashable), never id(mesh): a GC'd mesh's
+    # id can be reused by a new Mesh, silently serving arrays placed for dead
+    # devices. Holding the mesh in the key also pins its devices alive for
+    # exactly as long as the cached placement is servable.
     key = (path_key, PH, PW, params.rmin, params.rmax, params.density,
-           params.jitter, skip, bucket, nbits, id(mesh))
+           params.jitter, skip, bucket, nbits, mesh)
     ent = _DEV_IDX_CACHE.get(key)
     if ent is None:
         plane, y, x, jit, nprod = _walk_indices(password, master_key, params,
@@ -221,9 +225,13 @@ def embed_batch(
                         if isinstance(imgs_d, jnp.ndarray)
                         else np.ascontiguousarray(imgs_d[failed]))
             new_salts = [crypto.get_random_bytes(16) for _ in failed]
+            # The failed-subset size rarely divides the mesh: re-embed it
+            # unsharded (retries are a small tail; single-device is fine).
+            sub_mesh = (mesh if mesh is not None
+                        and len(failed) % mesh.size == 0 else None)
             sub = embed_batch(sub_imgs, [secrets[i] for i in failed],
                               password=password, master_key=master_key,
-                              params=params, salts=new_salts, mesh=mesh,
+                              params=params, salts=new_salts, mesh=sub_mesh,
                               device_resident=device_resident, verify=False)
             if device_resident:
                 check_src = check_src.at[jnp.asarray(failed)].set(sub.stego)

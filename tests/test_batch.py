@@ -150,6 +150,37 @@ def test_batch_device_resident_roundtrip(covers):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_batch_verify_mesh_retry_nondivisible(covers, monkeypatch):
+    """verify=True over a mesh must survive a failed-image count that does
+    not divide the mesh size (the retry re-embeds the subset unsharded)."""
+    import steganosaurus_tpu.pipeline.batch as pb
+
+    p = Params(**FAST)
+    mesh = pbatch.make_mesh(8)
+    imgs = np.concatenate([covers, covers[:2]], axis=0)  # B=8
+    secrets = [f"vm{i}".encode() for i in range(8)]
+
+    real_extract = pb.extract_batch
+    calls = {"n": 0}
+
+    def flaky_extract(*a, **kw):
+        out = real_extract(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:  # 3 failures: 3 does not divide 8
+            out = list(out)
+            for i in (1, 4, 6):
+                out[i] = None
+        return out
+
+    monkeypatch.setattr(pb, "extract_batch", flaky_extract)
+    res = pb.embed_batch(imgs, secrets, password="pw", params=p, mesh=mesh,
+                         verify=True)
+    monkeypatch.undo()
+    assert res.verified == [True] * 8
+    assert extract_batch(res.stego, password="pw", params=p) == secrets
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_batch_sharded_over_mesh(covers):
     p = Params(**FAST)
     mesh = pbatch.make_mesh(8)

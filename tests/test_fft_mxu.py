@@ -18,7 +18,13 @@ def _ref_spectrum(planes):
     return np.conj(np.fft.fft2(planes.astype(np.float64)))
 
 
-@pytest.mark.parametrize("N", [64, 128, 512, 1024, 2048])
+@pytest.mark.parametrize("N", [64, 128, 512, 1024, 2048,
+                                # non-pow2: the production TPU path for
+                                # native-size 1080p/4K grids (four-step
+                                # split) and the Bluestein chirp-z fallback
+                                # (prime > 512). CPU tests otherwise route
+                                # these to jnp.fft and never exercise them.
+                                96, 541, 1080])
 def test_forward_matches_f64(N):
     rng = np.random.default_rng(N)
     x = rng.uniform(0, 255, (2, N, N)).astype(np.float32)
@@ -30,7 +36,7 @@ def test_forward_matches_f64(N):
     assert np.abs(got - ref).max() / scale < 2e-3
 
 
-@pytest.mark.parametrize("N", [64, 512, 1024])
+@pytest.mark.parametrize("N", [64, 512, 1024, 541, 1080])
 def test_roundtrip_identity(N):
     rng = np.random.default_rng(N + 1)
     x = rng.uniform(0, 255, (1, N, N)).astype(np.float32)

@@ -118,6 +118,28 @@ def test_step_budget_raises():
                               50_000, 200_000)
 
 
+def test_cache_reexpands_after_budget_limited_exhaustion(monkeypatch):
+    """A cached exhaustion from a small step budget must not be treated as
+    final: a later larger request computes a larger budget and must re-walk
+    (near-capacity behavior cannot depend on call history)."""
+    import steganosaurus_tpu.keystream as ks
+
+    kw, kr, kg, kb = crypto.derive_turtle_keys(crypto.sha256(b"re-expand"))
+    args = (kw, (kr, kg, kb), 128, 128, 0.05, 0.45, 0.7, 0.0)
+    ks._CACHE.clear()
+    monkeypatch.setattr(ks, "_step_budget", lambda t, H, W: 2_000)
+    p, y, x, j, n1 = ks.turtle_expand(*args, 900, allow_short=True)
+    assert n1 < 900, "budget of 2000 steps was expected to exhaust early"
+    monkeypatch.undo()
+    # Larger request -> larger real budget -> must re-expand, not pad.
+    p, y, x, j, n2 = ks.turtle_expand(*args, 1000, allow_short=True)
+    assert n2 == 1000
+    fresh = _pure.turtle_expand(*args, 1000, max_steps=10**9)
+    for g, f in zip((p, y, x, j), fresh):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(f))
+    ks._CACHE.clear()
+
+
 def test_expansion_cache_prefix_property():
     """The cache serves shorter requests as prefix views and re-expands for
     longer ones; every answer must equal a fresh uncached expansion."""
