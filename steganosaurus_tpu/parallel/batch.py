@@ -250,6 +250,228 @@ def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
                    out_shardings=shard)
 
 
+# ---------------------------------------------------------------------------
+# Corner fast path (non-adaptive modes): pruned-DFT matmuls + dense phase
+# write/read over the [0,Ky)x[0,Kx) corner that provably contains every walk
+# bin (spectral/corner.py). Replaces the per-bin scatter (the embed graph's
+# dominant op, ~166 ms/batch at 4K) with dense elementwise math driven by
+# static per-walk maps, and replaces the full-grid FFT/IFFT with corner
+# matmuls: stego = planes + real(IFFT2(corner delta)).
+# ---------------------------------------------------------------------------
+
+
+def _rep(mesh):
+    return None if mesh is None else NamedSharding(mesh, P())
+
+
+def _shardB(mesh, ndim: int, axis: int = 0):
+    if mesh is None:
+        return None
+    spec = [None] * ndim
+    spec[axis] = "batch"
+    return NamedSharding(mesh, P(*spec))
+
+
+@functools.lru_cache(maxsize=32)
+def corner_statics_core(Ky: int, Kx: int, bucket: int, has_jitter: bool,
+                        mesh: Mesh | None = None):
+    """Jitted one-time-per-walk builder of the static corner maps.
+
+    (plane, y, x, jitters — the cached device walk arrays, length `bucket`,
+    tail-padded by repeating the last REAL bin and ITS jitter) ->
+      pos (3,Ky,Kx) i32: walk position owning each bin, `bucket` elsewhere
+      [cjd, sjd (3,Ky,Kx) f32: cos/sin of the bin's jitter, when has_jitter]
+
+    Padding duplicates scatter identical values (same bin, same bit slot
+    value, same jitter), so duplicate-write order is irrelevant.
+    """
+
+    def build(plane, y, x, jit):
+        idx = (plane, y, x)
+        pos = jnp.full((3, Ky, Kx), bucket, jnp.int32).at[idx].set(
+            jnp.arange(bucket, dtype=jnp.int32), mode="promise_in_bounds")
+        if not has_jitter:
+            return (pos,)
+        cjd = jnp.ones((3, Ky, Kx), jnp.float32).at[idx].set(
+            jnp.cos(jit), mode="promise_in_bounds")
+        sjd = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
+            jnp.sin(jit), mode="promise_in_bounds")
+        return pos, cjd, sjd
+
+    if mesh is None:
+        return jax.jit(build)
+    rep = _rep(mesh)
+    n_out = 3 if has_jitter else 1
+    return jax.jit(build, in_shardings=(rep,) * 4,
+                   out_shardings=(rep,) * n_out)
+
+
+@functools.lru_cache(maxsize=32)
+def frame_table_core(stream_bytes: int, bucket: int, mesh: Mesh | None = None):
+    """Jitted device ECC encoder for the equal-length bulk path.
+
+    (B, ceil(stream_bytes/4)) i32 big-endian words of header||ct||tag ->
+    (bucket+1, B) u8 frame-bit table: rep3 over the 304 header bits, rep7
+    over the payload bits (reference frame layout, steganosaur.cpp:986-995),
+    tail-padded by repeating each image's last bit, plus a zero sentinel row.
+    Uploading raw stream bytes instead of ECC-expanded bit words shrinks the
+    embed upload ~28x (the tunneled link is the bulk bottleneck).
+    """
+    nwords = -(-stream_bytes // 4)
+    nmax = 304 * 3 + (stream_bytes - 38) * 8 * 7
+
+    def fn(words):
+        bits = jax.vmap(functools.partial(_unpack_bits_words, n=nwords * 32))(
+            words)[:, : stream_bytes * 8]
+        frame = jnp.concatenate(
+            [jnp.repeat(bits[:, :304], 3, axis=1),
+             jnp.repeat(bits[:, 304:], 7, axis=1)], axis=1)
+        if bucket > nmax:
+            frame = jnp.concatenate(
+                [frame, jnp.tile(frame[:, -1:], (1, bucket - nmax))], axis=1)
+        return jnp.concatenate(
+            [frame.T, jnp.zeros((1, frame.shape[0]), jnp.uint8)])
+
+    if mesh is None:
+        return jax.jit(fn)
+    return jax.jit(fn, in_shardings=(_shardB(mesh, 2),),
+                   out_shardings=_shardB(mesh, 2, axis=1))
+
+
+@functools.lru_cache(maxsize=32)
+def bits_table_core(bucket: int, mesh: Mesh | None = None):
+    """Jitted ragged-path table builder: (B, bucket/32) i32 packed frame bits
+    (pack_bits_words_host output) -> (bucket+1, B) u8 table."""
+
+    def fn(words):
+        bits = jax.vmap(functools.partial(_unpack_bits_words, n=bucket))(words)
+        return jnp.concatenate(
+            [bits.T, jnp.zeros((1, bits.shape[0]), jnp.uint8)])
+
+    if mesh is None:
+        return jax.jit(fn)
+    return jax.jit(fn, in_shardings=(_shardB(mesh, 2),),
+                   out_shardings=_shardB(mesh, 2, axis=1))
+
+
+@functools.lru_cache(maxsize=32)
+def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
+                      mesh: Mesh | None = None, has_jitter: bool = False,
+                      pack: bool = False):
+    """Jitted corner embed: (imgs (B,H,W,3) u8, table (bucket+1,B) u8,
+    pos (3,Ky,Kx) i32, [cjd, sjd], alpha () f32) -> (B,H,W,3) u8 stego.
+
+    Full embed data path with zero scatters and no full-grid FFT: corner
+    forward matmuls -> dense bit-sign map via the static pos gather -> dense
+    write_delta -> corner delta-IFFT matmuls -> planes + delta -> quantize.
+    """
+    from steganosaurus_tpu.spectral import corner
+
+    eyr, eyi = corner._dft_tables(H, Ky)
+    exr, exi = corner._dft_tables(W, Kx)
+    prec = corner.precision()
+
+    def fn(imgs, table, pos, cjd, sjd, alpha):
+        planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        pin = spectral.apply_center(planes, center)
+        cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
+        bucket = table.shape[0] - 1
+        bit = table[pos.reshape(-1), :]                  # (3*Ky*Kx, B)
+        sign = jnp.transpose(
+            bit.reshape(3, Ky, Kx, -1), (3, 0, 1, 2)
+        ).astype(jnp.float32) * 2.0 - 1.0                # (B,3,Ky,Kx)
+        mask = (pos < bucket).astype(jnp.float32)
+        dr, di = corner.write_delta(cr, ci, sign, mask, jnp.cos(alpha),
+                                    jnp.sin(alpha), cjd, sjd)
+        t = corner.ifft_corner_real(dr, di, H, W, eyr, eyi, exr, exi, prec)
+        t = spectral.apply_center(t, center)
+        out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
+        out = jnp.transpose(out.astype(jnp.uint8), (0, 2, 3, 1))
+        return transfer.pack_u8(out) if pack else out
+
+    if not has_jitter:
+        base = fn
+        fn = lambda imgs, table, pos, alpha: base(imgs, table, pos, None,  # noqa: E731
+                                                  None, alpha)
+    if mesh is None:
+        return jax.jit(fn)
+    rep = _rep(mesh)
+    in_sh = (_shardB(mesh, 4), _shardB(mesh, 2, axis=1), rep)
+    in_sh += (rep, rep, rep) if has_jitter else (rep,)
+    # P("batch") with no trailing dims is rank-agnostic (pack=True -> rank 2)
+    return jax.jit(fn, in_shardings=in_sh,
+                   out_shardings=NamedSharding(mesh, P("batch")))
+
+
+@functools.lru_cache(maxsize=32)
+def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
+                     mesh: Mesh | None = None, has_jitter: bool = False):
+    """Jitted corner analyze+read: (imgs (B,H,W,3) u8, [cjd, sjd], alpha) ->
+    (B,3,Ky,Kx) u8 dense decoded bits (device-resident between the header and
+    payload gather passes — replaces the full c64 spectrum, 8x smaller)."""
+    from steganosaurus_tpu.spectral import corner
+
+    eyr, eyi = corner._dft_tables(H, Ky)
+    exr, exi = corner._dft_tables(W, Kx)
+    prec = corner.precision()
+
+    def fn(imgs, cjd, sjd, alpha):
+        planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        pin = spectral.apply_center(planes, center)
+        cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
+        return corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
+                                      cjd, sjd)
+
+    if not has_jitter:
+        base = fn
+        fn = lambda imgs, alpha: base(imgs, None, None, alpha)  # noqa: E731
+    if mesh is None:
+        return jax.jit(fn)
+    rep = _rep(mesh)
+    in_sh = (_shardB(mesh, 4),)
+    in_sh += (rep, rep, rep) if has_jitter else (rep,)
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 4))
+
+
+@functools.lru_cache(maxsize=32)
+def corner_gather_decode_core(mesh: Mesh | None = None,
+                              hdr_stream_bits: int = 0):
+    """Jitted: (bit_dense (B,3,Ky,Kx) u8, plane/y/x (n,)) -> packed decoded
+    words, same output contract as batched_gather_decode_core (rep3 header
+    section + rep7 payload, bit->word packing)."""
+
+    def core(bd, plane, y, x):
+        raw = bd[plane, y, x]
+        outs = []
+        if hdr_stream_bits:
+            outs.append(_pack_bits_words(
+                ecc.rep_decode(raw[:hdr_stream_bits], 3)))
+        outs.append(_pack_bits_words(
+            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+        return jnp.concatenate(outs)
+
+    fn = jax.vmap(core, in_axes=(0, None, None, None))
+    if mesh is None:
+        return jax.jit(fn)
+    rep = _rep(mesh)
+    return jax.jit(fn, in_shardings=(_shardB(mesh, 4), rep, rep, rep),
+                   out_shardings=_shardB(mesh, 2))
+
+
+def pack_bytes_words_host(rows: list[bytes]) -> np.ndarray:
+    """(B,) equal-length byte strings -> (B, ceil(len/4)) int32 big-endian
+    words (the layout _unpack_bits_words inverts MSB-first)."""
+    n = len(rows[0])
+    npad = -(-n // 4) * 4
+    arr = np.zeros((len(rows), npad), np.uint8)
+    for i, r in enumerate(rows):
+        arr[i, :n] = np.frombuffer(r, np.uint8)
+    a32 = arr.reshape(len(rows), -1, 4).astype(np.uint32)
+    words = (a32[:, :, 0] << 24) | (a32[:, :, 1] << 16) \
+        | (a32[:, :, 2] << 8) | a32[:, :, 3]
+    return words.view(np.int32)
+
+
 # Back-compat convenience: full extract in one graph (FFT included), used by
 # __graft_entry__ and places that do a single read pass.
 @functools.lru_cache(maxsize=32)

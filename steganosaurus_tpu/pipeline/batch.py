@@ -116,6 +116,36 @@ def _walk_indices_device(password, master_key, params, PH, PW, nbits,
     return ent
 
 
+# Corner-path static maps (pos / jitter trig), one scatter per walk, then
+# reused by every batch under the same key. Same key discipline as
+# _DEV_IDX_CACHE (Mesh object, never id()).
+_CORNER_STATICS_CACHE: "OrderedDict[tuple, tuple]" = __import__(
+    "collections").OrderedDict()
+
+
+def _corner_statics_device(password, master_key, params, PH, PW, nbits,
+                           bucket, Ky, Kx, mesh):
+    """((pos, [cjd, sjd]) device maps, nprod) for the walk's first `bucket`
+    slots (see parallel.batch.corner_statics_core)."""
+    path_key = crypto.derive_path_key(password, master_key, None)
+    has_jitter = params.jitter != 0.0
+    # nbits is part of the key: the walk arrays' tail padding in
+    # [nbits, bucket) depends on it (repeats bin nbits-1).
+    key = (path_key, PH, PW, params.rmin, params.rmax, params.density,
+           params.jitter, nbits, bucket, Ky, Kx, mesh)
+    ent = _CORNER_STATICS_CACHE.get(key)
+    if ent is None:
+        (plane, y, x, jit), nprod = _walk_indices_device(
+            password, master_key, params, PH, PW, nbits, 0, bucket, mesh)
+        build = pbatch.corner_statics_core(Ky, Kx, bucket, has_jitter, mesh)
+        ent = (build(plane, y, x, jit), nprod)
+        _CORNER_STATICS_CACHE[key] = ent
+    _CORNER_STATICS_CACHE.move_to_end(key)
+    while len(_CORNER_STATICS_CACHE) > _DEV_IDX_MAX:
+        _CORNER_STATICS_CACHE.popitem(last=False)
+    return ent
+
+
 def embed_batch(
     imgs: np.ndarray,
     secrets: list[bytes],
@@ -159,8 +189,9 @@ def embed_batch(
     if salts is None:
         salts = [crypto.get_random_bytes(16) for _ in range(B)]
 
-    # Host crypto per image -> ECC bit frames
-    frames = []
+    # Host crypto per image -> header||ct||tag streams (ECC expansion happens
+    # on device on the corner path; host-side only on the legacy path)
+    streams = []
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
@@ -168,16 +199,16 @@ def embed_batch(
             km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
         hdr_bytes = Header(salt=km.salt, nonce=km.nonce, clen=len(secret)).to_bytes()
         ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
-        h = ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))
-        p = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
-        frames.append(np.concatenate([np.asarray(h), np.asarray(p)]))
+        streams.append(hdr_bytes + ct + tag)
 
-    nmax = max(len(f) for f in frames)
+    frame_lens = [_HEADER_STREAM_BITS + (len(s) - header_mod.FIXED_LEN) * 8 * 7
+                  for s in streams]
+    nmax = max(frame_lens)
     # One walk serves the whole batch (salt-independent path key). Indices
     # are bucketed to a multiple of 4096 and live on device (see
     # _walk_indices_device) — nearby payload sizes reuse one compiled graph
     # and one index upload. Surplus bins repeat the last (bin, bit) pair:
-    # duplicate scatters of an identical value are benign and never read.
+    # duplicate writes of an identical value are benign and never read back.
     bucket = -(-nmax // 4096) * 4096
     (plane, y, x, jit), nprod = _walk_indices_device(
         password, master_key, params, PH, PW, nmax, 0, bucket, mesh)
@@ -187,23 +218,59 @@ def embed_batch(
             f"exhausted after {nprod}."
         )
 
-    bits = np.zeros((B, bucket), np.uint8)
-    for i, f in enumerate(frames):
-        bits[i, : len(f)] = f
-        bits[i, len(f):] = f[-1]  # surplus bins: repeat; never read back
-    # bit frames cross the link packed 32x (bucket is a 4096-multiple)
-    bits_w = pbatch.pack_bits_words_host(bits)
+    def _host_frames():
+        """ECC-expanded bit frames, padded to `bucket` with each image's
+        last bit (reference frame layout, steganosaur.cpp:986-995)."""
+        bits = np.zeros((B, bucket), np.uint8)
+        for i, s in enumerate(streams):
+            h = ecc.rep3_encode(
+                bit_ops.bits_from_bytes(s[: header_mod.FIXED_LEN]))
+            p = ecc.rep7_encode(
+                bit_ops.bits_from_bytes(s[header_mod.FIXED_LEN:]))
+            f = np.concatenate([np.asarray(h), np.asarray(p)])
+            bits[i, : len(f)] = f
+            bits[i, len(f):] = f[-1]
+        return bits
 
-    fn = pbatch.batched_embed_core(H, W, params.center, params.adaptive_alpha,
-                                   mesh, pack=not device_resident,
-                                   bits_packed=True)
     if mesh is not None and not isinstance(imgs, jnp.ndarray):
         imgs_d = pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
-        bits_d = pbatch.shard_batch(bits_w, mesh)
     else:
         imgs_d = imgs if isinstance(imgs, jnp.ndarray) else np.ascontiguousarray(imgs)
-        bits_d = bits_w
-    out = fn(imgs_d, plane, y, x, bits_d, jit, jnp.float32(params.alpha))
+    alpha = jnp.float32(params.alpha)
+
+    if not params.adaptive_alpha:
+        # Corner fast path: pruned-DFT matmuls + dense phase write, no
+        # scatter, no full-grid FFT (spectral/corner.py). Adaptive alpha
+        # needs the full-spectrum median and stays on the legacy path.
+        from steganosaurus_tpu.spectral import corner as corner_mod
+
+        Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
+        has_jitter = params.jitter != 0.0
+        maps, _ = _corner_statics_device(password, master_key, params, PH,
+                                         PW, nmax, bucket, Ky, Kx, mesh)
+        if len(set(frame_lens)) == 1:
+            # equal-length bulk path: upload raw streams (~28x smaller than
+            # ECC bit words), rep3/rep7-expand on device
+            words = pbatch.pack_bytes_words_host(streams)
+            tbl_fn = pbatch.frame_table_core(len(streams[0]), bucket, mesh)
+        else:
+            words = pbatch.pack_bits_words_host(_host_frames())
+            tbl_fn = pbatch.bits_table_core(bucket, mesh)
+        words_d = (pbatch.shard_batch(words, mesh) if mesh is not None
+                   else words)
+        table = tbl_fn(words_d)
+        fn = pbatch.corner_embed_core(H, W, Ky, Kx, params.center, mesh,
+                                      has_jitter, pack=not device_resident)
+        out = fn(imgs_d, table, *maps, alpha)
+    else:
+        bits_w = pbatch.pack_bits_words_host(_host_frames())
+        bits_d = (pbatch.shard_batch(bits_w, mesh) if mesh is not None
+                  and not isinstance(imgs, jnp.ndarray) else bits_w)
+        fn = pbatch.batched_embed_core(H, W, params.center,
+                                       params.adaptive_alpha, mesh,
+                                       pack=not device_resident,
+                                       bits_packed=True)
+        out = fn(imgs_d, plane, y, x, bits_d, jit, alpha)
 
     verified = None
     if verify:
@@ -252,7 +319,7 @@ def embed_batch(
         stego = transfer.unpack_u8(np.asarray(out), (B, H, W, 3))
     return BatchEmbedResult(
         stego=stego,
-        written_bits=[len(f) for f in frames],
+        written_bits=frame_lens,
         payload_bytes=[len(s) for s in secrets],
         salts=list(salts),
         verified=verified,
@@ -287,17 +354,44 @@ def extract_batch(
     B, H, W = imgs.shape[:3]
     PH, PW = spectral.fft_dims(H, W)
 
-    analyze = pbatch.batched_analyze_core(H, W, params.center, mesh,
-                                          adaptive=params.adaptive_alpha)
     if isinstance(imgs, jnp.ndarray):
         imgs_d = imgs  # already device-resident (e.g. embed's output)
     elif mesh is not None:
         imgs_d = pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
     else:
         imgs_d = np.ascontiguousarray(imgs)
-    spec, med = analyze(imgs_d)  # device-resident; one FFT per image total
 
     alpha = jnp.float32(params.alpha)
+    use_corner = not params.adaptive_alpha
+    if use_corner:
+        from steganosaurus_tpu.spectral import corner as corner_mod
+
+        Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
+        has_jitter = params.jitter != 0.0
+        bits_fn = pbatch.corner_bits_core(H, W, Ky, Kx, params.center, mesh,
+                                          has_jitter)
+        _bd_cache: dict[int, object] = {}
+
+        def bit_dense_for(total_bucket: int):
+            """Dense decoded-bit corner. jitter==0: independent of read
+            length (one FFT per batch). jitter!=0: the static jd maps must
+            cover every read slot, so a longer second pass re-analyzes."""
+            key = 0 if not has_jitter else total_bucket
+            bd = _bd_cache.get(key)
+            if bd is None:
+                if has_jitter:
+                    maps, _ = _corner_statics_device(
+                        password, master_key, params, PH, PW, total_bucket,
+                        total_bucket, Ky, Kx, mesh)
+                    bd = bits_fn(imgs_d, maps[1], maps[2], alpha)
+                else:
+                    bd = bits_fn(imgs_d, alpha)
+                _bd_cache[key] = bd
+            return bd
+    else:
+        analyze = pbatch.batched_analyze_core(H, W, params.center, mesh,
+                                              adaptive=params.adaptive_alpha)
+        spec, med = analyze(imgs_d)  # device-resident; one FFT total
 
     # Walk capacity upper bound: each accepted bit marks a bin + its
     # conjugate, so no image can carry more than this many bits. Bounds both
@@ -316,12 +410,17 @@ def extract_batch(
         hdr_bits = _HEADER_STREAM_BITS if with_header else 0
         skip = 0 if with_header else _HEADER_STREAM_BITS
         nbits = _HEADER_STREAM_BITS + S
-        core = pbatch.batched_gather_decode_core(params.adaptive_alpha, mesh,
-                                                 hdr_stream_bits=hdr_bits)
         (pl, yy, xx, jj), _ = _walk_indices_device(
             password, master_key, params, PH, PW, nbits, skip,
             hdr_bits + S, mesh)
-        words = np.asarray(core(spec, med, pl, yy, xx, jj, alpha))
+        if use_corner:
+            core = pbatch.corner_gather_decode_core(mesh,
+                                                    hdr_stream_bits=hdr_bits)
+            words = np.asarray(core(bit_dense_for(nbits), pl, yy, xx))
+        else:
+            core = pbatch.batched_gather_decode_core(
+                params.adaptive_alpha, mesh, hdr_stream_bits=hdr_bits)
+            words = np.asarray(core(spec, med, pl, yy, xx, jj, alpha))
         return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
 
     def parse_headers(bufs) -> list[Header | None]:
