@@ -1,44 +1,110 @@
 #!/bin/bash
-# KDF timing security properties — the reference's test_kdf_timing.sh adapted:
-# (a) default-iteration KDF must exceed 100ms; (b) wrong-password extraction
-# must fail fast (magic check precedes the KDF).
+# KDF timing security properties (reference test_kdf_timing.sh, ported with
+# its assertions intact):
+#   1. KDF(600k) must exceed the 100ms brute-force floor.
+#   2. Iteration sweep 50k/200k/600k/1M must scale monotonically (the cost
+#      knob actually works) and locate the ~100ms iteration floor.
+#   3. Wrong-password extraction must fail in <1s on a WARM process: the
+#      header magic check precedes any PBKDF2 (steganosaur.cpp:1237-1238;
+#      doc/HARDENING.md:425-428 measures ~0.13s). Timed in-process so JIT
+#      compilation and interpreter startup cannot mask a regression that
+#      runs the KDF before the magic check.
 set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-TFFT="$REPO/bin/turtlefft"
 WORK="${1:-$REPO/.cache/kdf_timing}"
 mkdir -p "$WORK"
-cd "$WORK"
 
-[ -f host.png ] || python3 "$REPO/tools/gen_png.py" host.png
+# The properties under test are control-flow, not device speed: run on CPU
+# so the suite is hermetic (no TPU contention / tunnel variance). Override
+# with STEGANOSAURUS_KDF_PLATFORM=... if desired.
+export JAX_PLATFORMS="${STEGANOSAURUS_KDF_PLATFORM:-cpu}"
 
-now_ms() { python3 -c 'import time; print(int(time.time()*1000))'; }
+python3 - "$REPO" "$WORK" <<'PY'
+import sys, time
 
-echo "Test: KDF at 600k iterations must take > 100ms"
-t0=$(now_ms)
-python3 -c "
-import sys; sys.path.insert(0, '$REPO')
+repo, work = sys.argv[1], sys.argv[2]
+sys.path.insert(0, repo)
+
+import numpy as np
 from steganosaurus_tpu import crypto
-crypto.derive_keys('timing-test', b'\x00'*16, 600000)
-"
-t1=$(now_ms)
-dt=$((t1 - t0))
-echo "KDF(600k) took ${dt}ms"
-[ "$dt" -gt 100 ] || { echo "FAIL: KDF too fast (${dt}ms)"; exit 1; }
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.pipeline.embed import embed_array
+from steganosaurus_tpu.pipeline.extract import extract_array
+from steganosaurus_tpu.pipeline.errors import StegoError
 
-echo "Test: wrong-password extraction fails fast (< embed KDF time)"
-"$TFFT" embed --in host.png --out stego.png --secret "s" --pass "right" --pbkdf2_iter 600000 >/dev/null
-# Untimed warm-up so first-use XLA compilation does not pollute the timing
-# (the reference binary has no JIT; the property under test is purely that
-# no PBKDF2 runs before the header magic check).
-"$TFFT" extract --in stego.png --pass "warmup-wrong" 2>/dev/null || true
-t0=$(now_ms)
-"$TFFT" extract --in stego.png --pass "wrong" 2>/dev/null || true
-t1=$(now_ms)
-dt=$((t1 - t0))
-echo "Wrong-password fail took ${dt}ms"
-# The reference bar is <1s on a warm binary; we allow interpreter + device
-# startup on top. The 600k KDF takes ~5s pre-SHA-NI / ~1s with it, so the
-# bound proves the KDF was skipped.
-[ "$dt" -lt 30000 ] || { echo "FAIL: wrong-password path ran the KDF?"; exit 1; }
+salt = b"\x00" * 16
 
-echo "All KDF timing tests passed"
+
+def kdf_ms(iters: int) -> float:
+    t0 = time.perf_counter()
+    crypto.derive_keys("timing-test", salt, iters)
+    return (time.perf_counter() - t0) * 1000.0
+
+
+# --- Test 1+2: iteration sweep (reference tests 1-3) ---
+print("KDF iteration sweep (reference test_kdf_timing.sh:18-89):")
+kdf_ms(10_000)  # warm the native lib / cache lines before timing
+sweep = {}
+for iters in (50_000, 200_000, 600_000, 1_000_000):
+    sweep[iters] = kdf_ms(iters)
+    print(f"  PBKDF2({iters:>9,}) = {sweep[iters]:8.1f} ms")
+
+assert sweep[600_000] > 100.0, (
+    f"FAIL: KDF(600k) below the 100ms floor ({sweep[600_000]:.1f} ms)")
+print(f"PASS: KDF(600k) exceeds 100ms ({sweep[600_000]:.0f} ms, "
+      f"{sweep[600_000] / 100.0:.0f}x margin)")
+
+pairs = list(sweep.items())
+for (i1, t1), (i2, t2) in zip(pairs, pairs[1:]):
+    # Linear scaling with generous tolerance for scheduler noise: each 4x /
+    # 3x / 1.67x iteration step must cost at least 1.5x more time.
+    assert t2 > t1 * 1.5, (
+        f"FAIL: KDF not scaling with iterations ({i1}:{t1:.0f}ms vs "
+        f"{i2}:{t2:.0f}ms)")
+print("PASS: KDF cost scales monotonically with iterations")
+
+# ~100ms iteration floor (reference test 3): extrapolate from the measured
+# 600k point; the reference found ~10k on its hardware.
+floor_iters = int(600_000 * 100.0 / sweep[600_000])
+print(f"INFO: ~100ms iteration floor on this host: ~{floor_iters:,} "
+      f"(default 600k = {600_000 / max(floor_iters, 1):.0f}x above)")
+
+# --- Test 3: wrong-password fail-fast on a warm process ---
+print("Wrong-password fail-fast (reference test 4, <1s bar):")
+rng = np.random.default_rng(3)
+cover = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+p = Params()  # default 600k iterations
+stego = embed_array(cover, b"kdf timing secret", password="right",
+                    params=p).stego
+
+def wrong_pass_ms() -> float:
+    t0 = time.perf_counter()
+    try:
+        extract_array(stego, password="wrong", params=p)
+        raise AssertionError("FAIL: wrong password extracted successfully?!")
+    except StegoError as e:
+        assert "Magic not found" in str(e), f"FAIL: unexpected error: {e}"
+    return (time.perf_counter() - t0) * 1000.0
+
+wrong_pass_ms()  # warm-up: XLA compile of the read graph, walk-cache fill
+# Different wrong password so the keystream/walk caches can't serve the
+# timed run's walk for free... they can for dims, but the path key differs.
+t0 = time.perf_counter()
+try:
+    extract_array(stego, password="also-wrong", params=p)
+    raise AssertionError("FAIL: wrong password extracted successfully?!")
+except StegoError as e:
+    assert "Magic not found" in str(e), f"FAIL: unexpected error: {e}"
+dt = (time.perf_counter() - t0) * 1000.0
+print(f"  warm wrong-password failure: {dt:.0f} ms "
+      f"(KDF(600k) here: {sweep[600_000]:.0f} ms)")
+assert dt < 1000.0, (
+    f"FAIL: wrong-password path took {dt:.0f} ms (>1s) — did the KDF run "
+    f"before the magic check?")
+assert dt < sweep[600_000], (
+    f"FAIL: wrong-password failure ({dt:.0f} ms) is slower than one "
+    f"KDF(600k) ({sweep[600_000]:.0f} ms) — the magic check must precede "
+    f"the KDF")
+print("PASS: wrong password fails before any PBKDF2 runs")
+print("All KDF timing tests passed")
+PY
