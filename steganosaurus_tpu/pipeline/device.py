@@ -52,8 +52,27 @@ def _jit_analyze(H, W, PH, PW, center, rmin, rmax, magmin):
     return analyze
 
 
+# Single-image graphs are compiled per index-array LENGTH. Bucketing the
+# length to a 4096 multiple (same discipline as pipeline/batch.py) makes
+# nearby secret sizes share one compiled graph: the CLI path stops paying a
+# fresh XLA compile (20-40 s cold on TPU) for every new payload length.
+_BUCKET = 4096
+
+
+def _bucket_pad(arrs, n):
+    """Tail-pad each (n,) array to the 4096 bucket by repeating its last
+    element. Padded walk slots re-write/re-read the last real bin with its
+    real bit/jitter — duplicate writes of identical values, never read back
+    (callers slice read results to n)."""
+    b = -(-n // _BUCKET) * _BUCKET
+    if b == n:
+        return arrs
+    return [np.concatenate([a, np.repeat(a[-1:], b - n, axis=0)])
+            for a in (np.asarray(a) for a in arrs)]
+
+
 @functools.lru_cache(maxsize=32)
-def _jit_embed_apply(H, W, center, adaptive, nbits):
+def _jit_embed_apply(H, W, center, adaptive):
     PH, PW = spectral.fft_dims(H, W)
     gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
 
@@ -72,7 +91,7 @@ def _jit_embed_apply(H, W, center, adaptive, nbits):
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_read_bits(adaptive, nbits):
+def _jit_read_bits(adaptive):
     @jax.jit
     def read_fn(spec, med, plane, y, x, jitters, alpha):
         return phase_ops.read_phases(
@@ -97,8 +116,9 @@ class JaxBackend:
         return spec, med, int(cap), np.asarray(feat).astype(np.uint8)
 
     def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
-        plane, y, x = idx
-        fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha, len(bits))
+        plane, y, x = _bucket_pad(idx, len(idx[0]))
+        bits, jitters = _bucket_pad((bits, jitters), len(bits))
+        fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha)
         out = fn(
             spec, med,
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
@@ -108,14 +128,16 @@ class JaxBackend:
         return transfer.unpack_u8(np.asarray(out), (H, W, 3))
 
     def read_bits(self, spec, med, idx, jitters, alpha, params):
-        plane, y, x = idx
-        fn = _jit_read_bits(params.adaptive_alpha, len(jitters))
+        nbits = len(jitters)
+        plane, y, x = _bucket_pad(idx, len(idx[0]))
+        (jitters,) = _bucket_pad((jitters,), nbits)
+        fn = _jit_read_bits(params.adaptive_alpha)
         out = fn(
             spec, med,
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
             jnp.asarray(jitters, jnp.float32), jnp.float32(alpha),
         )
-        return np.asarray(out).astype(np.uint8)
+        return np.asarray(out[:nbits]).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,25 @@ def test_deterministic_with_fixed_salt(small_image):
     a = embed_array(small_image, b"det", password="pw", params=p, salt=salt)
     b = embed_array(small_image, b"det", password="pw", params=p, salt=salt)
     np.testing.assert_array_equal(a.stego, b.stego)
+
+
+def test_single_image_graphs_bucketed(small_image):
+    """Two different secret lengths at one image size must share one compiled
+    graph (4096-bit index bucketing in pipeline.device): the CLI path must
+    not pay a fresh XLA compile per payload length."""
+    from steganosaurus_tpu.pipeline import device
+
+    p = Params(**FAST)
+    H, W = small_image.shape[:2]
+    embed_fn = device._jit_embed_apply(H, W, p.center, p.adaptive_alpha)
+    read_fn = device._jit_read_bits(p.adaptive_alpha)
+    e0, r0 = embed_fn._cache_size(), read_fn._cache_size()
+    _roundtrip(small_image, b"short", p, password="bucketpw")
+    _roundtrip(small_image, b"a rather longer secret payload!", p,
+               password="bucketpw")
+    # <= 1, not == 1: earlier tests in a full run may already have compiled
+    # the shared 4096 bucket (that sharing is the point). Without bucketing
+    # the two fresh lengths would each compile, giving a delta of 2.
+    assert embed_fn._cache_size() - e0 <= 1
+    # header pass + payload pass share the bucketed read graph too
+    assert read_fn._cache_size() - r0 <= 1
