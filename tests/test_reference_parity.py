@@ -55,8 +55,20 @@ def test_our_embed_reference_extract(reference_bin, host_png, tmp_path, dtype):
     assert r.stdout.strip() == "Round trip via TPU frame"
 
 
-def test_cross_decode_with_params_sweep(reference_bin, host_png, tmp_path):
-    """alpha/density/rmin/rmax/jitter sweeps cross-decode both ways."""
+def test_cross_decode_with_params_sweep(reference_bin, host_png, host_image,
+                                        tmp_path):
+    """alpha/density/rmin/rmax/jitter sweeps cross-decode both ways.
+
+    Our embeds use a PINNED salt: at alpha=0.22 the phase margin is thin
+    enough that a few percent of random salts draw AEAD bit patterns that
+    exceed the ECC budget on this cover — an inherent property of the scheme
+    (the reference's own per-salt failure odds; see the inherent
+    ~3%-per-key failure note in test_wrapped_key_interop_main_format) — and a
+    parity test must be deterministic, not a channel-margin coin flip. All 16 probed salts pass
+    today; the pin freezes one so any future failure is a real code change."""
+    from steganosaurus_tpu.io import image as image_io
+    from steganosaurus_tpu.pipeline.embed import embed_array
+
     cases = [
         dict(alpha=0.22, density=0.5, rmin=0.08, rmax=0.40, jitter=0.0),
         dict(alpha=0.50, density=0.9, rmin=0.05, rmax=0.45, jitter=0.05),
@@ -74,7 +86,9 @@ def test_cross_decode_with_params_sweep(reference_bin, host_png, tmp_path):
         assert extract(str(stego), password="pp", params=p) == f"sweep{i}".encode()
 
         stego2 = tmp_path / f"sweep_ours_{i}.png"
-        embed(str(host_png), str(stego2), f"ours{i}", password="pp", params=p)
+        res = embed_array(host_image, f"ours{i}".encode(), password="pp",
+                          params=p, salt=bytes(16))
+        image_io.save_png(str(stego2), res.stego)
         r = _run([reference_bin, "extract", "--in", stego2, "--pass", "pp",
                   "--pbkdf2_iter", ITER, *flags])
         assert r.returncode == 0, r.stderr
@@ -219,3 +233,52 @@ def test_stego_images_pixel_identical_f64(reference_bin, host_png, tmp_path):
     d_ref = np.mean((image_io.load_rgb(str(stego_ref)) - cover) ** 2)
     d_ours = np.mean((image_io.load_rgb(str(stego_ours)) - cover) ** 2)
     assert abs(d_ref - d_ours) / max(d_ref, 1e-9) < 0.25, (d_ref, d_ours)
+
+
+@pytest.mark.parametrize("mode_flags,params_kw", [
+    (["--adaptive_alpha", "1"], dict(adaptive_alpha=True)),      # BASELINE cfg 4
+    (["--cover_dependent_path", "1"], dict(cover_dependent_path=True)),  # cfg 5
+    (["--center", "1"], dict(center=True)),
+], ids=["adaptive_alpha", "cover_dependent_path", "center"])
+def test_experimental_modes_oracle_parity(reference_bin, host_png, tmp_path,
+                                          mode_flags, params_kw):
+    """BASELINE configs 4/5 (+ --center) against the live oracle, per-case:
+    whatever the reference binary does — round-trip or fail — we must do the
+    same, in both cross-decode directions. adaptive_alpha and
+    cover_dependent_path are known-fragile in the reference
+    (steganosaur.cpp:704-710, :1156-1176; doc/HARDENING.md:325-381), so the
+    assertion is BEHAVIORAL parity, not unconditional success."""
+    p = Params(pbkdf2_iter=int(ITER), **params_kw)
+    msg = "exp mode parity"
+
+    # reference embed -> {reference, ours} extract must agree
+    stego_ref = tmp_path / "exp_ref.png"
+    r = _run([reference_bin, "embed", "--in", host_png, "--out", stego_ref,
+              "--secret", msg, "--pass", "xp", "--pbkdf2_iter", ITER,
+              *mode_flags])
+    assert r.returncode == 0, r.stderr
+    rx = _run([reference_bin, "extract", "--in", stego_ref, "--pass", "xp",
+               "--pbkdf2_iter", ITER, *mode_flags])
+    ref_self = rx.stdout.strip() if rx.returncode == 0 else None
+    try:
+        ours = extract(str(stego_ref), password="xp", params=p).decode()
+    except StegoError:
+        ours = None
+    assert ours == ref_self, (
+        f"oracle divergence on ref-embedded stego: ref={ref_self!r} "
+        f"ours={ours!r}")
+    if ref_self is not None:
+        assert ref_self == msg
+
+    # our embed -> {ours, reference} extract must agree
+    stego_ours = tmp_path / "exp_ours.png"
+    embed(str(host_png), str(stego_ours), msg, password="xp", params=p)
+    try:
+        self_dec = extract(str(stego_ours), password="xp", params=p).decode()
+    except StegoError:
+        self_dec = None
+    rx2 = _run([reference_bin, "extract", "--in", stego_ours, "--pass", "xp",
+                "--pbkdf2_iter", ITER, *mode_flags])
+    ref_dec = rx2.stdout.strip() if rx2.returncode == 0 else None
+    assert ref_dec == self_dec, (
+        f"oracle divergence on our stego: ref={ref_dec!r} ours={self_dec!r}")
