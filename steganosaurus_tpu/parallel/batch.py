@@ -354,39 +354,162 @@ def bits_table_core(bucket: int, mesh: Mesh | None = None):
                    out_shardings=_shardB(mesh, 2, axis=1))
 
 
+# --- batch-packed bit words --------------------------------------------------
+# The per-bin/per-slot bit lookups are random-access gathers, and TPU gathers
+# pay a full HBM granule per row: gathering per (bin, image) costs B times
+# the rows of gathering per bin. Packing the BATCH dimension into i32 words
+# (bit j of word g = image g*32+j's bit) turns (rows x B) u8 gathers into
+# (rows x ceil(B/32)) i32 gathers; the unpack back to per-image bits is
+# elementwise shift/mask that XLA fuses into the consumer. Single-chip only:
+# a mesh shards the batch axis, and packing across shard boundaries would
+# couple devices (the mesh paths keep the u8 tables).
+
+
+def _bitcast(x, dt):
+    return jax.lax.bitcast_convert_type(x, dt)
+
+
+def _pack_batch_words(bits):
+    """(B, n) u8 bits -> (ceil(B/32), n) i32 words, image b at bit b%32 of
+    word row b//32."""
+    B, n = bits.shape
+    Bw = -(-B // 32)
+    b = jnp.pad(bits, ((0, Bw * 32 - B), (0, 0))).astype(jnp.uint32)
+    sh = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    return _bitcast((b.reshape(Bw, 32, n) << sh).sum(axis=1,
+                                                     dtype=jnp.uint32),
+                    jnp.int32)
+
+
+def _unpack_batch_words(words_u32, B: int):
+    """(Bw, ...) u32 -> (B, ...) u8 bits (inverse of _pack_batch_words along
+    the leading axis). Pure shift/mask — fuses into consumers."""
+    outs = []
+    for g in range(words_u32.shape[0]):
+        nb = min(32, B - g * 32)
+        sh = jnp.arange(nb, dtype=jnp.uint32).reshape(
+            (nb,) + (1,) * (words_u32.ndim - 1))
+        outs.append(((words_u32[g][None] >> sh) & 1).astype(jnp.uint8))
+    return jnp.concatenate(outs, axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def frame_table_packed_core(stream_bytes: int, bucket: int, B: int):
+    """frame_table_core with the output batch-packed: (B, words) i32 streams
+    -> (bucket+1, ceil(B/32)) i32 table (zero sentinel row last)."""
+    nwords = -(-stream_bytes // 4)
+    nmax = 304 * 3 + (stream_bytes - 38) * 8 * 7
+
+    def fn(words):
+        bits = jax.vmap(functools.partial(_unpack_bits_words, n=nwords * 32))(
+            words)[:, : stream_bytes * 8]
+        frame = jnp.concatenate(
+            [jnp.repeat(bits[:, :304], 3, axis=1),
+             jnp.repeat(bits[:, 304:], 7, axis=1)], axis=1)
+        if bucket > nmax:
+            frame = jnp.concatenate(
+                [frame, jnp.tile(frame[:, -1:], (1, bucket - nmax))], axis=1)
+        packed = _pack_batch_words(frame)                # (Bw, bucket)
+        return jnp.concatenate(
+            [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def bits_table_packed_core(bucket: int, B: int):
+    """bits_table_core with the output batch-packed."""
+
+    def fn(words):
+        bits = jax.vmap(functools.partial(_unpack_bits_words, n=bucket))(words)
+        packed = _pack_batch_words(bits)
+        return jnp.concatenate(
+            [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=32)
 def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                       mesh: Mesh | None = None, has_jitter: bool = False,
-                      pack: bool = False):
-    """Jitted corner embed: (imgs (B,H,W,3) u8, table (bucket+1,B) u8,
-    pos (3,Ky,Kx) i32, [cjd, sjd], alpha () f32) -> (B,H,W,3) u8 stego.
+                      pack: bool = False, layout: str = "nhwc",
+                      stream_bytes: int = 0, bucket: int = 0):
+    """Jitted corner embed: (imgs u8, table, pos (3,Ky,Kx) i32, [cjd, sjd],
+    alpha () f32) -> u8 stego.
 
     Full embed data path with zero scatters and no full-grid FFT: corner
     forward matmuls -> dense bit-sign map via the static pos gather -> dense
     write_delta -> corner delta-IFFT matmuls -> planes + delta -> quantize.
+
+    layout: "nhwc" takes/returns (B,H,W,3); "nchw" takes/returns (B,3,H,W),
+    skipping both u8 relayouts — the strided (…,3) u8 transpose costs
+    ~2 ms/image at 4K, and device-resident embed->extract chains never need
+    the NHWC form (measured: the pair of transposes is ~25% of the step).
+
+    Single-chip (mesh=None) expects the BATCH-PACKED (bucket+1, ceil(B/32))
+    i32 table: the per-bin bit lookup gathers one word per bin instead of B
+    u8 rows (see _pack_batch_words). Mesh paths keep the (bucket+1, B) u8
+    table — packing would couple batch shards.
+
+    stream_bytes > 0 (single-chip, equal-length path): the `table` argument
+    is instead the (B, ceil(stream_bytes/4)) i32 raw stream words and the
+    packed frame table is built INSIDE this module (frame_table_packed_core
+    inlined) — one dispatched module instead of two (each module adds ~10 ms
+    launch latency on the tunneled runtime). `bucket` must then be given.
     """
     from steganosaurus_tpu.spectral import corner
 
     eyr, eyi = corner._dft_tables(H, Ky)
     exr, exi = corner._dft_tables(W, Kx)
     prec = corner.precision()
+    packed_table = mesh is None
+    assert stream_bytes == 0 or (packed_table and bucket > 0)
+
+    def build_table(words):
+        nwords = -(-stream_bytes // 4)
+        nmax = 304 * 3 + (stream_bytes - 38) * 8 * 7
+        bits = jax.vmap(functools.partial(_unpack_bits_words, n=nwords * 32))(
+            words)[:, : stream_bytes * 8]
+        frame = jnp.concatenate(
+            [jnp.repeat(bits[:, :304], 3, axis=1),
+             jnp.repeat(bits[:, 304:], 7, axis=1)], axis=1)
+        if bucket > nmax:
+            frame = jnp.concatenate(
+                [frame, jnp.tile(frame[:, -1:], (1, bucket - nmax))], axis=1)
+        packed = _pack_batch_words(frame)                # (Bw, bucket)
+        return jnp.concatenate(
+            [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
 
     def fn(imgs, table, pos, cjd, sjd, alpha):
-        planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        if layout == "nchw":
+            planes = imgs.astype(jnp.float32)
+        else:
+            planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        B = planes.shape[0]
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
-        bucket = table.shape[0] - 1
-        bit = table[pos.reshape(-1), :]                  # (3*Ky*Kx, B)
-        sign = jnp.transpose(
-            bit.reshape(3, Ky, Kx, -1), (3, 0, 1, 2)
-        ).astype(jnp.float32) * 2.0 - 1.0                # (B,3,Ky,Kx)
-        mask = (pos < bucket).astype(jnp.float32)
+        if stream_bytes:
+            table = build_table(table)
+        tbucket = table.shape[0] - 1
+        if packed_table:
+            bw = table[pos.reshape(-1), :]               # (3*Ky*Kx, Bw) i32
+            bw = _bitcast(jnp.transpose(bw).reshape(-1, 3, Ky, Kx),
+                          jnp.uint32)                    # (Bw, 3, Ky, Kx)
+            sign = _unpack_batch_words(bw, B).astype(jnp.float32) * 2.0 - 1.0
+        else:
+            bit = table[pos.reshape(-1), :]              # (3*Ky*Kx, B)
+            sign = jnp.transpose(
+                bit.reshape(3, Ky, Kx, -1), (3, 0, 1, 2)
+            ).astype(jnp.float32) * 2.0 - 1.0            # (B,3,Ky,Kx)
+        mask = (pos < tbucket).astype(jnp.float32)
         dr, di = corner.write_delta(cr, ci, sign, mask, jnp.cos(alpha),
                                     jnp.sin(alpha), cjd, sjd)
         t = corner.ifft_corner_real(dr, di, H, W, eyr, eyi, exr, exi, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
-        out = jnp.transpose(out.astype(jnp.uint8), (0, 2, 3, 1))
+        out = out.astype(jnp.uint8)
+        if layout != "nchw":
+            out = jnp.transpose(out, (0, 2, 3, 1))
         return transfer.pack_u8(out) if pack else out
 
     if not has_jitter:
@@ -405,22 +528,34 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 
 @functools.lru_cache(maxsize=32)
 def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
-                     mesh: Mesh | None = None, has_jitter: bool = False):
-    """Jitted corner analyze+read: (imgs (B,H,W,3) u8, [cjd, sjd], alpha) ->
-    (B,3,Ky,Kx) u8 dense decoded bits (device-resident between the header and
-    payload gather passes — replaces the full c64 spectrum, 8x smaller)."""
+                     mesh: Mesh | None = None, has_jitter: bool = False,
+                     layout: str = "nhwc"):
+    """Jitted corner analyze+read: (imgs u8, [cjd, sjd], alpha) -> dense
+    decoded bits (device-resident between the header and payload gather
+    passes — replaces the full c64 spectrum).
+
+    Single-chip (mesh=None): output is BATCH-PACKED (ceil(B/32),3,Ky,Kx) i32
+    — bit b%32 of word row b//32 is image b's decoded bit — so the slot
+    gathers downstream fetch one word per walk bin instead of B u8 rows.
+    Mesh: (B,3,Ky,Kx) u8 (batch stays shardable). layout as in
+    corner_embed_core."""
     from steganosaurus_tpu.spectral import corner
 
     eyr, eyi = corner._dft_tables(H, Ky)
     exr, exi = corner._dft_tables(W, Kx)
     prec = corner.precision()
+    packed = mesh is None
 
     def fn(imgs, cjd, sjd, alpha):
-        planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        if layout == "nchw":
+            planes = imgs.astype(jnp.float32)
+        else:
+            planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
-        return corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
-                                      cjd, sjd)
+        bd = corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
+                                    cjd, sjd)
+        return _pack_bd_batch(bd) if packed else bd
 
     if not has_jitter:
         base = fn
@@ -433,15 +568,38 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     return jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 4))
 
 
-@functools.lru_cache(maxsize=32)
-def corner_gather_decode_core(mesh: Mesh | None = None,
-                              hdr_stream_bits: int = 0):
-    """Jitted: (bit_dense (B,3,Ky,Kx) u8, plane/y/x (n,)) -> packed decoded
-    words, same output contract as batched_gather_decode_core (rep3 header
-    section + rep7 payload, bit->word packing)."""
+def _pack_bd_batch(bd):
+    """(B,3,Ky,Kx) u8 decoded bits -> (ceil(B/32),3,Ky,Kx) i32 batch-packed
+    words (bit b%32 of row b//32 = image b's bit)."""
+    B = bd.shape[0]
+    Bw = -(-B // 32)
+    b = jnp.pad(bd, ((0, Bw * 32 - B),) + ((0, 0),) * 3).astype(jnp.uint32)
+    sh = jnp.arange(32, dtype=jnp.uint32).reshape(1, 32, 1, 1, 1)
+    shp = b.shape[1:]
+    return _bitcast((b.reshape(Bw, 32, *shp) << sh).sum(axis=1,
+                                                        dtype=jnp.uint32),
+                    jnp.int32)
 
-    def core(bd, plane, y, x):
-        raw = bd[plane, y, x]
+
+@functools.lru_cache(maxsize=32)
+def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
+                              has_jitter: bool, layout: str,
+                              hdr_stream_bits: int, B: int):
+    """ONE-dispatch extract fast path (single chip): (imgs u8, [cjd, sjd],
+    alpha, plane/y/x (n,)) -> (B, words) decoded i32 words.
+
+    Fuses corner_bits_core + corner_gather_decode_core into a single XLA
+    module: on the tunneled runtime each dispatched module adds ~10 ms of
+    launch latency that does NOT overlap device compute (profiled: 102 ms
+    device-busy vs 163 ms step wall across ~5 modules), so merging the
+    read, gather, and ECC decode buys more than any kernel-level tweak."""
+    from steganosaurus_tpu.spectral import corner
+
+    eyr, eyi = corner._dft_tables(H, Ky)
+    exr, exi = corner._dft_tables(W, Kx)
+    prec = corner.precision()
+
+    def decode(raw):
         outs = []
         if hdr_stream_bits:
             outs.append(_pack_bits_words(
@@ -450,9 +608,92 @@ def corner_gather_decode_core(mesh: Mesh | None = None,
             ecc.rep_decode(raw[hdr_stream_bits:], 7)))
         return jnp.concatenate(outs)
 
-    fn = jax.vmap(core, in_axes=(0, None, None, None))
+    def fn(imgs, cjd, sjd, alpha, plane, y, x):
+        if layout == "nchw":
+            planes = imgs.astype(jnp.float32)
+        else:
+            planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        pin = spectral.apply_center(planes, center)
+        cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
+        bd = corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
+                                    cjd, sjd)
+        bdw = _pack_bd_batch(bd)
+        raw_w = _bitcast(bdw[:, plane, y, x], jnp.uint32)   # (Bw, n)
+        raw = _unpack_batch_words(raw_w, B)                 # (B, n) u8
+        return jax.vmap(decode)(raw)
+
+    if not has_jitter:
+        base = fn
+        fn = lambda imgs, alpha, plane, y, x: base(  # noqa: E731
+            imgs, None, None, alpha, plane, y, x)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def corner_gather_raw_core(mesh: Mesh | None = None, B: int = 0):
+    """Jitted: (bit_dense, plane/y/x (n,)) -> (B, n/32) i32 packed RAW
+    stream bits (no ECC decode) — the channel-quality measurement path
+    (utils.metrics.ecc_report wants pre-ECC bits). bit_dense is the
+    corner_bits_core output for the SAME mesh: batch-packed i32 words when
+    mesh is None (B required), per-image u8 otherwise."""
+
     if mesh is None:
+        assert B > 0
+
+        def fn(bdw, plane, y, x):
+            raw_w = _bitcast(bdw[:, plane, y, x], jnp.uint32)  # (Bw, n)
+            raw = _unpack_batch_words(raw_w, B)                # (B, n) u8
+            return jax.vmap(_pack_bits_words)(raw)
+
         return jax.jit(fn)
+
+    def core(bd, plane, y, x):
+        return _pack_bits_words(bd[plane, y, x])
+
+    fn = jax.vmap(core, in_axes=(0, None, None, None))
+    rep = _rep(mesh)
+    return jax.jit(fn, in_shardings=(_shardB(mesh, 4), rep, rep, rep),
+                   out_shardings=_shardB(mesh, 2))
+
+
+def unpack_words_host(words: np.ndarray, n: int) -> np.ndarray:
+    """(B, n/32) i32 big-endian packed words -> (B, n) u8 bits (host twin of
+    _unpack_bits_words)."""
+    byts = np.asarray(words).view(np.uint32).astype(">u4")
+    bits = np.unpackbits(byts.view(np.uint8).reshape(words.shape[0], -1),
+                         axis=1)
+    return bits[:, :n]
+
+
+@functools.lru_cache(maxsize=32)
+def corner_gather_decode_core(mesh: Mesh | None = None,
+                              hdr_stream_bits: int = 0, B: int = 0):
+    """Jitted: (bit_dense, plane/y/x (n,)) -> packed decoded words, same
+    output contract as batched_gather_decode_core (rep3 header section +
+    rep7 payload, bit->word packing). bit_dense is corner_bits_core's output
+    for the SAME mesh (batch-packed when mesh is None, B required)."""
+
+    def decode(raw):
+        outs = []
+        if hdr_stream_bits:
+            outs.append(_pack_bits_words(
+                ecc.rep_decode(raw[:hdr_stream_bits], 3)))
+        outs.append(_pack_bits_words(
+            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+        return jnp.concatenate(outs)
+
+    if mesh is None:
+        assert B > 0
+
+        def fn(bdw, plane, y, x):
+            raw_w = _bitcast(bdw[:, plane, y, x], jnp.uint32)  # (Bw, n)
+            raw = _unpack_batch_words(raw_w, B)                # (B, n) u8
+            return jax.vmap(decode)(raw)
+
+        return jax.jit(fn)
+
+    fn = jax.vmap(lambda bd, plane, y, x: decode(bd[plane, y, x]),
+                  in_axes=(0, None, None, None))
     rep = _rep(mesh)
     return jax.jit(fn, in_shardings=(_shardB(mesh, 4), rep, rep, rep),
                    out_shardings=_shardB(mesh, 2))

@@ -157,6 +157,7 @@ def embed_batch(
     device_resident: bool = False,
     verify: bool = False,
     max_retries: int = 2,
+    layout: str = "nhwc",
 ) -> BatchEmbedResult:
     """Embed `secrets[i]` into `imgs[i]` under one shared password/master key.
 
@@ -164,6 +165,11 @@ def embed_batch(
     (amortize the upload across calls by `jax.device_put`-ing covers once).
     cover_dependent_path is not supported on the batch path (the walk would
     differ per image; use embed_array).
+
+    layout="nchw": imgs are (B, 3, H, W) and the stego result keeps that
+    layout. Device-resident serving chains should use it — it skips two
+    strided u8 relayouts per round-trip (~25% of the 4K step); corner path
+    only. PNG I/O callers keep the default "nhwc".
 
     device_resident=True returns the stego batch as a device u8 array (no
     host pull) — feed it straight to extract_batch or pull it later; the
@@ -182,7 +188,12 @@ def embed_batch(
         raise ValueError("exactly one of password/master_key required")
     if params.cover_dependent_path:
         raise StegoError("cover_dependent_path is per-image; use embed_array")
-    B, H, W = imgs.shape[:3]
+    if layout == "nchw":
+        if params.adaptive_alpha:
+            raise StegoError("layout='nchw' is corner-path only")
+        B, _, H, W = imgs.shape
+    else:
+        B, H, W = imgs.shape[:3]
     assert len(secrets) == B
     PH, PW = spectral.fft_dims(H, W)
 
@@ -248,20 +259,38 @@ def embed_batch(
         has_jitter = params.jitter != 0.0
         maps, _ = _corner_statics_device(password, master_key, params, PH,
                                          PW, nmax, bucket, Ky, Kx, mesh)
-        if len(set(frame_lens)) == 1:
-            # equal-length bulk path: upload raw streams (~28x smaller than
-            # ECC bit words), rep3/rep7-expand on device
+        if len(set(frame_lens)) == 1 and mesh is None:
+            # equal-length single-chip path: upload raw streams (~28x
+            # smaller than ECC bit words); the ECC expansion AND the packed
+            # frame table build run INSIDE the embed module (one dispatch —
+            # each module adds ~10 ms launch latency on the tunnel)
             words = pbatch.pack_bytes_words_host(streams)
-            tbl_fn = pbatch.frame_table_core(len(streams[0]), bucket, mesh)
+            fn = pbatch.corner_embed_core(H, W, Ky, Kx, params.center, None,
+                                          has_jitter,
+                                          pack=not device_resident,
+                                          layout=layout,
+                                          stream_bytes=len(streams[0]),
+                                          bucket=bucket)
+            out = fn(imgs_d, words, *maps, alpha)
         else:
-            words = pbatch.pack_bits_words_host(_host_frames())
-            tbl_fn = pbatch.bits_table_core(bucket, mesh)
-        words_d = (pbatch.shard_batch(words, mesh) if mesh is not None
-                   else words)
-        table = tbl_fn(words_d)
-        fn = pbatch.corner_embed_core(H, W, Ky, Kx, params.center, mesh,
-                                      has_jitter, pack=not device_resident)
-        out = fn(imgs_d, table, *maps, alpha)
+            if len(set(frame_lens)) == 1:
+                words = pbatch.pack_bytes_words_host(streams)
+                tbl_fn = pbatch.frame_table_core(len(streams[0]), bucket,
+                                                 mesh)
+            elif mesh is None:
+                words = pbatch.pack_bits_words_host(_host_frames())
+                tbl_fn = pbatch.bits_table_packed_core(bucket, B)
+            else:
+                words = pbatch.pack_bits_words_host(_host_frames())
+                tbl_fn = pbatch.bits_table_core(bucket, mesh)
+            words_d = (pbatch.shard_batch(words, mesh) if mesh is not None
+                       else words)
+            table = tbl_fn(words_d)
+            fn = pbatch.corner_embed_core(H, W, Ky, Kx, params.center, mesh,
+                                          has_jitter,
+                                          pack=not device_resident,
+                                          layout=layout)
+            out = fn(imgs_d, table, *maps, alpha)
     else:
         bits_w = pbatch.pack_bits_words_host(_host_frames())
         bits_d = (pbatch.shard_batch(bits_w, mesh) if mesh is not None
@@ -272,6 +301,7 @@ def embed_batch(
                                        bits_packed=True)
         out = fn(imgs_d, plane, y, x, bits_d, jit, alpha)
 
+    out_shape = (B, 3, H, W) if layout == "nchw" else (B, H, W, 3)
     verified = None
     if verify:
         salts = list(salts)
@@ -279,10 +309,10 @@ def embed_batch(
         # np.array: unpack_u8 returns a read-only buffer view; retries patch
         # failed rows in place.
         check_src = out if device_resident else np.array(
-            transfer.unpack_u8(np.asarray(out), (B, H, W, 3)))
+            transfer.unpack_u8(np.asarray(out), out_shape))
         got = extract_batch(check_src, password=password,
                             master_key=master_key, params=params, mesh=mesh,
-                            clen_hint=maxlen)
+                            clen_hint=maxlen, layout=layout)
         verified = [g == s for g, s in zip(got, secrets)]
         for _ in range(max_retries):
             failed = [i for i, ok in enumerate(verified) if not ok]
@@ -299,14 +329,15 @@ def embed_batch(
             sub = embed_batch(sub_imgs, [secrets[i] for i in failed],
                               password=password, master_key=master_key,
                               params=params, salts=new_salts, mesh=sub_mesh,
-                              device_resident=device_resident, verify=False)
+                              device_resident=device_resident, verify=False,
+                              layout=layout)
             if device_resident:
                 check_src = check_src.at[jnp.asarray(failed)].set(sub.stego)
             else:
                 check_src[np.asarray(failed)] = sub.stego
             got = extract_batch(check_src, password=password,
                                 master_key=master_key, params=params,
-                                mesh=mesh, clen_hint=maxlen)
+                                mesh=mesh, clen_hint=maxlen, layout=layout)
             for i, s_new in zip(failed, new_salts):
                 salts[i] = s_new
             verified = [g == s for g, s in zip(got, secrets)]
@@ -316,7 +347,7 @@ def embed_batch(
     elif device_resident:
         stego = out
     else:
-        stego = transfer.unpack_u8(np.asarray(out), (B, H, W, 3))
+        stego = transfer.unpack_u8(np.asarray(out), out_shape)
     return BatchEmbedResult(
         stego=stego,
         written_bits=frame_lens,
@@ -326,6 +357,281 @@ def embed_batch(
     )
 
 
+def channel_report(
+    stego: np.ndarray,
+    secrets: list[bytes],
+    salts: list[bytes],
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+    mesh=None,
+    layout: str = "nhwc",
+) -> dict:
+    """Measure channel quality: raw and post-ECC BER, header and payload,
+    averaged over the batch (SURVEY.md §5 'BER before/after ECC').
+
+    Re-derives each image's exact on-wire frame from (secret, salt) — the
+    AEAD is deterministic given the salt — reads the raw stream bits back
+    from the stego batch, and runs utils.metrics.ecc_report per image. This
+    is the number that explains verify/re-salt behavior: post-ECC BER > 0 on
+    any image means AEAD failure and a re-salt retry.
+    """
+    if (password is None) == (master_key is None):
+        raise ValueError("exactly one of password/master_key required")
+    if params.adaptive_alpha or params.cover_dependent_path:
+        raise StegoError("channel_report supports the shared-walk corner "
+                         "path only")
+    from steganosaurus_tpu.spectral import corner as corner_mod
+    from steganosaurus_tpu.utils import metrics
+
+    if layout == "nchw":
+        B, _, H, W = stego.shape
+    else:
+        B, H, W = stego.shape[:3]
+    PH, PW = spectral.fft_dims(H, W)
+
+    frames, frame_lens = [], []
+    for secret, salt in zip(secrets, salts):
+        if master_key is not None:
+            km = crypto.derive_keys_from_raw(master_key, salt)
+        else:
+            km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
+        hdr_bytes = Header(salt=km.salt, nonce=km.nonce,
+                           clen=len(secret)).to_bytes()
+        ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
+        h = ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))
+        p_ = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
+        frames.append(np.concatenate([np.asarray(h), np.asarray(p_)]))
+        frame_lens.append(len(frames[-1]))
+
+    nmax = max(frame_lens)
+    bucket = -(-nmax // 4096) * 4096
+    (plane, y, x, jit), nprod = _walk_indices_device(
+        password, master_key, params, PH, PW, nmax, 0, bucket, mesh)
+    if nprod < nmax:
+        raise StegoError("stego batch cannot carry the claimed frames")
+
+    if isinstance(stego, jnp.ndarray):
+        stego_d = stego
+    elif mesh is not None:
+        stego_d = pbatch.shard_batch(np.ascontiguousarray(stego), mesh)
+    else:
+        stego_d = np.ascontiguousarray(stego)
+
+    Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
+    has_jitter = params.jitter != 0.0
+    bits_fn = pbatch.corner_bits_core(H, W, Ky, Kx, params.center, mesh,
+                                      has_jitter, layout=layout)
+    alpha = jnp.float32(params.alpha)
+    if has_jitter:
+        maps, _ = _corner_statics_device(password, master_key, params, PH,
+                                         PW, bucket, bucket, Ky, Kx, mesh)
+        bd = bits_fn(stego_d, maps[1], maps[2], alpha)
+    else:
+        bd = bits_fn(stego_d, alpha)
+    raw_fn = pbatch.corner_gather_raw_core(mesh,
+                                           B=B if mesh is None else 0)
+    got = pbatch.unpack_words_host(np.asarray(raw_fn(bd, plane, y, x)),
+                                   bucket)
+
+    reports = [metrics.ecc_report(frames[i], got[i, : frame_lens[i]],
+                                  _HEADER_STREAM_BITS) for i in range(B)]
+    return {k: float(np.mean([r[k] for r in reports]))
+            for k in reports[0]}
+
+
+class _ExtractJob:
+    """An in-flight batch extraction: the fused header+payload device pass is
+    DISPATCHED at construction (JAX async dispatch — no host block) and only
+    pulled in finalize(). This split is the host/device pipelining seam:
+    while batch N's gather-decode runs on device, the host can prep, upload,
+    and dispatch batch N+1 (pipeline.stream drives it)."""
+
+    def __init__(self, imgs, password, master_key, params, mesh, clen_hint,
+                 layout="nhwc"):
+        if (password is None) == (master_key is None):
+            raise ValueError("exactly one of password/master_key required")
+        if params.cover_dependent_path:
+            raise StegoError(
+                "cover_dependent_path is per-image; use extract_array")
+        if layout == "nchw":
+            if params.adaptive_alpha:
+                raise StegoError("layout='nchw' is corner-path only")
+            self.B, _, H, W = imgs.shape
+        else:
+            self.B, H, W = imgs.shape[:3]
+        self._HW = (H, W)
+        self._layout = layout
+        PH, PW = spectral.fft_dims(H, W)
+        self._key = (password, master_key)
+        self._params, self._mesh = params, mesh
+        self._dims = (PH, PW)
+
+        if isinstance(imgs, jnp.ndarray):
+            imgs_d = imgs  # already device-resident (e.g. embed's output)
+        elif mesh is not None:
+            imgs_d = pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
+        else:
+            imgs_d = np.ascontiguousarray(imgs)
+        self._imgs_d = imgs_d
+
+        alpha = jnp.float32(params.alpha)
+        self._alpha = alpha
+        self._use_corner = not params.adaptive_alpha
+        if self._use_corner:
+            from steganosaurus_tpu.spectral import corner as corner_mod
+
+            Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
+            self._corner_kk = (Ky, Kx)
+            self._has_jitter = params.jitter != 0.0
+            if mesh is not None:
+                self._bits_fn = pbatch.corner_bits_core(
+                    H, W, Ky, Kx, params.center, mesh, self._has_jitter,
+                    layout=layout)
+            self._bd_cache: dict[int, object] = {}
+        else:
+            analyze = pbatch.batched_analyze_core(
+                H, W, params.center, mesh, adaptive=params.adaptive_alpha)
+            self._spec, self._med = analyze(imgs_d)  # one FFT, device-resident
+
+        # Walk capacity upper bound: each accepted bit marks a bin + its
+        # conjugate, so no image can carry more than this many bits. Bounds
+        # both the gather size under a corrupt header clen (the reference
+        # hangs here, doc/TESTING.md:151-156) and oversized clen_hints.
+        self._cap_bits = 3 * PH * PW // 2
+        self._hint_bits = (min((clen_hint + 16) * 8 * 7, self._cap_bits)
+                           if clen_hint else 0)
+        # Fused pass: header + hinted payload in one device round-trip
+        # (dispatch only; the pull happens in finalize). With no hint the
+        # payload section is empty and the second pass always runs.
+        self._words_d = self._dispatch_pass(self._hint_bits, True)
+
+    def _bit_dense_for(self, total_bucket: int):
+        """Dense decoded-bit corner. jitter==0: independent of read length
+        (one FFT per batch). jitter!=0: the static jd maps must cover every
+        read slot, so a longer second pass re-analyzes."""
+        password, master_key = self._key
+        PH, PW = self._dims
+        key = 0 if not self._has_jitter else total_bucket
+        bd = self._bd_cache.get(key)
+        if bd is None:
+            if self._has_jitter:
+                Ky, Kx = self._corner_kk
+                maps, _ = _corner_statics_device(
+                    password, master_key, self._params, PH, PW, total_bucket,
+                    total_bucket, Ky, Kx, self._mesh)
+                bd = self._bits_fn(self._imgs_d, maps[1], maps[2], self._alpha)
+            else:
+                bd = self._bits_fn(self._imgs_d, self._alpha)
+            self._bd_cache[key] = bd
+        return bd
+
+    def _dispatch_pass(self, payload_stream_bits: int, with_header: bool):
+        """Dispatch gather + device-ECC-decode for one pass; returns the
+        (B, words) DEVICE array (not pulled). The payload stream length is
+        bucketed so nearby sizes share one compiled graph and one cached
+        device index upload. Bits past walk exhaustion are garbage (last-bin
+        re-reads) — consumers only use bytes their authenticated clen
+        covers, or fail AEAD."""
+        password, master_key = self._key
+        PH, PW = self._dims
+        S = (-(-payload_stream_bits // 4096) * 4096
+             if payload_stream_bits else 0)
+        hdr_bits = _HEADER_STREAM_BITS if with_header else 0
+        skip = 0 if with_header else _HEADER_STREAM_BITS
+        nbits = _HEADER_STREAM_BITS + S
+        (pl, yy, xx, jj), _ = _walk_indices_device(
+            password, master_key, self._params, PH, PW, nbits, skip,
+            hdr_bits + S, self._mesh)
+        if self._use_corner and self._mesh is None:
+            # single-chip: FFT-read + gather + ECC decode fused into ONE
+            # dispatched module (launch latency dominates the tunnel). A
+            # rare second pass (clen_hint too small) re-runs the FFT read —
+            # acceptable: the hint covers it on every serving path.
+            H, W = self._HW
+            Ky, Kx = self._corner_kk
+            core = pbatch.corner_extract_fused_core(
+                H, W, Ky, Kx, self._params.center, self._has_jitter,
+                self._layout, hdr_bits, self.B)
+            if self._has_jitter:
+                maps, _ = _corner_statics_device(
+                    password, master_key, self._params, PH, PW, nbits,
+                    nbits, Ky, Kx, None)
+                return core(self._imgs_d, maps[1], maps[2], self._alpha,
+                            pl, yy, xx)
+            return core(self._imgs_d, self._alpha, pl, yy, xx)
+        if self._use_corner:
+            core = pbatch.corner_gather_decode_core(
+                self._mesh, hdr_stream_bits=hdr_bits)
+            return core(self._bit_dense_for(nbits), pl, yy, xx)
+        core = pbatch.batched_gather_decode_core(
+            self._params.adaptive_alpha, self._mesh, hdr_stream_bits=hdr_bits)
+        return core(self._spec, self._med, pl, yy, xx, jj, self._alpha)
+
+    @staticmethod
+    def _to_bufs(words_d) -> list[bytes]:
+        words = np.asarray(words_d)  # the blocking device pull
+        return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
+
+    def finalize(self) -> list[bytes | None]:
+        """Pull the fused pass, parse headers, run the payload second pass if
+        the hint was too small, AEAD-open everything."""
+        password, master_key = self._key
+        bufs = self._to_bufs(self._words_d)
+        self._words_d = None
+        headers: list[Header | None] = []
+        for buf in bufs:
+            hb = buf[:header_mod.FIXED_LEN]
+            if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
+                headers.append(None)
+            else:
+                headers.append(Header.from_bytes(hb))
+        clens = [h.clen for h in headers if h is not None]
+        if not clens:
+            return [None] * self.B
+        need = min((max(clens) + 16) * 8 * 7, self._cap_bits)
+        S_hint = -(-self._hint_bits // 4096) * 4096 if self._hint_bits else 0
+        if need <= S_hint:
+            # payload bytes follow the 40-byte header block in the fused bufs
+            payloads = [buf[40:] for buf in bufs]
+        else:  # hint too small (or absent): payload-only second pass
+            payloads = self._to_bufs(self._dispatch_pass(need, False))
+
+        out: list[bytes | None] = []
+        for i, hdr in enumerate(headers):
+            if hdr is None:
+                out.append(None)
+                continue
+            rest = payloads[i][: hdr.clen + 16]
+            if len(rest) < hdr.clen + 16:  # clen beyond walk capacity/budget
+                out.append(None)
+                continue
+            ct, tag = rest[: hdr.clen], rest[hdr.clen : hdr.clen + 16]
+            if master_key is not None:
+                km = crypto.derive_keys_from_raw(master_key, hdr.salt)
+            else:
+                km = crypto.derive_keys(password, hdr.salt,
+                                        self._params.pbkdf2_iter)
+            out.append(crypto.aead_open(km.aead_key, km.nonce,
+                                        hdr.to_bytes(), ct, tag))
+        return out
+
+
+def extract_dispatch(
+    imgs: np.ndarray,
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+    mesh=None,
+    clen_hint: int | None = None,
+    layout: str = "nhwc",
+) -> _ExtractJob:
+    """Async-dispatch a batch extraction; call .finalize() for the results.
+    Host work between dispatch and finalize overlaps the device pass."""
+    return _ExtractJob(imgs, password, master_key, params, mesh, clen_hint,
+                       layout)
+
+
 def extract_batch(
     imgs: np.ndarray,
     password: str | None = None,
@@ -333,6 +639,7 @@ def extract_batch(
     params: Params = Params(),
     mesh=None,
     clen_hint: int | None = None,
+    layout: str = "nhwc",
 ) -> list[bytes | None]:
     """Extract secrets from a batch of stego images (shared key).
 
@@ -347,122 +654,5 @@ def extract_batch(
     exceeds the hint fall back to a second pass; a wrong hint never
     misdecodes (clen is read from the authenticated header either way).
     """
-    if (password is None) == (master_key is None):
-        raise ValueError("exactly one of password/master_key required")
-    if params.cover_dependent_path:
-        raise StegoError("cover_dependent_path is per-image; use extract_array")
-    B, H, W = imgs.shape[:3]
-    PH, PW = spectral.fft_dims(H, W)
-
-    if isinstance(imgs, jnp.ndarray):
-        imgs_d = imgs  # already device-resident (e.g. embed's output)
-    elif mesh is not None:
-        imgs_d = pbatch.shard_batch(np.ascontiguousarray(imgs), mesh)
-    else:
-        imgs_d = np.ascontiguousarray(imgs)
-
-    alpha = jnp.float32(params.alpha)
-    use_corner = not params.adaptive_alpha
-    if use_corner:
-        from steganosaurus_tpu.spectral import corner as corner_mod
-
-        Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
-        has_jitter = params.jitter != 0.0
-        bits_fn = pbatch.corner_bits_core(H, W, Ky, Kx, params.center, mesh,
-                                          has_jitter)
-        _bd_cache: dict[int, object] = {}
-
-        def bit_dense_for(total_bucket: int):
-            """Dense decoded-bit corner. jitter==0: independent of read
-            length (one FFT per batch). jitter!=0: the static jd maps must
-            cover every read slot, so a longer second pass re-analyzes."""
-            key = 0 if not has_jitter else total_bucket
-            bd = _bd_cache.get(key)
-            if bd is None:
-                if has_jitter:
-                    maps, _ = _corner_statics_device(
-                        password, master_key, params, PH, PW, total_bucket,
-                        total_bucket, Ky, Kx, mesh)
-                    bd = bits_fn(imgs_d, maps[1], maps[2], alpha)
-                else:
-                    bd = bits_fn(imgs_d, alpha)
-                _bd_cache[key] = bd
-            return bd
-    else:
-        analyze = pbatch.batched_analyze_core(H, W, params.center, mesh,
-                                              adaptive=params.adaptive_alpha)
-        spec, med = analyze(imgs_d)  # device-resident; one FFT total
-
-    # Walk capacity upper bound: each accepted bit marks a bin + its
-    # conjugate, so no image can carry more than this many bits. Bounds both
-    # the gather size under a corrupt header clen (the reference hangs here,
-    # doc/TESTING.md:151-156) and oversized clen_hints.
-    cap_bits = 3 * PH * PW // 2
-
-    def decode_pass(payload_stream_bits: int, with_header: bool):
-        """Gather + device-ECC-decode one pass; returns per-image byte
-        buffers (header 40-byte block first when with_header). The payload
-        stream length is bucketed so nearby sizes share one compiled graph
-        and one cached device index upload. Bits past walk exhaustion are
-        garbage (last-bin re-reads) — consumers only use bytes their
-        authenticated clen covers, or fail AEAD."""
-        S = -(-payload_stream_bits // 4096) * 4096 if payload_stream_bits else 0
-        hdr_bits = _HEADER_STREAM_BITS if with_header else 0
-        skip = 0 if with_header else _HEADER_STREAM_BITS
-        nbits = _HEADER_STREAM_BITS + S
-        (pl, yy, xx, jj), _ = _walk_indices_device(
-            password, master_key, params, PH, PW, nbits, skip,
-            hdr_bits + S, mesh)
-        if use_corner:
-            core = pbatch.corner_gather_decode_core(mesh,
-                                                    hdr_stream_bits=hdr_bits)
-            words = np.asarray(core(bit_dense_for(nbits), pl, yy, xx))
-        else:
-            core = pbatch.batched_gather_decode_core(
-                params.adaptive_alpha, mesh, hdr_stream_bits=hdr_bits)
-            words = np.asarray(core(spec, med, pl, yy, xx, jj, alpha))
-        return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
-
-    def parse_headers(bufs) -> list[Header | None]:
-        headers: list[Header | None] = []
-        for buf in bufs:
-            hb = buf[:header_mod.FIXED_LEN]
-            if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
-                headers.append(None)
-            else:
-                headers.append(Header.from_bytes(hb))
-        return headers
-
-    # Fused pass: header + hinted payload in one device round-trip. With no
-    # hint the payload section is empty and the second pass always runs.
-    hint_bits = min((clen_hint + 16) * 8 * 7, cap_bits) if clen_hint else 0
-    bufs = decode_pass(hint_bits, with_header=True)
-    headers = parse_headers(bufs)
-    clens = [h.clen for h in headers if h is not None]
-    if not clens:
-        return [None] * B
-    need = min((max(clens) + 16) * 8 * 7, cap_bits)
-    S_hint = -(-hint_bits // 4096) * 4096 if hint_bits else 0
-    if need <= S_hint:
-        # payload bytes follow the 40-byte header block in the fused buffers
-        payloads = [buf[40:] for buf in bufs]
-    else:  # hint too small (or absent): payload-only second pass
-        payloads = decode_pass(need, with_header=False)
-
-    out: list[bytes | None] = []
-    for i, hdr in enumerate(headers):
-        if hdr is None:
-            out.append(None)
-            continue
-        rest = payloads[i][: hdr.clen + 16]
-        if len(rest) < hdr.clen + 16:  # clen beyond walk capacity / budget
-            out.append(None)
-            continue
-        ct, tag = rest[: hdr.clen], rest[hdr.clen : hdr.clen + 16]
-        if master_key is not None:
-            km = crypto.derive_keys_from_raw(master_key, hdr.salt)
-        else:
-            km = crypto.derive_keys(password, hdr.salt, params.pbkdf2_iter)
-        hdr_bytes = hdr.to_bytes()
-        out.append(crypto.aead_open(km.aead_key, km.nonce, hdr_bytes, ct, tag))
-    return out
+    return _ExtractJob(imgs, password, master_key, params, mesh,
+                       clen_hint, layout).finalize()

@@ -37,17 +37,63 @@ import jax.numpy as jnp
 
 
 def precision():
-    """Matmul precision for the corner DFTs (default HIGHEST = full f32).
+    """Per-stage matmul modes for the corner DFTs
+    (STEGANOSAURUS_MM_PRECISION). Returns a 4-tuple
+    (stage1, fwd_stage2, ifft_stage2, ifft_stage1): stage1 covers the
+    matmuls whose LHS operand is the exact u8 plane data, the others the
+    contractions over intermediate f32 spectra.
 
-    STEGANOSAURUS_MM_PRECISION=high selects bf16_3x (~2x MXU throughput);
-    phase decision margins (alpha=0.5 rad vs ~1e-5 rad transform error)
-    leave lots of room, but HIGHEST stays the default until a config is
-    BER-validated at HIGH.
+    - "mix" (default): stage1 and BOTH delta-IFFT stages in true bf16
+      (bf16 operands, f32 accumulation — full MXU rate, 6x HIGHEST); only
+      the forward stage2 at HIGH (bf16_3x error compensation,
+      ~f32-faithful products at 2x HIGHEST). Why this exact split, all
+      measured at 4K/16KB:
+        * stage1's operands are a u8 plane (every integer <= 255 is EXACT
+          in bf16) and a cos/sin table (|e| <= 1, 2^-9 relative rounding).
+          The product error is ~2^-9 * sqrt(W) * E|plane| ~ tens, absolute,
+          per output element — two orders below the walk-bin signal
+          (mag*sin(alpha) ~ 1e4 on typical covers).
+        * the forward stage2's operands are partially-transformed spectra
+          whose columns near x=0 carry the image's low-frequency energy —
+          values up to ~1e6 next to walk-bin signals of ~1e4. bf16's 8-bit
+          mantissa on THOSE operands puts ~0.2% of the large values onto
+          the small ones after contraction: bit flips concentrated at
+          low-x walk bins (full bf16 breaks 4K/16KB recovery, measured).
+          bf16_3x error-compensates to ~f32 product accuracy, immune to
+          the dynamic range.
+        * the delta-IFFT operands carry the masked walk delta — no DC
+          term, mild dynamic range — and bf16 there leaves the channel
+          indistinguishable from highest: payload BER raw 0.00157 under
+          mix, mix_conservative, and highest alike; post-ECC 0; recovery
+          verified.
+    - "mix_conservative": every stage2-class matmul at HIGH (~15% slower
+      at 4K, no measured accuracy gain).
+    - "high": bf16_3x everywhere (2x HIGHEST, no bf16 stage).
+    - "highest": full f32 products everywhere — the parity arbiter.
     """
     import os
 
-    name = os.environ.get("STEGANOSAURUS_MM_PRECISION", "highest").lower()
-    return jax.lax.Precision.HIGH if name == "high" else jax.lax.Precision.HIGHEST
+    name = os.environ.get("STEGANOSAURUS_MM_PRECISION", "mix").lower()
+    HIGH, HIGHEST = jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST
+    if name in ("mix", "mix3"):
+        return ("bf16", HIGH, "bf16", "bf16")
+    if name == "mix_conservative":
+        return ("bf16", HIGH, HIGH, HIGH)
+    if name == "mix2":
+        return ("bf16", HIGH, "bf16", HIGH)
+    if name == "bf16":  # experimental / measurement only
+        return ("bf16", "bf16", "bf16", "bf16")
+    p = HIGH if name == "high" else HIGHEST
+    return (p, p, p, p)
+
+
+def _mm(subscripts, a, b, precision):
+    """einsum wrapper implementing the bf16-operand/f32-accumulate mode."""
+    if precision == "bf16":
+        return jnp.einsum(subscripts, a.astype(jnp.bfloat16),
+                          b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(subscripts, a, b, precision=precision)
 
 
 def corner_dims(H: int, W: int, rmax: float) -> tuple[int, int]:
@@ -91,14 +137,22 @@ def fwd_corner(planes, eyr, eyi, exr, exi, precision):
 
     C[y, x] = sum_{h,w} planes[h,w] * e^{+2pi*i*(yh/H + xw/W)}; the big
     dimension (w) is contracted first so the widest matmul runs on the
-    smaller operand.
+    smaller operand. precision is the 4-tuple from precision(): stage1
+    contracts the exact u8 planes, fwd_stage2 the f32 intermediates (see
+    precision() for why they differ).
+
+    Separate re/im dots beat a stacked single-dot formulation here
+    (measured on TPU: stacking re/im into one (2K,·) dot per stage costs
+    +10% step time — the concat/slice materialization adds HBM traffic XLA
+    otherwise avoids).
     """
-    ar = jnp.einsum("...hw,xw->...hx", planes, exr, precision=precision)
-    ai = jnp.einsum("...hw,xw->...hx", planes, exi, precision=precision)
-    cr = (jnp.einsum("yh,...hx->...yx", eyr, ar, precision=precision)
-          - jnp.einsum("yh,...hx->...yx", eyi, ai, precision=precision))
-    ci = (jnp.einsum("yh,...hx->...yx", eyr, ai, precision=precision)
-          + jnp.einsum("yh,...hx->...yx", eyi, ar, precision=precision))
+    p1, p2 = precision[0], precision[1]
+    ar = _mm("...hw,xw->...hx", planes, exr, p1)
+    ai = _mm("...hw,xw->...hx", planes, exi, p1)
+    cr = (_mm("yh,...hx->...yx", eyr, ar, p2)
+          - _mm("yh,...hx->...yx", eyi, ai, p2))
+    ci = (_mm("yh,...hx->...yx", eyr, ai, p2)
+          + _mm("yh,...hx->...yx", eyi, ar, p2))
     return cr, ci
 
 
@@ -109,14 +163,21 @@ def ifft_corner_real(dr, di, H, W, eyr, eyi, exr, exi, precision):
     (1/(H*W)) * Re( sum conj(Delta)[y,x] * e^{+2pi*i*(yh/H + xw/W)} )
     (spectral.ifft2_real). With Dc = conj(Delta) = (dr, -di):
     M = Ey^T @ Dc (contract y), then Re(M @ Ex) (contract x).
+
+    Both stages contract the masked walk delta (mild dynamic range, no DC
+    term) and run at precision()'s ifft modes (bf16 under the default mix;
+    see precision()).
+
+    Separate re/im dots, for the same measured reason as fwd_corner.
     """
+    p2, p3 = precision[3], precision[2]
     dcr, dci = dr, -di
-    mr = (jnp.einsum("yh,...yx->...hx", eyr, dcr, precision=precision)
-          - jnp.einsum("yh,...yx->...hx", eyi, dci, precision=precision))
-    mi = (jnp.einsum("yh,...yx->...hx", eyr, dci, precision=precision)
-          + jnp.einsum("yh,...yx->...hx", eyi, dcr, precision=precision))
-    t = (jnp.einsum("...hx,xw->...hw", mr, exr, precision=precision)
-         - jnp.einsum("...hx,xw->...hw", mi, exi, precision=precision))
+    mr = (_mm("yh,...yx->...hx", eyr, dcr, p2)
+          - _mm("yh,...yx->...hx", eyi, dci, p2))
+    mi = (_mm("yh,...yx->...hx", eyr, dci, p2)
+          + _mm("yh,...yx->...hx", eyi, dcr, p2))
+    t = (_mm("...hx,xw->...hw", mr, exr, p3)
+         - _mm("...hx,xw->...hw", mi, exi, p3))
     return t * jnp.float32(1.0 / (H * W))
 
 

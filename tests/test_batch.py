@@ -24,7 +24,12 @@ def covers():
 def test_embed_extract_batch_ragged(covers):
     p = Params(**FAST)
     secrets = [b"a", b"bb", b"ccc", b"x" * 40, b"hello world", b"z"]
-    res = embed_batch(covers, secrets, password="pw", params=p)
+    # Pinned salts: random salts make this a channel-margin coin flip (a
+    # fresh salt redraws the AEAD bit pattern; a small per-salt failure
+    # probability is inherent to the scheme - verify mode exists for exactly
+    # that). A parity/semantics test must be deterministic.
+    salts = [bytes([11 * i + 1]) * 16 for i in range(6)]
+    res = embed_batch(covers, secrets, password="pw", params=p, salts=salts)
     assert res.stego.shape == covers.shape
     got = extract_batch(res.stego, password="pw", params=p)
     assert got == secrets
@@ -195,3 +200,117 @@ def test_batch_sharded_over_mesh(covers):
     res3 = embed_batch(imgs, secrets, password="pw", params=p, mesh=mesh,
                        salts=[bytes(16)] * 8)
     np.testing.assert_array_equal(res2.stego, res3.stego)
+
+
+def test_4k_uhd_payload_ceiling():
+    """BASELINE config 3 payload ceiling at native 4K UHD. The walk capacity
+    is key-dependent but ~1.53M stream bits (quarter-annulus of radius
+    0.45*min(H,W)=972 holds ~2.2M candidate bins; density rejections consume
+    ~1/0.7 candidates per accepted bit) => max payload ~26-27 KB. The
+    reference's "15-50 KB at 4K" claim (README.md:110-117) rides its pow2 pad
+    to 4096^2, where min(H,W)=4096 quadruples the annulus — see
+    test_4k_pow2_50kb_payload for that class.
+
+    A 26 KB payload must embed+extract; 27.5 KB must exhaust the walk and
+    raise the bounded capacity error (the reference HANGS past capacity on a
+    corrupt clen — doc/TESTING.md:151-156 — and aborts on its conservative
+    estimator otherwise; our boundary is the true walk capacity)."""
+    from steganosaurus_tpu.pipeline.errors import StegoError
+
+    rng = np.random.default_rng(5)
+    base = np.linspace(140, 230, 3840)
+    cover = np.clip(base[None, None, :, None]
+                    + rng.integers(-20, 21, (1, 2160, 3840, 3)),
+                    0, 255).astype(np.uint8)
+    p = Params(**FAST)
+    secret = bytes(rng.integers(0, 256, 26 * 1024, dtype=np.uint8))
+    res = embed_batch(cover, [secret], password="pw", params=p,
+                      salts=[bytes([77]) * 16])
+    got = extract_batch(res.stego, password="pw", params=p,
+                        clen_hint=len(secret))
+    assert got == [secret]
+
+    with pytest.raises(StegoError, match="Message too large"):
+        embed_batch(cover, [bytes(28160)], password="pw", params=p)
+
+
+def test_4k_pow2_50kb_payload():
+    """BASELINE config 3 upper bound: 50 KB in a 4096^2 (pow2) cover — the
+    class the reference's 15-50 KB capacity claim actually describes. The
+    walk needs ~2.87M stream bits of the ~5.5M available at min(H,W)=4096."""
+    rng = np.random.default_rng(6)
+    base = np.linspace(130, 235, 4096)
+    cover = np.clip(base[None, None, :, None]
+                    + rng.integers(-24, 25, (1, 4096, 4096, 3)),
+                    0, 255).astype(np.uint8)
+    p = Params(**FAST)
+    secret = bytes(rng.integers(0, 256, 50 * 1024, dtype=np.uint8))
+    res = embed_batch(cover, [secret], password="pw", params=p,
+                      salts=[bytes([78]) * 16])
+    got = extract_batch(res.stego, password="pw", params=p,
+                        clen_hint=len(secret))
+    assert got == [secret]
+
+
+def test_stream_pipelining_matches_batch(covers):
+    """embed_stream/extract_stream (pipeline.stream) must produce results
+    identical to per-batch embed_batch/extract_batch: the overlap is pure
+    scheduling, never semantics. Fixed salts make the comparison exact."""
+    from steganosaurus_tpu.pipeline import stream
+
+    p = Params(**FAST)
+    secrets = [bytes([i]) * (5 + i) for i in range(6)]
+    salts = [bytes([i * 7]) * 16 for i in range(6)]
+    batches = [(covers[:2], secrets[:2], salts[:2]),
+               (covers[2:4], secrets[2:4], salts[2:4]),
+               (covers[4:], secrets[4:], salts[4:])]
+
+    streamed = list(stream.embed_stream(iter(batches), password="pw",
+                                        params=p, depth=2))
+    assert len(streamed) == 3
+    for (imgs, secs, sl), res in zip(batches, streamed):
+        ref = embed_batch(imgs, secs, password="pw", params=p, salts=sl)
+        np.testing.assert_array_equal(np.asarray(res.stego), ref.stego)
+
+    got = list(stream.extract_stream((r.stego for r in streamed),
+                                     password="pw", params=p, depth=2))
+    assert [s for g in got for s in g] == secrets
+
+
+def test_extract_dispatch_finalize(covers):
+    """The dispatch/finalize split (host/device overlap seam) is
+    semantically identical to the blocking call, including with a fused
+    clen_hint and with interleaved jobs in flight."""
+    from steganosaurus_tpu.pipeline.batch import extract_dispatch
+
+    p = Params(**FAST)
+    secrets = [b"dispatch" * 3] * 3 + [b"finalize!"] * 3
+    res = embed_batch(covers, secrets, password="pw", params=p,
+                      salts=[bytes(16)] * 6)
+    j1 = extract_dispatch(res.stego[:3], password="pw", params=p,
+                          clen_hint=24)
+    j2 = extract_dispatch(res.stego[3:], password="pw", params=p)
+    assert j2.finalize() == secrets[3:]
+    assert j1.finalize() == secrets[:3]
+
+
+def test_nchw_layout_matches_nhwc(covers):
+    """layout='nchw' (the device-resident serving fast path that skips both
+    u8 relayouts) must produce pixel-identical stego and identical
+    extraction vs the default layout."""
+    from steganosaurus_tpu.pipeline.batch import channel_report
+
+    p = Params(**FAST)
+    secrets = [bytes([40 + i]) * 12 for i in range(6)]
+    salts = [bytes([i * 3]) * 16 for i in range(6)]
+    ref = embed_batch(covers, secrets, password="pw", params=p, salts=salts)
+    res = embed_batch(np.ascontiguousarray(covers.transpose(0, 3, 1, 2)),
+                      secrets, password="pw", params=p, salts=salts,
+                      layout="nchw")
+    np.testing.assert_array_equal(
+        np.asarray(res.stego).transpose(0, 2, 3, 1), ref.stego)
+    got = extract_batch(res.stego, password="pw", params=p, layout="nchw")
+    assert got == secrets
+    rep = channel_report(res.stego, secrets, salts, password="pw", params=p,
+                         layout="nchw")
+    assert rep["payload_ber_post_ecc"] == 0.0
