@@ -183,70 +183,101 @@ def do_extract(a: Args) -> int:
     return 0
 
 
-def _batch_groups(in_dir: str):
-    """Sorted *.png files in in_dir, loaded and grouped by (H, W) — each
-    group runs as one device batch (batched graphs are shape-specialized)."""
+CLI_BATCH = 32  # images per device batch on the CLI bulk paths
+
+
+def _sorted_pngs(in_dir: str):
     import pathlib
-
-    import numpy as np
-
-    from steganosaurus_tpu.io import image as image_io
 
     files = sorted(pathlib.Path(in_dir).glob("*.png"))
     if not files:
         raise StegoError(f"No *.png files in {in_dir}")
-    groups: dict[tuple[int, int], list[tuple[int, str, object]]] = {}
-    for i, f in enumerate(files):
-        img = image_io.load_rgb(str(f))
-        groups.setdefault(img.shape[:2], []).append((i, f.name, img))
-    return files, {k: (np.stack([g[2] for g in v]), [g[0] for g in v],
-                       [g[1] for g in v]) for k, v in groups.items()}
+    # Group by shape so every same-size image lands in a shape-consecutive
+    # run (batched graphs are shape-specialized; load_rgb_batches flushes on
+    # shape change). Stable sort keeps name order within a shape.
+    def shape_of(f):
+        from PIL import Image
+
+        with Image.open(f) as im:
+            return im.size
+
+    return sorted(files, key=lambda f: (shape_of(f), f.name))
 
 
 def do_batch_embed(a: Args) -> int:
+    """Bulk embed, fully pipelined (pipeline.stream): threaded PNG decode
+    and per-image AEAD for batch N+1 overlap batch N's device graphs; PNG
+    encode of batch N-1 overlaps both."""
     import pathlib
 
+    from collections import deque
+
+    import numpy as np
+
     from steganosaurus_tpu.io import image as image_io
-    from steganosaurus_tpu.pipeline.batch import embed_batch
+    from steganosaurus_tpu.pipeline import stream
 
     password, mk = _resolve_key(a)
     secrets = [line.encode() for line in
                pathlib.Path(a.secrets_file).read_text().splitlines()]
-    files, groups = _batch_groups(a.in_dir)
+    files = _sorted_pngs(a.in_dir)
     if len(secrets) != len(files):
         raise StegoError(
             f"{len(files)} images in {a.in_dir} but {len(secrets)} secrets "
             f"in {a.secrets_file}"
         )
+    by_name = {f.name: s for f, s in
+               zip(sorted(files, key=lambda f: f.name), secrets)}
     out_dir = pathlib.Path(a.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    names_q: deque[list[str]] = deque()
+
+    def batches():
+        for paths, covers in stream.load_rgb_batches(
+                [str(f) for f in files], CLI_BATCH):
+            names = [pathlib.Path(p).name for p in paths]
+            names_q.append(names)
+            yield covers, [by_name[n] for n in names]
+
     n_ok = 0
-    for (H, W), (covers, idxs, names) in groups.items():
-        res = embed_batch(covers, [secrets[i] for i in idxs],
-                          password=password, master_key=mk, params=a.params,
-                          verify=a.verify)
+    for res in stream.embed_stream(batches(), password=password,
+                                   master_key=mk, params=a.params,
+                                   verify=a.verify):
+        names = names_q.popleft()
+        stego = np.asarray(res.stego)
         for j, name in enumerate(names):
             if a.verify and not res.verified[j]:
                 print(f"FAILED verify: {name}", file=sys.stderr)
                 continue
-            image_io.save_png(str(out_dir / name), res.stego[j])
+            image_io.save_png(str(out_dir / name), stego[j])
             n_ok += 1
     print(f"Embedded {n_ok}/{len(files)} images into {a.out_dir}")
     return 0 if n_ok == len(files) else 1
 
 
 def do_batch_extract(a: Args) -> int:
-    from steganosaurus_tpu.pipeline.batch import extract_batch
+    import pathlib
+
+    from collections import deque
+
+    from steganosaurus_tpu.pipeline import stream
 
     password, mk = _resolve_key(a)
-    _, groups = _batch_groups(a.in_dir)
-    results: list[tuple[int, str, bytes | None]] = []
-    for (H, W), (stegos, idxs, names) in groups.items():
-        got = extract_batch(stegos, password=password, master_key=mk,
-                            params=a.params)
-        results += list(zip(idxs, names, got))
+    files = _sorted_pngs(a.in_dir)
+    names_q: deque[list[str]] = deque()
+
+    def batches():
+        for paths, stegos in stream.load_rgb_batches(
+                [str(f) for f in files], CLI_BATCH):
+            names_q.append([pathlib.Path(p).name for p in paths])
+            yield stegos
+
+    results: list[tuple[str, bytes | None]] = []
+    for got in stream.extract_stream(batches(), password=password,
+                                     master_key=mk, params=a.params):
+        results += list(zip(names_q.popleft(), got))
     failed = 0
-    for _, name, secret in sorted(results):
+    for name, secret in sorted(results):
         if secret is None:
             failed += 1
             print(f"{name}\t<FAILED>")

@@ -8,8 +8,10 @@ SIMD, no GPU). The TPU-native scaling axes are therefore ours to design:
 - intra-image parallelism (SP/TP analog): a shard_map distributed 2D FFT that
   splits an image's rows across devices and transposes via all_to_all over ICI
   (`fft_dist`), for grids too large to sit comfortably on one chip (4K UHD).
-- host/device pipelining (PP analog): C++ keystream expansion and AEAD overlap
-  device FFT work via async dispatch (`pipeline.batch`).
+- host/device pipelining (PP analog): `pipeline.stream` keeps several batches
+  in flight — batch N+1's threaded PNG decode, C++ AEAD/KDF, and frame
+  packing run on the host while batch N's embed/extract graphs execute on
+  device (JAX async dispatch; extract splits into dispatch/finalize phases).
 """
 
 from steganosaurus_tpu.parallel.batch import (  # noqa: F401

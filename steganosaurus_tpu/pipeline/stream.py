@@ -1,0 +1,125 @@
+"""Host/device pipelining across batches (the PP analog, SURVEY.md §2.3c).
+
+JAX dispatch is asynchronous: a jitted call returns device futures
+immediately, and the host only blocks when it pulls results back. The batch
+cores exploit this *within* a batch; this module exploits it *across*
+batches — while batch N's graphs execute on the TPU, the host runs batch
+N+1's PNG decode (threaded), AEAD/KDF crypto, ECC frame packing, and device
+upload. With host prep time h and device time d per batch, a depth-bounded
+stream approaches max(h, d) per batch instead of h + d.
+
+The reference has no analog: it is a one-image-per-process CLI
+(SURVEY.md §2.3). These generators are the bulk-ingest surface the CLI batch
+modes and bench use.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.pipeline.batch import (
+    BatchEmbedResult,
+    embed_batch,
+    extract_dispatch,
+)
+
+
+def embed_stream(
+    batches,
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+    mesh=None,
+    verify: bool = False,
+    max_retries: int = 2,
+    depth: int = 2,
+    layout: str = "nhwc",
+):
+    """Pipeline embed_batch over an iterable of batches.
+
+    batches: iterable of (imgs, secrets) or (imgs, secrets, salts); imgs may
+    be numpy or already device-resident. Yields one BatchEmbedResult per
+    batch, in order, with DEVICE-RESIDENT stego arrays (pull with
+    np.asarray, or feed them straight to extract_stream). Up to `depth`
+    batches are in flight: batch N+1's host crypto runs while batch N's
+    embed graphs execute (verify=True adds device read-back verification,
+    which syncs per batch and shrinks — but does not eliminate — the
+    overlap window).
+    """
+    q: deque[BatchEmbedResult] = deque()
+
+    def _drain():
+        res = q.popleft()
+        # Bound in-flight device memory/dispatch depth; yields stay async —
+        # consumers that can, keep the array on device.
+        import jax
+
+        jax.block_until_ready(res.stego)
+        return res
+
+    for item in batches:
+        imgs, secrets = item[0], item[1]
+        salts = item[2] if len(item) > 2 else None
+        q.append(embed_batch(imgs, secrets, password=password,
+                             master_key=master_key, params=params,
+                             salts=salts, mesh=mesh, device_resident=True,
+                             verify=verify, max_retries=max_retries,
+                             layout=layout))
+        if len(q) > depth:
+            yield _drain()
+    while q:
+        yield _drain()
+
+
+def extract_stream(
+    batches,
+    password: str | None = None,
+    master_key: bytes | None = None,
+    params: Params = Params(),
+    mesh=None,
+    clen_hint: int | None = None,
+    depth: int = 2,
+    layout: str = "nhwc",
+):
+    """Pipeline extract_batch over an iterable of stego batches.
+
+    Yields one list[bytes | None] per batch, in order. The fused
+    gather-decode pass for batch N+1 is dispatched before batch N's results
+    are pulled and AEAD-opened, so the host AEAD/parse work and the device
+    pass overlap.
+    """
+    q = deque()
+    for imgs in batches:
+        q.append(extract_dispatch(imgs, password=password,
+                                  master_key=master_key, params=params,
+                                  mesh=mesh, clen_hint=clen_hint,
+                                  layout=layout))
+        if len(q) > depth:
+            yield q.popleft().finalize()
+    while q:
+        yield q.popleft().finalize()
+
+
+def load_rgb_batches(paths, batch_size: int, threads: int = 8):
+    """Threaded PNG ingest: decode `paths` with a thread pool (PIL releases
+    the GIL around decode) and yield (B, H, W, 3) u8 stacks of consecutive
+    same-shape images, each at most batch_size. A shape change flushes the
+    current stack (batched graphs are shape-specialized)."""
+    from steganosaurus_tpu.io import image as image_io
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        cur: list[np.ndarray] = []
+        cur_paths: list = []
+        for path, img in zip(paths, pool.map(image_io.load_rgb, paths)):
+            if cur and (img.shape != cur[0].shape
+                        or len(cur) == batch_size):
+                yield cur_paths, np.stack(cur)
+                cur, cur_paths = [], []
+            cur.append(img)
+            cur_paths.append(path)
+        if cur:
+            yield cur_paths, np.stack(cur)
