@@ -123,10 +123,11 @@ def reference_baselines(exe: pathlib.Path | None, key_b64: str) -> dict:
                 "spi_4096": big[0], "psnr_4096": big[1],
             }
     if not out["measured"]:
-        # documented FFT+walk floor at small sizes (doc/SUMMARY.md:99-104);
-        # 4096^2 scales that by the serial FFT work ratio (~64x pixels)
-        out.update({"spi_512": 2.0, "psnr_512": None,
-                    "spi_4096": 128.0, "psnr_4096": None})
+        # No invented numbers: a guessed baseline in the headline
+        # vs_baseline ratio is worse than no ratio. Callers must handle None.
+        out.update({"spi_512": None, "psnr_512": None, "spi_4096": None,
+                    "psnr_4096": None})
+        return out  # don't cache a failure; retry next run
     BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
     BASELINE_CACHE.write_text(json.dumps(out))
     return out
@@ -139,9 +140,11 @@ def bench_ours(h: int, w: int, batch: int, secret_len: int, iters: int,
     embed and extract. Payload recovery is verified (AEAD tag) every
     iteration; the stego batch is pulled once at the end for PSNR.
 
-    Returns (images/sec, psnr_db).
+    Returns (loop_ips, psnr_db, ssim, ber_dict, stream_ips); stream_ips
+    (the pipelined serving path) is the headline.
     """
     import jax
+    import jax.numpy as jnp
 
     from steganosaurus_tpu.config import Params
     from steganosaurus_tpu.pipeline.batch import embed_batch, extract_batch
@@ -152,59 +155,147 @@ def bench_ours(h: int, w: int, batch: int, secret_len: int, iters: int,
                for _ in range(batch)]
     p = Params()
     salts = [bytes([i]) * 16 for i in range(batch)]
-    covers_d = jax.device_put(covers)
+    # Serving layout: covers live on device in (B, 3, H, W) — layout="nchw"
+    # skips two strided u8 relayouts per round-trip (the one-time transpose
+    # below is paid at ingest, exactly like a production pipeline would).
+    covers_d = jax.jit(lambda a: jnp.transpose(a, (0, 3, 1, 2)))(
+        jax.device_put(covers))
     covers_d.block_until_ready()
 
     def step():
         res = embed_batch(covers_d, secrets, master_key=master_key, params=p,
-                          salts=salts, device_resident=True)
+                          salts=salts, device_resident=True, layout="nchw")
         got = extract_batch(res.stego, master_key=master_key, params=p,
-                            clen_hint=secret_len)
+                            clen_hint=secret_len, layout="nchw")
         assert got == secrets, "payload recovery failed"
         return res.stego
 
     stego_d = step()  # warmup + compile + correctness
+
+    # HEADLINE: the pipelined serving path (pipeline.stream) — batch N+1's
+    # host AEAD/packing and dispatch overlap batch N's device graphs
+    # (embed_stream chained into extract_stream, depth-2 in flight), which
+    # both hides host time and absorbs the tunneled runtime's per-pull
+    # latency jitter (the serialized loop below eats every stall at full
+    # price; production bulk pipelines are stream-shaped).
+    from steganosaurus_tpu.pipeline import stream as pstream
+
+    t0 = time.perf_counter()
+    embeds = pstream.embed_stream(
+        ((covers_d, secrets, salts) for _ in range(iters)),
+        master_key=master_key, params=p, depth=2, layout="nchw")
+    for got in pstream.extract_stream((r.stego for r in embeds),
+                                      master_key=master_key, params=p,
+                                      clen_hint=secret_len, depth=2,
+                                      layout="nchw"):
+        assert got == secrets, "payload recovery failed (streamed)"
+    stream_dt = time.perf_counter() - t0
+
+    # Secondary: strictly serialized embed->extract->pull round-trip loop
+    # (latency-shaped: every dispatch gap and tunnel stall lands on the
+    # critical path).
     t0 = time.perf_counter()
     for _ in range(iters):
         step()
     dt = time.perf_counter() - t0
 
+    from steganosaurus_tpu.pipeline.batch import channel_report
     from steganosaurus_tpu.utils import metrics
 
-    stego = np.asarray(stego_d)
+    # Channel quality (SURVEY §5: BER before/after ECC) — measured once on
+    # the final stego batch, outside the timed loop.
+    ber = channel_report(stego_d, secrets, salts, master_key=master_key,
+                         params=p, layout="nchw")
+
+    stego = np.asarray(stego_d).transpose(0, 2, 3, 1)
     err = stego.astype(np.float64) - covers.astype(np.float64)
     mse = float(np.mean(np.square(err)))
     psnr = 10.0 * np.log10(255.0 * 255.0 / mse) if mse > 0 else float("inf")
     ssim = float(np.mean([metrics.ssim(covers[i], stego[i])
                           for i in range(min(batch, 4))]))
-    return (batch * iters) / dt, psnr, ssim
+    return ((batch * iters) / dt, psnr, ssim, ber,
+            (batch * iters) / stream_dt)
+
+
+def psnr_target_config(master_key: bytes) -> dict | None:
+    """Find a 4K UHD config meeting the BASELINE imperceptibility bar
+    (PSNR > 50 dB, SSIM > 0.995) with AEAD-verified recovery (verify mode
+    re-salts failures, so recovery is deterministic when it converges).
+
+    The headline 16KB config trades imperceptibility for payload density;
+    this ladder walks the payload down until the bar is met and reports the
+    winning config. Payload size is the lever: the write sets a bin's phase
+    to +-alpha regardless of its current (uniform) phase, so the per-bin
+    delta is ~mag*O(1) INDEPENDENT of alpha — PSNR moves ~6 dB per payload
+    halving and essentially not at all with alpha (measured). Alpha stays at
+    the default 0.5 for full noise margin.
+    """
+    from steganosaurus_tpu.config import Params
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+    from steganosaurus_tpu.utils import metrics
+
+    rng = np.random.default_rng(13)
+    B = 4
+    covers = make_covers(B, UHD_H, UHD_W)
+    import jax
+
+    covers_d = jax.device_put(covers)
+    for alpha, nbytes in ((0.5, 2048), (0.5, 1024), (0.5, 512)):
+        p = Params(alpha=alpha)
+        secrets = [bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
+                   for _ in range(B)]
+        res = embed_batch(covers_d, secrets, master_key=master_key, params=p,
+                          device_resident=True, verify=True, max_retries=4)
+        if not all(res.verified):
+            continue
+        stego = np.asarray(res.stego)
+        err = stego.astype(np.float64) - covers.astype(np.float64)
+        psnr = 10.0 * np.log10(255.0 ** 2 / float(np.mean(np.square(err))))
+        ssim = float(np.mean([metrics.ssim(covers[i], stego[i])
+                              for i in range(B)]))
+        if psnr > 50.0 and ssim > 0.995:
+            return {"alpha": alpha, "secret_bytes": nbytes,
+                    "psnr_db": round(psnr, 2), "ssim": round(ssim, 4),
+                    "recovery_verified": True}
+    return None
 
 
 def main():
     import jax
 
-    from steganosaurus_tpu import runtime
+    from steganosaurus_tpu import _native_loader, runtime
 
     runtime.enable_compilation_cache()
+    # The C++ walk expander is a build artifact; without it the fresh-key
+    # turtle expansion silently runs in pure Python (~1000x slower) and
+    # poisons the first measured step.
+    _native_loader.ensure_built()
     master_key = bytes(range(32))
     key_b64 = base64.b64encode(master_key).decode()
 
-    uhd_ips, uhd_psnr, uhd_ssim = bench_ours(UHD_H, UHD_W, UHD_BATCH,
-                                             UHD_SECRET, UHD_ITERS, master_key)
-    small_ips, small_psnr, small_ssim = bench_ours(
+    uhd_loop_ips, uhd_psnr, uhd_ssim, uhd_ber, uhd_ips = bench_ours(
+        UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, UHD_ITERS, master_key)
+    # 512px secondary keeps the serialized-loop semantic (continuity with
+    # earlier rounds; at 0.3 ms/img of device work the stream's per-batch
+    # yield overhead dominates and the loop is the better number).
+    small_ips, small_psnr, small_ssim, _, _ = bench_ours(
         SMALL, SMALL, SMALL_BATCH, SMALL_SECRET, SMALL_ITERS, master_key)
+    target_cfg = psnr_target_config(master_key)
 
     ref = reference_baselines(build_reference(), key_b64)
-    ref_4096_ips = 1.0 / ref["spi_4096"]
+    ref_4096_ips = (1.0 / ref["spi_4096"]) if ref["measured"] else None
 
     print(json.dumps({
         "metric": "embed_extract_4k_uhd_images_per_sec",
         "value": round(uhd_ips, 3),
-        "unit": "images/sec/chip",
         # Baseline: reference at 4096^2 pow2, its largest working class —
-        # it cannot round-trip 4K UHD (non-pow2) at all.
-        "vs_baseline": round(uhd_ips / ref_4096_ips, 1),
-        "baseline_4096px_images_per_sec": round(ref_4096_ips, 5),
+        # it cannot round-trip 4K UHD (non-pow2) at all. vs_baseline is null
+        # if the reference build/measure failed (no invented numbers).
+        "unit": "images/sec/chip",
+        "vs_baseline": (round(uhd_ips / ref_4096_ips, 1)
+                        if ref_4096_ips else None),
+        "baseline_4096px_images_per_sec": (round(ref_4096_ips, 5)
+                                           if ref_4096_ips else None),
         "baseline_4k_uhd": "fails: reference cannot round-trip non-pow2 "
                            "images (pad+crop corrupts phases)",
         "baseline_measured": ref["measured"],
@@ -212,8 +303,17 @@ def main():
         "secret_bytes": UHD_SECRET,
         "stego_psnr_db": round(uhd_psnr, 2),
         "stego_ssim": round(uhd_ssim, 4),
+        # strictly serialized per-batch round-trip loop (latency-shaped;
+        # the headline is the pipelined stream — see bench_ours)
+        "loop_images_per_sec": round(uhd_loop_ips, 3),
+        "payload_ber_raw": round(uhd_ber["payload_ber_raw"], 6),
+        "payload_ber_post_ecc": round(uhd_ber["payload_ber_post_ecc"], 6),
+        "header_ber_raw": round(uhd_ber["header_ber_raw"], 6),
+        # 4K config meeting PSNR>50dB / SSIM>0.995 with verified recovery
+        "psnr_target_config": target_cfg,
         "secondary_512px_images_per_sec": round(small_ips, 3),
-        "secondary_512px_vs_baseline": round(small_ips * ref["spi_512"], 2),
+        "secondary_512px_vs_baseline": (round(small_ips * ref["spi_512"], 2)
+                                        if ref["measured"] else None),
         "secondary_512px_psnr_db": round(small_psnr, 2),
         "secondary_512px_ssim": round(small_ssim, 4),
         "ref_psnr_512_db": (round(ref["psnr_512"], 2)

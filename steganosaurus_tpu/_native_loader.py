@@ -139,3 +139,33 @@ def get() -> NativeLib | None:
                 except OSError:
                     _lib = None
         return _lib
+
+
+def ensure_built() -> NativeLib | None:
+    """Build native/ (cmake+ninja, ~5 s) if the library is missing, then load.
+
+    The .so is a build artifact and does not survive workspace cleanup; the
+    performance-critical entry points (bench.py, __graft_entry__) call this
+    so a fresh checkout never silently falls back to the ~1000x slower
+    pure-Python turtle walk. Build failures degrade to the Python paths.
+    """
+    global _loaded, _lib
+    lib = get()
+    if lib is not None or os.environ.get("STEGANOSAURUS_NO_NATIVE"):
+        return lib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    src, build = root / "native", root / "native" / "build"
+    try:
+        subprocess.run(["cmake", "-S", str(src), "-B", str(build),
+                        "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release"],
+                       check=True, capture_output=True, timeout=300)
+        subprocess.run(["ninja", "-C", str(build)], check=True,
+                       capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return None
+    with _lock:
+        _loaded = False  # force a fresh search now that the .so may exist
+        _lib = None
+    return get()

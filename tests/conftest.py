@@ -31,9 +31,13 @@ REF_BUILD = REPO / "build_ref"
 
 
 def pytest_configure(config):
-    from steganosaurus_tpu import runtime
+    from steganosaurus_tpu import _native_loader, runtime
 
     runtime.enable_compilation_cache()
+    # Build the native host library (walk expander / crypto) if missing: the
+    # pure-Python fallback is ~1000x slower on the big-grid walk tests. Tests
+    # that cross-check the pure paths force STEGANOSAURUS_NO_NATIVE anyway.
+    _native_loader.ensure_built()
 
 
 @pytest.fixture(scope="session")
