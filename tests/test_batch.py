@@ -314,3 +314,24 @@ def test_nchw_layout_matches_nhwc(covers):
     rep = channel_report(res.stego, secrets, salts, password="pw", params=p,
                          layout="nchw")
     assert rep["payload_ber_post_ecc"] == 0.0
+
+
+def test_stream_over_mesh(covers):
+    """The stream pipeline composes with mesh sharding: streamed results
+    over an 8-device mesh equal the unsharded per-batch results."""
+    from steganosaurus_tpu.pipeline import stream
+
+    mesh = pbatch.make_mesh(8)
+    p = Params(**FAST)
+    secrets = [bytes([60 + i]) * 9 for i in range(8)]
+    salts = [bytes([3 * i + 2]) * 16 for i in range(8)]
+    big = np.concatenate([covers, covers[:2]])  # 8 images
+    batches = [(big, secrets, salts), (big, secrets, salts)]
+    outs = list(stream.embed_stream(iter(batches), password="pw", params=p,
+                                    mesh=mesh, depth=1))
+    ref = embed_batch(big, secrets, password="pw", params=p, salts=salts)
+    for res in outs:
+        np.testing.assert_array_equal(np.asarray(res.stego), ref.stego)
+    got = list(stream.extract_stream((r.stego for r in outs), password="pw",
+                                     params=p, mesh=mesh, depth=1))
+    assert got == [secrets, secrets]
