@@ -110,7 +110,13 @@ def reference_baselines(exe: pathlib.Path | None, key_b64: str) -> dict:
     alone takes ~3 minutes of single-core C++)."""
     if BASELINE_CACHE.exists():
         try:
-            return json.loads(BASELINE_CACHE.read_text())
+            cached = json.loads(BASELINE_CACHE.read_text())
+            # Serve only successful measurements: older bench versions cached
+            # measured:false entries (with invented floors); honoring those
+            # would suppress re-measurement forever on hosts where the
+            # reference now builds.
+            if cached.get("measured"):
+                return cached
         except json.JSONDecodeError:
             pass
     out = {"measured": False}

@@ -306,29 +306,36 @@ def corner_statics_core(Ky: int, Kx: int, bucket: int, has_jitter: bool,
                    out_shardings=(rep,) * n_out)
 
 
-@functools.lru_cache(maxsize=32)
-def frame_table_core(stream_bytes: int, bucket: int, mesh: Mesh | None = None):
-    """Jitted device ECC encoder for the equal-length bulk path.
-
-    (B, ceil(stream_bytes/4)) i32 big-endian words of header||ct||tag ->
-    (bucket+1, B) u8 frame-bit table: rep3 over the 304 header bits, rep7
-    over the payload bits (reference frame layout, steganosaur.cpp:986-995),
-    tail-padded by repeating each image's last bit, plus a zero sentinel row.
-    Uploading raw stream bytes instead of ECC-expanded bit words shrinks the
-    embed upload ~28x (the tunneled link is the bulk bottleneck).
-    """
+def _frame_from_words(words, stream_bytes: int, bucket: int):
+    """(B, ceil(stream_bytes/4)) i32 big-endian words of header||ct||tag ->
+    (B, bucket) u8 ECC frame bits: rep3 over the 304 header bits, rep7 over
+    the payload bits (reference frame layout, steganosaur.cpp:986-995),
+    tail-padded by repeating each image's last bit. The SINGLE source of
+    the device frame layout — every table builder calls this."""
     nwords = -(-stream_bytes // 4)
     nmax = 304 * 3 + (stream_bytes - 38) * 8 * 7
+    bits = jax.vmap(functools.partial(_unpack_bits_words, n=nwords * 32))(
+        words)[:, : stream_bytes * 8]
+    frame = jnp.concatenate(
+        [jnp.repeat(bits[:, :304], 3, axis=1),
+         jnp.repeat(bits[:, 304:], 7, axis=1)], axis=1)
+    if bucket > nmax:
+        frame = jnp.concatenate(
+            [frame, jnp.tile(frame[:, -1:], (1, bucket - nmax))], axis=1)
+    return frame
+
+
+@functools.lru_cache(maxsize=32)
+def frame_table_core(stream_bytes: int, bucket: int, mesh: Mesh | None = None):
+    """Jitted device ECC encoder for the equal-length MESH path: stream
+    words -> (bucket+1, B) u8 frame-bit table (zero sentinel row last).
+    Uploading raw stream bytes instead of ECC-expanded bit words shrinks the
+    embed upload ~28x (the tunneled link is the bulk bottleneck). The
+    single-chip path builds its batch-packed table inside the embed module
+    instead (corner_embed_core stream_bytes arg)."""
 
     def fn(words):
-        bits = jax.vmap(functools.partial(_unpack_bits_words, n=nwords * 32))(
-            words)[:, : stream_bytes * 8]
-        frame = jnp.concatenate(
-            [jnp.repeat(bits[:, :304], 3, axis=1),
-             jnp.repeat(bits[:, 304:], 7, axis=1)], axis=1)
-        if bucket > nmax:
-            frame = jnp.concatenate(
-                [frame, jnp.tile(frame[:, -1:], (1, bucket - nmax))], axis=1)
+        frame = _frame_from_words(words, stream_bytes, bucket)
         return jnp.concatenate(
             [frame.T, jnp.zeros((1, frame.shape[0]), jnp.uint8)])
 
@@ -394,29 +401,6 @@ def _unpack_batch_words(words_u32, B: int):
 
 
 @functools.lru_cache(maxsize=32)
-def frame_table_packed_core(stream_bytes: int, bucket: int, B: int):
-    """frame_table_core with the output batch-packed: (B, words) i32 streams
-    -> (bucket+1, ceil(B/32)) i32 table (zero sentinel row last)."""
-    nwords = -(-stream_bytes // 4)
-    nmax = 304 * 3 + (stream_bytes - 38) * 8 * 7
-
-    def fn(words):
-        bits = jax.vmap(functools.partial(_unpack_bits_words, n=nwords * 32))(
-            words)[:, : stream_bytes * 8]
-        frame = jnp.concatenate(
-            [jnp.repeat(bits[:, :304], 3, axis=1),
-             jnp.repeat(bits[:, 304:], 7, axis=1)], axis=1)
-        if bucket > nmax:
-            frame = jnp.concatenate(
-                [frame, jnp.tile(frame[:, -1:], (1, bucket - nmax))], axis=1)
-        packed = _pack_batch_words(frame)                # (Bw, bucket)
-        return jnp.concatenate(
-            [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
-
-    return jax.jit(fn)
-
-
-@functools.lru_cache(maxsize=32)
 def bits_table_packed_core(bucket: int, B: int):
     """bits_table_core with the output batch-packed."""
 
@@ -453,34 +437,24 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 
     stream_bytes > 0 (single-chip, equal-length path): the `table` argument
     is instead the (B, ceil(stream_bytes/4)) i32 raw stream words and the
-    packed frame table is built INSIDE this module (frame_table_packed_core
-    inlined) — one dispatched module instead of two (each module adds ~10 ms
-    launch latency on the tunneled runtime). `bucket` must then be given.
+    batch-packed frame table is built INSIDE this module (_frame_from_words
+    + _pack_batch_words) — one dispatched module instead of two (each module
+    adds ~10 ms launch latency on the tunneled runtime). `bucket` must then
+    be given.
     """
     from steganosaurus_tpu.spectral import corner
 
-    eyr, eyi = corner._dft_tables(H, Ky)
-    exr, exi = corner._dft_tables(W, Kx)
     prec = corner.precision()
     packed_table = mesh is None
     assert stream_bytes == 0 or (packed_table and bucket > 0)
 
     def build_table(words):
-        nwords = -(-stream_bytes // 4)
-        nmax = 304 * 3 + (stream_bytes - 38) * 8 * 7
-        bits = jax.vmap(functools.partial(_unpack_bits_words, n=nwords * 32))(
-            words)[:, : stream_bytes * 8]
-        frame = jnp.concatenate(
-            [jnp.repeat(bits[:, :304], 3, axis=1),
-             jnp.repeat(bits[:, 304:], 7, axis=1)], axis=1)
-        if bucket > nmax:
-            frame = jnp.concatenate(
-                [frame, jnp.tile(frame[:, -1:], (1, bucket - nmax))], axis=1)
-        packed = _pack_batch_words(frame)                # (Bw, bucket)
+        packed = _pack_batch_words(
+            _frame_from_words(words, stream_bytes, bucket))  # (Bw, bucket)
         return jnp.concatenate(
             [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
 
-    def fn(imgs, table, pos, cjd, sjd, alpha):
+    def fn(imgs, table, pos, cjd, sjd, alpha, eyr, eyi, exr, exi):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
@@ -514,16 +488,23 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 
     if not has_jitter:
         base = fn
-        fn = lambda imgs, table, pos, alpha: base(imgs, table, pos, None,  # noqa: E731
-                                                  None, alpha)
+        fn = lambda imgs, table, pos, alpha, *tabs: base(  # noqa: E731
+            imgs, table, pos, None, None, alpha, *tabs)
+    # DFT tables are runtime ARGUMENTS (uploaded once, shared by every
+    # module), never closure constants — capturing a device array bakes it
+    # into each compiled module via a host pull (spectral/corner.py).
+    tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
     if mesh is None:
-        return jax.jit(fn)
+        jfn = jax.jit(fn)
+        return lambda *args: jfn(*args, *tabs)
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4), _shardB(mesh, 2, axis=1), rep)
     in_sh += (rep, rep, rep) if has_jitter else (rep,)
+    in_sh += (rep, rep, rep, rep)
     # P("batch") with no trailing dims is rank-agnostic (pack=True -> rank 2)
-    return jax.jit(fn, in_shardings=in_sh,
-                   out_shardings=NamedSharding(mesh, P("batch")))
+    jfn = jax.jit(fn, in_shardings=in_sh,
+                  out_shardings=NamedSharding(mesh, P("batch")))
+    return lambda *args: jfn(*args, *tabs)
 
 
 @functools.lru_cache(maxsize=32)
@@ -541,12 +522,10 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     corner_embed_core."""
     from steganosaurus_tpu.spectral import corner
 
-    eyr, eyi = corner._dft_tables(H, Ky)
-    exr, exi = corner._dft_tables(W, Kx)
     prec = corner.precision()
     packed = mesh is None
 
-    def fn(imgs, cjd, sjd, alpha):
+    def fn(imgs, cjd, sjd, alpha, eyr, eyi, exr, exi):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
@@ -559,13 +538,18 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 
     if not has_jitter:
         base = fn
-        fn = lambda imgs, alpha: base(imgs, None, None, alpha)  # noqa: E731
+        fn = lambda imgs, alpha, *tabs: base(  # noqa: E731
+            imgs, None, None, alpha, *tabs)
+    tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
     if mesh is None:
-        return jax.jit(fn)
+        jfn = jax.jit(fn)
+        return lambda *args: jfn(*args, *tabs)
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4),)
     in_sh += (rep, rep, rep) if has_jitter else (rep,)
-    return jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 4))
+    in_sh += (rep, rep, rep, rep)
+    jfn = jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 4))
+    return lambda *args: jfn(*args, *tabs)
 
 
 def _pack_bd_batch(bd):
@@ -595,8 +579,6 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     read, gather, and ECC decode buys more than any kernel-level tweak."""
     from steganosaurus_tpu.spectral import corner
 
-    eyr, eyi = corner._dft_tables(H, Ky)
-    exr, exi = corner._dft_tables(W, Kx)
     prec = corner.precision()
 
     def decode(raw):
@@ -608,7 +590,7 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             ecc.rep_decode(raw[hdr_stream_bits:], 7)))
         return jnp.concatenate(outs)
 
-    def fn(imgs, cjd, sjd, alpha, plane, y, x):
+    def fn(imgs, cjd, sjd, alpha, plane, y, x, eyr, eyi, exr, exi):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
@@ -624,9 +606,11 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 
     if not has_jitter:
         base = fn
-        fn = lambda imgs, alpha, plane, y, x: base(  # noqa: E731
-            imgs, None, None, alpha, plane, y, x)
-    return jax.jit(fn)
+        fn = lambda imgs, alpha, plane, y, x, *tabs: base(  # noqa: E731
+            imgs, None, None, alpha, plane, y, x, *tabs)
+    tabs = corner.dft_tables_device(H, Ky, W, Kx, None)
+    jfn = jax.jit(fn)
+    return lambda *args: jfn(*args, *tabs)
 
 
 @functools.lru_cache(maxsize=32)

@@ -108,13 +108,27 @@ def load_rgb_batches(paths, batch_size: int, threads: int = 8):
     """Threaded PNG ingest: decode `paths` with a thread pool (PIL releases
     the GIL around decode) and yield (B, H, W, 3) u8 stacks of consecutive
     same-shape images, each at most batch_size. A shape change flushes the
-    current stack (batched graphs are shape-specialized)."""
+    current stack (batched graphs are shape-specialized).
+
+    Decode is BACKPRESSURED: at most 2*threads images are in flight ahead
+    of the consumer. (Executor.map submits every task eagerly — over a
+    large directory of 4K covers, decoded frames would pile up unboundedly
+    whenever the device pipeline stalls, eventually OOMing the host.)"""
     from steganosaurus_tpu.io import image as image_io
 
+    paths = list(paths)
+    window = max(2 * threads, 1)
     with ThreadPoolExecutor(max_workers=threads) as pool:
+        futs: deque = deque(
+            pool.submit(image_io.load_rgb, p) for p in paths[:window])
+        nxt = window
         cur: list[np.ndarray] = []
         cur_paths: list = []
-        for path, img in zip(paths, pool.map(image_io.load_rgb, paths)):
+        for path in paths:
+            img = futs.popleft().result()
+            if nxt < len(paths):
+                futs.append(pool.submit(image_io.load_rgb, paths[nxt]))
+                nxt += 1
             if cur and (img.shape != cur[0].shape
                         or len(cur) == batch_size):
                 yield cur_paths, np.stack(cur)

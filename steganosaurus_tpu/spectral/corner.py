@@ -111,25 +111,52 @@ def corner_dims(H: int, W: int, rmax: float) -> tuple[int, int]:
 
 @functools.lru_cache(maxsize=16)
 def _dft_tables(N: int, K: int):
-    """Device-resident (K, N) f32 tables (re, im) of exp(+2j*pi*k*n/N).
+    """HOST numpy (K, N) f32 tables (re, im) of exp(+2j*pi*k*n/N).
 
     The +2pi sign is the REFERENCE forward convention (conj of numpy's,
-    steganosaur.cpp:347). The angle argument is reduced with an exact int32
-    mod — k*n fits int32 for every supported size (K*N < 2^31) — so table
-    phases are accurate to f32 sin/cos, not to a rounded float product.
-    Built on device (one tiny jit): the tunnel uploads nothing.
+    steganosaur.cpp:347). The angle argument is reduced with an exact int64
+    mod — so table phases are accurate to f32 sin/cos, not to a rounded
+    float product.
+
+    Host-built and passed to the corner cores as ARGUMENTS (never closure
+    constants): a device array captured by a traced function is pulled back
+    to host during lowering — measured at 469 s for ONE table over the
+    tunneled runtime — and baked ~49 MB of table data into every compiled
+    module variant. As arguments they upload once per placement
+    (dft_tables_device) and every module shares them.
     """
-    assert K * N < 2**31
+    import numpy as np
 
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def build(N, K):
-        k = jnp.arange(K, dtype=jnp.int32)[:, None]
-        n = jnp.arange(N, dtype=jnp.int32)[None, :]
-        m = (k * n) % N
-        ang = m.astype(jnp.float32) * jnp.float32(2.0 * math.pi / N)
-        return jnp.cos(ang), jnp.sin(ang)
+    k = np.arange(K, dtype=np.int64)[:, None]
+    n = np.arange(N, dtype=np.int64)[None, :]
+    ang = ((k * n) % N).astype(np.float32) * np.float32(2.0 * math.pi / N)
+    return np.cos(ang, dtype=np.float32), np.sin(ang, dtype=np.float32)
 
-    return build(N, K)
+
+_DEV_TABLES: dict = {}
+
+
+def dft_tables_device(H: int, Ky: int, W: int, Kx: int, mesh=None):
+    """(eyr, eyi, exr, exi) device-resident f32 tables for an (H, W) grid's
+    (Ky, Kx) corner — uploaded once per (dims, mesh) and cached (replicated
+    over the mesh when given)."""
+    key = (H, Ky, W, Kx, mesh)
+    ent = _DEV_TABLES.get(key)
+    if ent is None:
+        eyr, eyi = _dft_tables(H, Ky)
+        exr, exi = _dft_tables(W, Kx)
+        if mesh is None:
+            put = jax.device_put
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec())
+            put = lambda a: jax.device_put(a, sh)  # noqa: E731
+        ent = tuple(put(a) for a in (eyr, eyi, exr, exi))
+        _DEV_TABLES[key] = ent
+        while len(_DEV_TABLES) > 16:
+            _DEV_TABLES.pop(next(iter(_DEV_TABLES)))
+    return ent
 
 
 def fwd_corner(planes, eyr, eyi, exr, exi, precision):

@@ -7,10 +7,12 @@ Accumulation is f32; operands are cast to bf16 in-VMEM (the "mix"
 precision stage-1 mode, spectral/corner.py:precision — stage-1 operands
 are exact/well-scaled in bf16).
 
-This is an optional backend (STEGANOSAURUS_CORNER_S1=pallas) kept for the
-measured comparison: on the 4K corner shapes XLA's einsum pair is already
-MXU-bound and the fusion saves only the second operand read (~0.5 ms of a
-~8 ms stage), so XLA remains the default. See doc/PAPER.md §5a.
+NOT wired into the production path — kept as the measured comparison and
+as the insertion point should the shape regime change: on the 4K corner
+shapes it benches 39.5 ms vs XLA's 37.5 ms for the 16-image stage (the
+einsum pair is already MXU-bound; the fusion saves only the second
+operand read). See doc/PAPER.md §5a. Exactness vs the production einsum
+is locked by tests/test_spectral.py::test_corner_pallas_matches_einsum.
 """
 
 from __future__ import annotations

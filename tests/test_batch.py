@@ -335,3 +335,43 @@ def test_stream_over_mesh(covers):
     got = list(stream.extract_stream((r.stego for r in outs), password="pw",
                                      params=p, mesh=mesh, depth=1))
     assert got == [secrets, secrets]
+
+
+def test_batch_jitter_corner_paths(covers):
+    """jitter != 0 drives the corner statics (cjd/sjd maps), the dense
+    jitter write/read trig, the fused-extract jitter branch, and the
+    channel report's jitter analysis — previously only the single-image
+    legacy scatter path had jitter coverage."""
+    from steganosaurus_tpu.pipeline.batch import channel_report
+
+    p = Params(jitter=0.2, **FAST)
+    secrets = [bytes([70 + i]) * (7 + i) for i in range(6)]
+    salts = [bytes([5 * i + 1]) * 16 for i in range(6)]
+    res = embed_batch(covers, secrets, password="pw", params=p, salts=salts)
+
+    # unhinted (header fused pass + payload second pass) and hinted
+    # (single fused pass) must both decode
+    assert extract_batch(res.stego, password="pw", params=p) == secrets
+    assert extract_batch(res.stego, password="pw", params=p,
+                         clen_hint=13) == secrets
+    rep = channel_report(res.stego, secrets, salts, password="pw", params=p)
+    assert rep["payload_ber_post_ecc"] == 0.0
+
+    # cross-path: the single-image legacy scatter pipeline must read the
+    # batch-embedded stego identically (locks the dense jitter trig
+    # against the reference-literal formulation)
+    assert extract_array(res.stego[2], password="pw", params=p) == secrets[2]
+
+    # mesh path with jitter (replicated statics + sharded cores)
+    mesh = pbatch.make_mesh(8)
+    big = np.concatenate([covers, covers[:2]])
+    secrets8 = [bytes([80 + i]) * 11 for i in range(8)]
+    salts8 = [bytes([7 * i + 3]) * 16 for i in range(8)]
+    res8 = embed_batch(big, secrets8, password="pw", params=p, salts=salts8,
+                       mesh=mesh)
+    assert extract_batch(res8.stego, password="pw", params=p,
+                         mesh=mesh) == secrets8
+    # mesh and single-chip embeds must be pixel-identical
+    res8b = embed_batch(big, secrets8, password="pw", params=p,
+                        salts=salts8)
+    np.testing.assert_array_equal(res8.stego, res8b.stego)

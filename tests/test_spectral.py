@@ -79,3 +79,25 @@ def test_cover_hash_features_quantization():
     feat = np.asarray(spectral.cover_hash_features(spec))
     assert feat.shape == (3, 8, 8)
     assert feat[0, 0, 0] == 3 and feat[0, 1, 1] == 7 and feat[0, 2, 2] == 0
+
+
+def test_corner_pallas_matches_einsum():
+    """The Pallas stage-1 kernel (kept as the measured XLA comparison,
+    doc/PAPER.md 5a) must stay bit-compatible with the production bf16
+    einsum pair; interpret mode exercises it without TPU hardware."""
+    import jax.numpy as jnp
+
+    from steganosaurus_tpu.spectral import corner, corner_pallas
+
+    P, H, W, Kx = 3, 64, 256, 128
+    rng = np.random.default_rng(11)
+    planes = rng.integers(0, 256, (P, H, W)).astype(np.float32)
+    exr, exi = corner._dft_tables(W, Kx)
+    ar, ai = corner_pallas.fwd_stage1(planes, exr, exi, interpret=True)
+    ar2 = corner._mm("phw,xw->phx", jnp.asarray(planes), jnp.asarray(exr),
+                     "bf16")
+    ai2 = corner._mm("phw,xw->phx", jnp.asarray(planes), jnp.asarray(exi),
+                     "bf16")
+    scale = float(jnp.max(jnp.abs(ar2)))
+    assert float(jnp.max(jnp.abs(ar - ar2))) <= 1e-5 * scale
+    assert float(jnp.max(jnp.abs(ai - ai2))) <= 1e-5 * scale
