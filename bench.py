@@ -50,6 +50,12 @@ SMALL_BATCH = 16
 SMALL_SECRET = 100
 SMALL_ITERS = 4
 
+# Tertiary: BASELINE config 2 (1080p, multi-KB payloads)
+FHD_H, FHD_W = 1080, 1920
+FHD_BATCH = 32
+FHD_SECRET = 4 * 1024
+FHD_ITERS = 3
+
 
 def make_covers(B: int, h: int, w: int) -> np.ndarray:
     rng = np.random.default_rng(42)
@@ -284,6 +290,8 @@ def main():
 
     uhd_loop_ips, uhd_psnr, uhd_ssim, uhd_ber, uhd_ips = bench_ours(
         UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, UHD_ITERS, master_key)
+    _, fhd_psnr, _, _, fhd_ips = bench_ours(
+        FHD_H, FHD_W, FHD_BATCH, FHD_SECRET, FHD_ITERS, master_key)
     # 512px secondary keeps the serialized-loop semantic (continuity with
     # earlier rounds; at 0.3 ms/img of device work the stream's per-batch
     # yield overhead dominates and the loop is the better number).
@@ -320,6 +328,8 @@ def main():
         "header_ber_raw": round(uhd_ber["header_ber_raw"], 6),
         # 4K config meeting PSNR>50dB / SSIM>0.995 with verified recovery
         "psnr_target_config": target_cfg,
+        "fhd_1080p_images_per_sec": round(fhd_ips, 3),
+        "fhd_1080p_psnr_db": round(fhd_psnr, 2),
         "secondary_512px_images_per_sec": round(small_ips, 3),
         "secondary_512px_vs_baseline": (round(small_ips * ref["spi_512"], 2)
                                         if ref["measured"] else None),

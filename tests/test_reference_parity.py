@@ -250,8 +250,12 @@ def test_stego_images_pixel_identical_f64(reference_bin, host_png, tmp_path):
 @pytest.mark.parametrize("mode_flags,params_kw", [
     (["--adaptive_alpha", "1"], dict(adaptive_alpha=True)),      # BASELINE cfg 4
     (["--cover_dependent_path", "1"], dict(cover_dependent_path=True)),  # cfg 5
+    # cfg 5's density/rmin/rmax sweep combined with the cover-dependent walk
+    (["--cover_dependent_path", "1", "--density", "0.5", "--rmin", "0.08",
+      "--rmax", "0.40"],
+     dict(cover_dependent_path=True, density=0.5, rmin=0.08, rmax=0.40)),
     (["--center", "1"], dict(center=True)),
-], ids=["adaptive_alpha", "cover_dependent_path", "center"])
+], ids=["adaptive_alpha", "cover_dependent_path", "cdp_sweep", "center"])
 def test_experimental_modes_oracle_parity(reference_bin, host_png, tmp_path,
                                           mode_flags, params_kw):
     """BASELINE configs 4/5 (+ --center) against the live oracle, per-case:
