@@ -27,6 +27,40 @@ the reference tree (steganosaurus/src/steganosaur.cpp et al.).
 
 from steganosaurus_tpu.config import Params
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["Params", "__version__"]
+# Lazy top-level convenience API (PEP 562): `import steganosaurus_tpu as st;
+# st.embed_batch(...)`. Resolved on first touch so importing the package
+# stays cheap (no jax / device init until a pipeline symbol is used).
+_API = {
+    "embed": ("steganosaurus_tpu.pipeline.embed", "embed"),
+    "embed_array": ("steganosaurus_tpu.pipeline.embed", "embed_array"),
+    "extract": ("steganosaurus_tpu.pipeline.extract", "extract"),
+    "extract_array": ("steganosaurus_tpu.pipeline.extract", "extract_array"),
+    "embed_batch": ("steganosaurus_tpu.pipeline.batch", "embed_batch"),
+    "extract_batch": ("steganosaurus_tpu.pipeline.batch", "extract_batch"),
+    "extract_dispatch": ("steganosaurus_tpu.pipeline.batch",
+                         "extract_dispatch"),
+    "channel_report": ("steganosaurus_tpu.pipeline.batch", "channel_report"),
+    "embed_stream": ("steganosaurus_tpu.pipeline.stream", "embed_stream"),
+    "extract_stream": ("steganosaurus_tpu.pipeline.stream", "extract_stream"),
+    "load_rgb_batches": ("steganosaurus_tpu.pipeline.stream",
+                         "load_rgb_batches"),
+    "StegoError": ("steganosaurus_tpu.pipeline.errors", "StegoError"),
+}
+
+
+def __getattr__(name: str):
+    try:
+        mod, attr = _API[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    val = getattr(importlib.import_module(mod), attr)
+    globals()[name] = val  # cache for subsequent lookups
+    return val
+
+
+__all__ = ["Params", "__version__", *_API]
