@@ -56,6 +56,14 @@ FHD_BATCH = 32
 FHD_SECRET = 4 * 1024
 FHD_ITERS = 3
 
+# Same-workload baseline comparison: 4096^2 pow2, the largest class the
+# reference can round-trip, at the same 2 KB payload its baseline
+# measurement uses — vs_baseline_same_size divides like for like.
+P2_N = 4096
+P2_BATCH = 8
+P2_SECRET = 2000
+P2_ITERS = 2
+
 
 def make_covers(B: int, h: int, w: int) -> np.ndarray:
     rng = np.random.default_rng(42)
@@ -292,6 +300,8 @@ def main():
         UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, UHD_ITERS, master_key)
     _, fhd_psnr, _, _, fhd_ips = bench_ours(
         FHD_H, FHD_W, FHD_BATCH, FHD_SECRET, FHD_ITERS, master_key)
+    _, _, _, _, p2_ips = bench_ours(
+        P2_N, P2_N, P2_BATCH, P2_SECRET, P2_ITERS, master_key)
     # 512px secondary keeps the serialized-loop semantic (continuity with
     # earlier rounds; at 0.3 ms/img of device work the stream's per-batch
     # yield overhead dominates and the loop is the better number).
@@ -328,6 +338,10 @@ def main():
         "header_ber_raw": round(uhd_ber["header_ber_raw"], 6),
         # 4K config meeting PSNR>50dB / SSIM>0.995 with verified recovery
         "psnr_target_config": target_cfg,
+        # identical workload to the reference baseline (4096^2 pow2, 2 KB)
+        "pow2_4096_images_per_sec": round(p2_ips, 3),
+        "vs_baseline_same_size": (round(p2_ips / ref_4096_ips, 1)
+                                  if ref_4096_ips else None),
         "fhd_1080p_images_per_sec": round(fhd_ips, 3),
         "fhd_1080p_psnr_db": round(fhd_psnr, 2),
         "secondary_512px_images_per_sec": round(small_ips, 3),
