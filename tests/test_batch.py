@@ -375,3 +375,22 @@ def test_batch_jitter_corner_paths(covers):
     res8b = embed_batch(big, secrets8, password="pw", params=p,
                         salts=salts8)
     np.testing.assert_array_equal(res8.stego, res8b.stego)
+
+
+def test_edge_cases(covers):
+    """Empty payloads, empty streams, clean-cover extraction, and wrong
+    passwords must all behave gracefully (no crashes, None per failed
+    image) across batch, dispatch, and stream surfaces."""
+    from steganosaurus_tpu.pipeline import stream
+    from steganosaurus_tpu.pipeline.batch import extract_dispatch
+
+    p = Params(**FAST)
+    two = covers[:2]
+    res = embed_batch(two, [b"", b"x"], password="pw", params=p,
+                      salts=[bytes(16)] * 2)
+    assert extract_batch(res.stego, password="pw", params=p) == [b"", b"x"]
+    assert list(stream.embed_stream(iter([]), password="pw", params=p)) == []
+    assert extract_batch(two, password="pw", params=p) == [None, None]
+    assert extract_batch(res.stego, password="WRONG", params=p) == [None] * 2
+    assert extract_dispatch(two, password="pw",
+                            params=p).finalize() == [None, None]
