@@ -1,28 +1,42 @@
 """Benchmark: batched 4K-UHD embed+extract round-trips per second, one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints a JSON line {"metric", "value", "unit", "vs_baseline", ...} — and
+prints it INCREMENTALLY: the headline measurement is taken first and a
+complete JSON line is flushed immediately; every later stage re-prints the
+(superset) line with its fields added. The LAST line on stdout is always the
+most complete record, and a driver timeout mid-run still captures everything
+measured so far (round 2 lost its entire record to a timeout that struck
+before the single final print). A SIGTERM handler additionally flushes the
+current snapshot on a best-effort basis.
+
+Stages after the headline are wall-clock-budgeted (STEGANOSAURUS_BENCH_BUDGET
+seconds, default 420): each optional stage runs only if its conservative cost
+estimate fits the remaining budget. STEGANOSAURUS_BENCH_FULL=1 ignores the
+budget and runs everything.
 
 Headline metric (BASELINE.json north star): 4K UHD (2160x3840) batched
 embed+extract with 16 KB payloads, payload recovery verified (AEAD tag)
-every iteration. A 512px/100B secondary metric is included for continuity
-with earlier rounds.
+every iteration.
 
 Baseline: the reference C++ binary CANNOT round-trip 4K UHD at all — it
 pads to pow2 and crops the IFFT, which corrupts the written phases on every
 non-pow2 image ("Magic not found", verified directly; see spectral.fft_dims).
 The honest baseline is therefore the largest image class it CAN round-trip:
-4096x4096 (pow2, 2x the UHD pixel count), measured live once and cached in
-.cache/bench_baseline.json (a round-trip takes ~3 min). Comparison is
-apples-to-apples on the pipeline itself: both sides run raw-master-key mode
-(PBKDF2 is a user-tunable stretching cost; the reference's own docs put it
-at ~99% of runtime, doc/SUMMARY.md:95).
+4096x4096 (pow2, 2x the UHD pixel count), measured live once and persisted
+in BASELINE_MEASURED.json (a reference round-trip takes ~4 min of
+single-core C++; the measurement is tracked so certified runs never re-pay
+it). Comparison is apples-to-apples on the pipeline itself: both sides run
+raw-master-key mode (PBKDF2 is a user-tunable stretching cost; the
+reference's own docs put it at ~99% of runtime, doc/SUMMARY.md:95).
 """
 
 from __future__ import annotations
 
 import base64
 import json
+import os
 import pathlib
+import signal
 import subprocess
 import sys
 import tempfile
@@ -34,6 +48,7 @@ REPO = pathlib.Path(__file__).resolve().parent
 REF_SRC = pathlib.Path("/root/reference/steganosaurus")
 REF_BUILD = REPO / "build_ref"
 BASELINE_CACHE = REPO / ".cache" / "bench_baseline.json"
+BASELINE_TRACKED = REPO / "BASELINE_MEASURED.json"
 
 # Headline config: 4K UHD, 16 KB payloads (BASELINE.json config 3).
 # Batch 32: per-batch dispatch/launch overhead amortizes over 2x images vs
@@ -64,12 +79,72 @@ P2_BATCH = 8
 P2_SECRET = 2000
 P2_ITERS = 2
 
+T0 = time.perf_counter()
+BUDGET = float(os.environ.get("STEGANOSAURUS_BENCH_BUDGET", "420"))
+FULL = os.environ.get("STEGANOSAURUS_BENCH_FULL") == "1"
+
+# The evolving record. Emitted (full line, flushed) after every stage.
+RESULT: dict = {
+    "metric": "embed_extract_4k_uhd_images_per_sec",
+    "value": None,
+    "unit": "images/sec/chip",
+    "vs_baseline": None,
+}
+_EMITTED = False
+
+
+def emit():
+    global _EMITTED
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_term(signum, frame):  # best-effort snapshot on driver timeout
+    RESULT["truncated_by_signal"] = int(signum)
+    try:
+        emit()
+    finally:
+        sys.stdout.flush()
+        os._exit(3)
+
+
+def note(msg: str) -> None:
+    """Progress marker on stderr: a timed-out run's log shows exactly which
+    phase ate the budget (tunnel stalls are indistinguishable from compute
+    without these)."""
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return BUDGET - (time.perf_counter() - T0)
+
+
+def fits(estimate_s: float) -> bool:
+    return FULL or remaining() >= estimate_s
+
 
 def make_covers(B: int, h: int, w: int) -> np.ndarray:
+    """Deterministic bench covers (seed 42), disk-cached: this host has ONE
+    CPU core and generating the 4K/B=32 batch is ~3 min of single-core
+    numpy — by far the largest non-measured cost in a bench run. The pixel
+    math is bit-identical to earlier rounds (the fixed (cover, salt) pairs
+    are known-verified); generation is chunked per image only to bound the
+    int64 scratch."""
+    path = REPO / ".cache" / f"covers_{B}x{h}x{w}.npy"
+    if path.exists():
+        return np.load(path)
     rng = np.random.default_rng(42)
     base = np.linspace(150, 235, w)
-    imgs = base[None, None, :, None] + rng.integers(-18, 19, (B, h, w, 3))
-    return np.clip(imgs, 0, 255).astype(np.uint8)
+    rows = []
+    for _ in range(B):
+        noise = rng.integers(-18, 19, (h, w, 3))
+        rows.append(np.clip(base[None, :, None] + noise, 0, 255)
+                    .astype(np.uint8))
+    out = np.stack(rows)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.save(path, out)
+    return out
 
 
 def build_reference() -> pathlib.Path | None:
@@ -119,168 +194,212 @@ def bench_reference(exe: pathlib.Path, cover: np.ndarray, secret: bytes,
         return min(times), psnr
 
 
-def reference_baselines(exe: pathlib.Path | None, key_b64: str) -> dict:
-    """Measured reference numbers, cached on disk (the 4096^2 round-trip
-    alone takes ~3 minutes of single-core C++)."""
-    if BASELINE_CACHE.exists():
-        try:
-            cached = json.loads(BASELINE_CACHE.read_text())
-            # Serve only successful measurements: older bench versions cached
-            # measured:false entries (with invented floors); honoring those
-            # would suppress re-measurement forever on hosts where the
-            # reference now builds.
-            if cached.get("measured"):
-                return cached
-        except json.JSONDecodeError:
-            pass
-    out = {"measured": False}
-    if exe is not None:
-        small = bench_reference(exe, make_covers(1, SMALL, SMALL)[0],
-                                b"A" * SMALL_SECRET, key_b64, reps=3)
-        big = bench_reference(exe, make_covers(1, 4096, 4096)[0],
-                              b"A" * 2000, key_b64, reps=1)
-        if small and big:
-            out = {
-                "measured": True,
-                "spi_512": small[0], "psnr_512": small[1],
-                "spi_4096": big[0], "psnr_4096": big[1],
-            }
-    if not out["measured"]:
-        # No invented numbers: a guessed baseline in the headline
-        # vs_baseline ratio is worse than no ratio. Callers must handle None.
-        out.update({"spi_512": None, "psnr_512": None, "spi_4096": None,
-                    "psnr_4096": None})
-        return out  # don't cache a failure; retry next run
-    BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
-    BASELINE_CACHE.write_text(json.dumps(out))
+def reference_baselines(key_b64: str, allow_measure: bool) -> dict:
+    """Measured reference numbers. Resolution order: tracked
+    BASELINE_MEASURED.json (committed after the first successful live
+    measurement — certified runs must not re-pay ~4 min of single-core
+    C++), then the legacy .cache file, then a live measurement if
+    `allow_measure` (budget permitting). No invented numbers, ever: a
+    guessed baseline in the headline ratio is worse than no ratio."""
+    for path in (BASELINE_TRACKED, BASELINE_CACHE):
+        if path.exists():
+            try:
+                cached = json.loads(path.read_text())
+                if cached.get("measured"):
+                    if path is BASELINE_CACHE:  # promote to the tracked file
+                        BASELINE_TRACKED.write_text(json.dumps(cached))
+                    return cached
+            except json.JSONDecodeError:
+                pass
+    out = {"measured": False, "spi_512": None, "psnr_512": None,
+           "spi_4096": None, "psnr_4096": None}
+    if not allow_measure:
+        return out
+    exe = build_reference()
+    if exe is None:
+        return out
+    small = bench_reference(exe, make_covers(1, SMALL, SMALL)[0],
+                            b"A" * SMALL_SECRET, key_b64, reps=3)
+    big = bench_reference(exe, make_covers(1, 4096, 4096)[0],
+                          b"A" * 2000, key_b64, reps=1)
+    if small and big:
+        out = {"measured": True,
+               "spi_512": small[0], "psnr_512": small[1],
+               "spi_4096": big[0], "psnr_4096": big[1]}
+        BASELINE_TRACKED.write_text(json.dumps(out))
+        BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
+        BASELINE_CACHE.write_text(json.dumps(out))
     return out
 
 
-def bench_ours(h: int, w: int, batch: int, secret_len: int, iters: int,
-               master_key: bytes):
-    """Bulk-pipeline throughput: covers device-resident (uploaded once and
-    amortized, as a serving deployment would), stego stays on device between
-    embed and extract. Payload recovery is verified (AEAD tag) every
-    iteration; the stego batch is pulled once at the end for PSNR.
+class Workload:
+    """One (shape, batch, secret_len) workload with its device-resident
+    covers and jitted step; lets the stages of a measurement be interleaved
+    with emits instead of bundled into one long function."""
 
-    Returns (loop_ips, psnr_db, ssim, ber_dict, stream_ips); stream_ips
-    (the pipelined serving path) is the headline.
-    """
-    import jax
-    import jax.numpy as jnp
+    def __init__(self, h, w, batch, secret_len, master_key):
+        import jax
+        import jax.numpy as jnp
 
-    from steganosaurus_tpu.config import Params
-    from steganosaurus_tpu.pipeline.batch import embed_batch, extract_batch
+        from steganosaurus_tpu.config import Params
 
-    rng = np.random.default_rng(7)
-    covers = make_covers(batch, h, w)
-    secrets = [bytes(rng.integers(0, 256, secret_len, dtype=np.uint8))
-               for _ in range(batch)]
-    p = Params()
-    salts = [bytes([i]) * 16 for i in range(batch)]
-    # Serving layout: covers live on device in (B, 3, H, W) — layout="nchw"
-    # skips two strided u8 relayouts per round-trip (the one-time transpose
-    # below is paid at ingest, exactly like a production pipeline would).
-    covers_d = jax.jit(lambda a: jnp.transpose(a, (0, 3, 1, 2)))(
-        jax.device_put(covers))
-    covers_d.block_until_ready()
+        self.h, self.w, self.batch, self.secret_len = h, w, batch, secret_len
+        self.master_key = master_key
+        self.p = Params()
+        rng = np.random.default_rng(7)
+        self.covers = make_covers(batch, h, w)
+        self.secrets = [bytes(rng.integers(0, 256, secret_len, dtype=np.uint8))
+                        for _ in range(batch)]
+        self.salts = [bytes([i]) * 16 for i in range(batch)]
+        # Serving layout: covers live on device in (B, 3, H, W) —
+        # layout="nchw" skips two strided u8 relayouts per round-trip (the
+        # one-time transpose below is paid at ingest, exactly like a
+        # production pipeline would).
+        self.covers_d = jax.jit(lambda a: jnp.transpose(a, (0, 3, 1, 2)))(
+            jax.device_put(self.covers))
+        self.covers_d.block_until_ready()
 
-    def step():
-        res = embed_batch(covers_d, secrets, master_key=master_key, params=p,
-                          salts=salts, device_resident=True, layout="nchw")
-        got = extract_batch(res.stego, master_key=master_key, params=p,
-                            clen_hint=secret_len, layout="nchw")
-        assert got == secrets, "payload recovery failed"
+    def step(self):
+        from steganosaurus_tpu.pipeline.batch import embed_batch, extract_batch
+
+        res = embed_batch(self.covers_d, self.secrets,
+                          master_key=self.master_key, params=self.p,
+                          salts=self.salts, device_resident=True,
+                          layout="nchw")
+        got = extract_batch(res.stego, master_key=self.master_key,
+                            params=self.p, clen_hint=self.secret_len,
+                            layout="nchw")
+        assert got == self.secrets, "payload recovery failed"
         return res.stego
 
-    stego_d = step()  # warmup + compile + correctness
+    def stream_ips(self, iters: int, salts_for_iter=None) -> tuple[float, float]:
+        """(images/sec, recovery_rate) over the pipelined serving path
+        (pipeline.stream) — batch N+1's host AEAD/packing and dispatch
+        overlap batch N's device graphs, which both hides host time and
+        absorbs the tunneled runtime's per-pull latency jitter.
 
-    # HEADLINE: the pipelined serving path (pipeline.stream) — batch N+1's
-    # host AEAD/packing and dispatch overlap batch N's device graphs
-    # (embed_stream chained into extract_stream, depth-2 in flight), which
-    # both hides host time and absorbs the tunneled runtime's per-pull
-    # latency jitter (the serialized loop below eats every stall at full
-    # price; production bulk pipelines are stream-shaped).
-    from steganosaurus_tpu.pipeline import stream as pstream
+        salts_for_iter(k) -> per-iteration salts enables the rotating-salt
+        honesty variant (fresh AEAD bits every batch). Recovery is COUNTED,
+        not asserted, and returned as a rate."""
+        from steganosaurus_tpu.pipeline import stream as pstream
 
-    t0 = time.perf_counter()
-    embeds = pstream.embed_stream(
-        ((covers_d, secrets, salts) for _ in range(iters)),
-        master_key=master_key, params=p, depth=2, layout="nchw")
-    for got in pstream.extract_stream((r.stego for r in embeds),
-                                      master_key=master_key, params=p,
-                                      clen_hint=secret_len, depth=2,
-                                      layout="nchw"):
-        assert got == secrets, "payload recovery failed (streamed)"
-    stream_dt = time.perf_counter() - t0
+        mk, p = self.master_key, self.p
+        salt_fn = salts_for_iter or (lambda k: self.salts)
+        n_ok = n_tot = 0
+        t0 = time.perf_counter()
+        embeds = pstream.embed_stream(
+            ((self.covers_d, self.secrets, salt_fn(k)) for k in range(iters)),
+            master_key=mk, params=p, depth=2, layout="nchw")
+        for got in pstream.extract_stream((r.stego for r in embeds),
+                                          master_key=mk, params=p,
+                                          clen_hint=self.secret_len, depth=2,
+                                          layout="nchw"):
+            n_ok += sum(g == s for g, s in zip(got, self.secrets))
+            n_tot += self.batch
+        dt = time.perf_counter() - t0
+        return (self.batch * iters) / dt, n_ok / n_tot
 
-    # Secondary: strictly serialized embed->extract->pull round-trip loop
-    # (latency-shaped: every dispatch gap and tunnel stall lands on the
-    # critical path).
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        step()
-    dt = time.perf_counter() - t0
+    def loop_ips(self, iters: int) -> float:
+        """Strictly serialized embed->extract round-trip loop (latency-
+        shaped: every dispatch gap and tunnel stall lands on the critical
+        path)."""
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            self.step()
+        return (self.batch * iters) / (time.perf_counter() - t0)
 
-    from steganosaurus_tpu.pipeline.batch import channel_report
-    from steganosaurus_tpu.utils import metrics
+    def quality(self, stego_d) -> tuple[float, float]:
+        from steganosaurus_tpu.utils import metrics
 
-    # Channel quality (SURVEY §5: BER before/after ECC) — measured once on
-    # the final stego batch, outside the timed loop.
-    ber = channel_report(stego_d, secrets, salts, master_key=master_key,
-                         params=p, layout="nchw")
+        stego = np.asarray(stego_d).transpose(0, 2, 3, 1)
+        err = stego.astype(np.float64) - self.covers.astype(np.float64)
+        mse = float(np.mean(np.square(err)))
+        psnr = (10.0 * np.log10(255.0 * 255.0 / mse) if mse > 0
+                else float("inf"))
+        ssim = float(np.mean([metrics.ssim(self.covers[i], stego[i])
+                              for i in range(min(self.batch, 4))]))
+        return psnr, ssim
 
-    stego = np.asarray(stego_d).transpose(0, 2, 3, 1)
-    err = stego.astype(np.float64) - covers.astype(np.float64)
-    mse = float(np.mean(np.square(err)))
-    psnr = 10.0 * np.log10(255.0 * 255.0 / mse) if mse > 0 else float("inf")
-    ssim = float(np.mean([metrics.ssim(covers[i], stego[i])
-                          for i in range(min(batch, 4))]))
-    return ((batch * iters) / dt, psnr, ssim, ber,
-            (batch * iters) / stream_dt)
+    def ber(self, stego_d) -> dict:
+        from steganosaurus_tpu.pipeline.batch import channel_report
+
+        return channel_report(stego_d, self.secrets, self.salts,
+                              master_key=self.master_key, params=self.p,
+                              layout="nchw")
 
 
-def psnr_target_config(master_key: bytes) -> dict | None:
-    """Find a 4K UHD config meeting the BASELINE imperceptibility bar
-    (PSNR > 50 dB, SSIM > 0.995) with AEAD-verified recovery (verify mode
-    re-salts failures, so recovery is deterministic when it converges).
+def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0) -> dict | None:
+    """Binary-search the LARGEST 4K-UHD payload meeting the BASELINE
+    imperceptibility bar (PSNR > 50 dB, SSIM > 0.995) with AEAD-verified
+    recovery (verify mode re-salts failures, so recovery is deterministic
+    when it converges).
 
-    The headline 16KB config trades imperceptibility for payload density;
-    this ladder walks the payload down until the bar is met and reports the
-    winning config. Payload size is the lever: the write sets a bin's phase
-    to +-alpha regardless of its current (uniform) phase, so the per-bin
-    delta is ~mag*O(1) INDEPENDENT of alpha — PSNR moves ~6 dB per payload
-    halving and essentially not at all with alpha (measured). Alpha stays at
-    the default 0.5 for full noise margin.
-    """
+    The headline 16 KB config trades imperceptibility for payload density —
+    the write sets a bin's phase to +-alpha regardless of its current
+    (uniform) phase, so the per-bin delta is ~mag*O(1) INDEPENDENT of alpha;
+    PSNR moves ~6 dB per payload halving and essentially not at all with
+    alpha (measured; doc/ATTACKS.md §1 derives the footprint formula). The
+    search is over payload size at the default alpha=0.5 (full noise
+    margin), quantized to 512-byte steps (each distinct ECC bucket is a
+    fresh 4K XLA module; coarse steps bound compile count). Budget-gated
+    per probe; returns the best bar-meeting config found, flagged
+    `search_exhausted` when the bracket closed."""
+    import jax
+
     from steganosaurus_tpu.config import Params
     from steganosaurus_tpu.pipeline.batch import embed_batch
     from steganosaurus_tpu.utils import metrics
 
     rng = np.random.default_rng(13)
-    B = 4
-    covers = make_covers(B, UHD_H, UHD_W)
-    import jax
-
+    B, STEP, ALPHA = 4, 512, 0.5
+    # first 4 of the headline batch (same seed/order; reuses the disk cache)
+    covers = np.ascontiguousarray(make_covers(UHD_BATCH, UHD_H, UHD_W)[:B])
     covers_d = jax.device_put(covers)
-    for alpha, nbytes in ((0.5, 2048), (0.5, 1024), (0.5, 512)):
-        p = Params(alpha=alpha)
+
+    def probe(nbytes: int):
+        p = Params(alpha=ALPHA)
         secrets = [bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
                    for _ in range(B)]
         res = embed_batch(covers_d, secrets, master_key=master_key, params=p,
                           device_resident=True, verify=True, max_retries=4)
         if not all(res.verified):
-            continue
+            return None
         stego = np.asarray(res.stego)
         err = stego.astype(np.float64) - covers.astype(np.float64)
         psnr = 10.0 * np.log10(255.0 ** 2 / float(np.mean(np.square(err))))
         ssim = float(np.mean([metrics.ssim(covers[i], stego[i])
                               for i in range(B)]))
-        if psnr > 50.0 and ssim > 0.995:
-            return {"alpha": alpha, "secret_bytes": nbytes,
-                    "psnr_db": round(psnr, 2), "ssim": round(ssim, 4),
-                    "recovery_verified": True}
-    return None
+        return psnr, ssim
+
+    best: dict | None = None
+    lo, hi = STEP, UHD_SECRET  # invariant: best config (if any) is >= lo-STEP
+    # First probe at 2 KB: round-1 measured 36.3 dB at 16 KB and the bar
+    # moves ~6 dB per halving, so 2 KB (~+18 dB) is the expected ballpark —
+    # probing it first banks a bar-meeting record before any refinement.
+    cand = 2048
+    while True:
+        if not fits(probe_cost_s):
+            break
+        t_probe = time.perf_counter()
+        q = probe(cand)
+        # Adapt the cost estimate: each distinct payload bucket is a fresh
+        # 4K XLA module, and a cold compile is minutes, not seconds.
+        probe_cost_s = max(probe_cost_s,
+                           1.1 * (time.perf_counter() - t_probe))
+        if q is not None and q[0] > 50.0 and q[1] > 0.995:
+            best = {"alpha": ALPHA, "secret_bytes": cand,
+                    "psnr_db": round(q[0], 2), "ssim": round(q[1], 4),
+                    "recovery_verified": True, "search_exhausted": False}
+            lo = cand + STEP
+        else:
+            hi = cand - STEP
+        if lo > hi:
+            if best is not None:
+                best["search_exhausted"] = True
+            break
+        cand = (lo + hi) // 2 // STEP * STEP
+        cand = max(cand, STEP)
+    return best
 
 
 def main():
@@ -288,37 +407,33 @@ def main():
 
     from steganosaurus_tpu import _native_loader, runtime
 
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
     runtime.enable_compilation_cache()
     # The C++ walk expander is a build artifact; without it the fresh-key
     # turtle expansion silently runs in pure Python (~1000x slower) and
     # poisons the first measured step.
     _native_loader.ensure_built()
+    note("native lib ready")
     master_key = bytes(range(32))
     key_b64 = base64.b64encode(master_key).decode()
 
-    uhd_loop_ips, uhd_psnr, uhd_ssim, uhd_ber, uhd_ips = bench_ours(
-        UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, UHD_ITERS, master_key)
-    _, fhd_psnr, _, _, fhd_ips = bench_ours(
-        FHD_H, FHD_W, FHD_BATCH, FHD_SECRET, FHD_ITERS, master_key)
-    _, _, _, _, p2_ips = bench_ours(
-        P2_N, P2_N, P2_BATCH, P2_SECRET, P2_ITERS, master_key)
-    # 512px secondary keeps the serialized-loop semantic (continuity with
-    # earlier rounds; at 0.3 ms/img of device work the stream's per-batch
-    # yield overhead dominates and the loop is the better number).
-    small_ips, small_psnr, small_ssim, _, _ = bench_ours(
-        SMALL, SMALL, SMALL_BATCH, SMALL_SECRET, SMALL_ITERS, master_key)
-    target_cfg = psnr_target_config(master_key)
-
-    ref = reference_baselines(build_reference(), key_b64)
+    # Baseline first: tracked-file read is instant; a live measurement is
+    # allowed only when the budget safely covers ~4 min of C++ plus the
+    # headline (i.e. effectively only under STEGANOSAURUS_BENCH_FULL).
+    ref = reference_baselines(key_b64, allow_measure=fits(600))
     ref_4096_ips = (1.0 / ref["spi_4096"]) if ref["measured"] else None
 
-    print(json.dumps({
-        "metric": "embed_extract_4k_uhd_images_per_sec",
+    # ---- HEADLINE: 4K UHD pipelined stream, fixed known-verified salts ----
+    note("building UHD workload (covers + upload)")
+    uhd = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key)
+    note("warmup step (compile + correctness)")
+    stego_d = uhd.step()  # warmup + compile + correctness (asserts recovery)
+    note("warmup done; measuring headline stream")
+    uhd_ips, rec = uhd.stream_ips(UHD_ITERS)
+    assert rec == 1.0, "headline recovery failed"
+    RESULT.update({
         "value": round(uhd_ips, 3),
-        # Baseline: reference at 4096^2 pow2, its largest working class —
-        # it cannot round-trip 4K UHD (non-pow2) at all. vs_baseline is null
-        # if the reference build/measure failed (no invented numbers).
-        "unit": "images/sec/chip",
         "vs_baseline": (round(uhd_ips / ref_4096_ips, 1)
                         if ref_4096_ips else None),
         "baseline_4096px_images_per_sec": (round(ref_4096_ips, 5)
@@ -328,39 +443,140 @@ def main():
         "baseline_measured": ref["measured"],
         "batch": UHD_BATCH,
         "secret_bytes": UHD_SECRET,
-        "stego_psnr_db": round(uhd_psnr, 2),
-        "stego_ssim": round(uhd_ssim, 4),
-        # strictly serialized per-batch round-trip loop (latency-shaped;
-        # the headline is the pipelined stream — see bench_ours)
-        "loop_images_per_sec": round(uhd_loop_ips, 3),
-        "payload_ber_raw": round(uhd_ber["payload_ber_raw"], 6),
-        "payload_ber_post_ecc": round(uhd_ber["payload_ber_post_ecc"], 6),
-        "header_ber_raw": round(uhd_ber["header_ber_raw"], 6),
-        # 4K config meeting PSNR>50dB / SSIM>0.995 with verified recovery
-        "psnr_target_config": target_cfg,
-        # identical workload to the reference baseline (4096^2 pow2, 2 KB)
-        "pow2_4096_images_per_sec": round(p2_ips, 3),
-        "vs_baseline_same_size": (round(p2_ips / ref_4096_ips, 1)
-                                  if ref_4096_ips else None),
-        "fhd_1080p_images_per_sec": round(fhd_ips, 3),
-        "fhd_1080p_psnr_db": round(fhd_psnr, 2),
-        "secondary_512px_images_per_sec": round(small_ips, 3),
-        "secondary_512px_vs_baseline": (round(small_ips * ref["spi_512"], 2)
-                                        if ref["measured"] else None),
-        "secondary_512px_psnr_db": round(small_psnr, 2),
-        "secondary_512px_ssim": round(small_ssim, 4),
-        "ref_psnr_512_db": (round(ref["psnr_512"], 2)
-                            if ref.get("psnr_512") else None),
+        "recovery_verified": True,
+        # The headline reuses fixed known-verified (cover, salt) pairs every
+        # iteration: walk/table/statics caches are steady-state warm (as in
+        # real serving under one key); host AEAD still runs per image. The
+        # rotating-salt variant below pays fresh AEAD bits per batch.
+        "steady_state_caches": True,
         "device": str(jax.devices()[0]).split(":")[0],
-    }))
+        "bench_budget_s": BUDGET,
+    })
+    emit()  # certified headline is on stdout from this point on
+
+    # ---- serialized loop (latency-shaped secondary) ----
+    note("headline emitted")
+    if fits(40):
+        RESULT["loop_images_per_sec"] = round(uhd.loop_ips(UHD_ITERS), 3)
+        note("loop measured")
+        emit()
+
+    # ---- channel quality: BER on the final stego batch ----
+    if fits(45):
+        try:
+            ber = uhd.ber(stego_d)
+            RESULT.update({
+                "payload_ber_raw": round(ber["payload_ber_raw"], 6),
+                "payload_ber_post_ecc": round(ber["payload_ber_post_ecc"], 6),
+                "header_ber_raw": round(ber["header_ber_raw"], 6),
+            })
+        except Exception as e:  # noqa: BLE001 — a failed extra must not
+            RESULT["ber_error"] = f"{type(e).__name__}: {e}"  # kill the record
+        note("BER measured")
+        emit()
+
+    # ---- PSNR/SSIM of the headline stego batch ----
+    if fits(60):
+        try:
+            psnr, ssim = uhd.quality(stego_d)
+            RESULT["stego_psnr_db"] = round(psnr, 2)
+            RESULT["stego_ssim"] = round(ssim, 4)
+        except Exception as e:  # noqa: BLE001
+            RESULT["quality_error"] = f"{type(e).__name__}: {e}"
+        note("PSNR/SSIM measured")
+        emit()
+
+    # ---- rotating-salt stream (honesty variant: fresh AEAD every batch) ----
+    if fits(30):
+        try:
+            rot_ips, rot_rec = uhd.stream_ips(
+                UHD_ITERS,
+                salts_for_iter=lambda k: [bytes([i, k + 1]) * 8
+                                          for i in range(UHD_BATCH)])
+            RESULT["rotating_salt_images_per_sec"] = round(rot_ips, 3)
+            RESULT["rotating_salt_recovery_rate"] = round(rot_rec, 4)
+        except Exception as e:  # noqa: BLE001
+            RESULT["rotating_salt_error"] = f"{type(e).__name__}: {e}"
+        note("rotating-salt measured")
+        emit()
+
+    # ---- imperceptibility frontier (PSNR>50dB/SSIM>0.995 max payload) ----
+    if fits(60):
+        try:
+            note("psnr frontier search")
+            RESULT["psnr_target_config"] = psnr_frontier(master_key)
+        except Exception as e:  # noqa: BLE001
+            RESULT["psnr_target_error"] = f"{type(e).__name__}: {e}"
+        emit()
+
+    # ---- identical workload to the reference baseline (4096^2, 2 KB) ----
+    if fits(90):
+        try:
+            note("pow2 4096 workload")
+            p2 = Workload(P2_N, P2_N, P2_BATCH, P2_SECRET, master_key)
+            p2.step()
+            p2_ips, _ = p2.stream_ips(P2_ITERS)
+            RESULT["pow2_4096_images_per_sec"] = round(p2_ips, 3)
+            RESULT["vs_baseline_same_size"] = (
+                round(p2_ips / ref_4096_ips, 1) if ref_4096_ips else None)
+        except Exception as e:  # noqa: BLE001
+            RESULT["pow2_error"] = f"{type(e).__name__}: {e}"
+        emit()
+
+    # ---- 1080p tertiary (BASELINE config 2) ----
+    if fits(60):
+        try:
+            note("1080p workload")
+            fhd = Workload(FHD_H, FHD_W, FHD_BATCH, FHD_SECRET, master_key)
+            sd = fhd.step()
+            fhd_ips, _ = fhd.stream_ips(FHD_ITERS)
+            RESULT["fhd_1080p_images_per_sec"] = round(fhd_ips, 3)
+            RESULT["fhd_1080p_psnr_db"] = round(fhd.quality(sd)[0], 2)
+        except Exception as e:  # noqa: BLE001
+            RESULT["fhd_error"] = f"{type(e).__name__}: {e}"
+        emit()
+
+    # ---- 512px secondary (continuity with earlier rounds; serialized-loop
+    # semantic — at 0.3 ms/img of device work the stream's per-batch yield
+    # overhead dominates and the loop is the better number) ----
+    if fits(45):
+        try:
+            note("512px workload")
+            small = Workload(SMALL, SMALL, SMALL_BATCH, SMALL_SECRET,
+                             master_key)
+            sd = small.step()
+            small_ips = small.loop_ips(SMALL_ITERS)
+            spsnr, sssim = small.quality(sd)
+            RESULT.update({
+                "secondary_512px_images_per_sec": round(small_ips, 3),
+                "secondary_512px_vs_baseline": (
+                    round(small_ips * ref["spi_512"], 2)
+                    if ref["measured"] else None),
+                "secondary_512px_psnr_db": round(spsnr, 2),
+                "secondary_512px_ssim": round(sssim, 4),
+                "ref_psnr_512_db": (round(ref["psnr_512"], 2)
+                                    if ref.get("psnr_512") else None),
+            })
+        except Exception as e:  # noqa: BLE001
+            RESULT["small_error"] = f"{type(e).__name__}: {e}"
+        emit()
+
+    RESULT["bench_wall_s"] = round(time.perf_counter() - T0, 1)
+    emit()
 
 
 def main_with_retry():
     """The tunneled device occasionally throws transient RESOURCE_EXHAUSTED /
-    stalls (see .claude/skills/verify gotchas); one retry rides it out."""
+    stalls (see .claude/skills/verify gotchas); one retry rides it out —
+    unless the headline already made it to stdout, in which case the partial
+    record stands (a retry would burn the remaining budget re-compiling)."""
     try:
         return main()
     except Exception as e:  # noqa: BLE001 - deliberate broad retry
+        if _EMITTED:
+            RESULT["post_headline_error"] = f"{type(e).__name__}: {e}"
+            emit()
+            return None
         print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
               f"retrying once...", file=sys.stderr)
         time.sleep(20)
