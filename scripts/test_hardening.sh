@@ -5,6 +5,12 @@ set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 TFFT="$REPO/bin/turtlefft"
 WORK="${1:-$REPO/.cache/hardening}"
+# The properties under test are control-flow (KDF cost, magic check, flags),
+# not device speed: run on CPU so the suite is hermetic — no TPU tunnel
+# init (~seconds-to-minutes of stall per invocation) or device contention.
+# The CLI honors this via jax.config.update (JAX_PLATFORMS env is ignored
+# by the tunneled runtime). Override with STEGANOSAURUS_PLATFORM=axon etc.
+export STEGANOSAURUS_PLATFORM="${STEGANOSAURUS_PLATFORM:-cpu}"
 mkdir -p "$WORK"
 cd "$WORK"
 

@@ -315,6 +315,20 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     from steganosaurus_tpu import runtime
 
+    # Honor STEGANOSAURUS_PLATFORM before any device use. The tunneled axon
+    # runtime IGNORES the JAX_PLATFORMS env var (tests/conftest.py documents
+    # the quirk); jax.config.update is the only reliable switch, and without
+    # it every CLI invocation initializes the remote TPU — which stalls the
+    # shell suites (scripts/test_hardening.sh) whose properties under test
+    # are control-flow, not device speed.
+    import os
+
+    plat = os.environ.get("STEGANOSAURUS_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     runtime.enable_compilation_cache()
     try:
         if a.mode == "gen-key":
