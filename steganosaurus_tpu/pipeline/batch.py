@@ -146,6 +146,26 @@ def _corner_statics_device(password, master_key, params, PH, PW, nbits,
     return ent
 
 
+def prefetch_walk(password, master_key, params: Params, H: int, W: int,
+                  secret_lens: list[int]) -> None:
+    """Warm the HOST walk cache for (key, dims, params) ahead of use.
+
+    The turtle walk is the pipeline's only strictly sequential host cost
+    (~1.5 s per M-bit fresh-key expansion, steganosaur.cpp:665-810);
+    pipeline.stream submits this to a worker thread when a stream's key
+    rotates so the expansion overlaps the in-flight device batches instead
+    of stalling the next embed_batch. Errors are swallowed — the subsequent
+    embed surfaces them with full context."""
+    try:
+        PH, PW = spectral.fft_dims(H, W)
+        nmax = max(_HEADER_STREAM_BITS + (n + 16) * 8 * 7
+                   for n in secret_lens)
+        _walk_indices(password, master_key, params, PH, PW, nmax,
+                      allow_short=True)
+    except Exception:  # noqa: BLE001 — deliberately quiet (see docstring)
+        pass
+
+
 def embed_batch(
     imgs: np.ndarray,
     secrets: list[bytes],
@@ -424,8 +444,11 @@ def channel_report(
                                       has_jitter, layout=layout)
     alpha = jnp.float32(params.alpha)
     if has_jitter:
+        # (nmax, bucket) — the same statics key the embed side used, so the
+        # report reuses the embed's cached maps instead of building a second
+        # functionally-identical pair.
         maps, _ = _corner_statics_device(password, master_key, params, PH,
-                                         PW, bucket, bucket, Ky, Kx, mesh)
+                                         PW, nmax, bucket, Ky, Kx, mesh)
         bd = bits_fn(stego_d, maps[1], maps[2], alpha)
     else:
         bd = bits_fn(stego_d, alpha)
@@ -501,25 +524,27 @@ class _ExtractJob:
         self._cap_bits = 3 * PH * PW // 2
         self._hint_bits = (min((clen_hint + 16) * 8 * 7, self._cap_bits)
                            if clen_hint else 0)
+        self._covered_payload_bits = 0  # set by the with_header dispatch
+        self._result: list[bytes | None] | None = None
         # Fused pass: header + hinted payload in one device round-trip
         # (dispatch only; the pull happens in finalize). With no hint the
         # payload section is empty and the second pass always runs.
         self._words_d = self._dispatch_pass(self._hint_bits, True)
 
-    def _bit_dense_for(self, total_bucket: int):
+    def _bit_dense_for(self, nbits: int, bucket: int):
         """Dense decoded-bit corner. jitter==0: independent of read length
         (one FFT per batch). jitter!=0: the static jd maps must cover every
         read slot, so a longer second pass re-analyzes."""
         password, master_key = self._key
         PH, PW = self._dims
-        key = 0 if not self._has_jitter else total_bucket
+        key = 0 if not self._has_jitter else (nbits, bucket)
         bd = self._bd_cache.get(key)
         if bd is None:
             if self._has_jitter:
                 Ky, Kx = self._corner_kk
                 maps, _ = _corner_statics_device(
-                    password, master_key, self._params, PH, PW, total_bucket,
-                    total_bucket, Ky, Kx, self._mesh)
+                    password, master_key, self._params, PH, PW, nbits,
+                    bucket, Ky, Kx, self._mesh)
                 bd = self._bits_fn(self._imgs_d, maps[1], maps[2], self._alpha)
             else:
                 bd = self._bits_fn(self._imgs_d, self._alpha)
@@ -528,21 +553,35 @@ class _ExtractJob:
 
     def _dispatch_pass(self, payload_stream_bits: int, with_header: bool):
         """Dispatch gather + device-ECC-decode for one pass; returns the
-        (B, words) DEVICE array (not pulled). The payload stream length is
-        bucketed so nearby sizes share one compiled graph and one cached
-        device index upload. Bits past walk exhaustion are garbage (last-bin
-        re-reads) — consumers only use bytes their authenticated clen
-        covers, or fail AEAD."""
+        (B, words) DEVICE array (not pulled). Bits past walk exhaustion are
+        garbage (last-bin re-reads) — consumers only use bytes their
+        authenticated clen covers, or fail AEAD.
+
+        The TOTAL frame length (header + payload stream bits) is bucketed to
+        a 4096 multiple and the walk/statics cached as (nbits=total,
+        bucket=ceil4096(total)) — EXACTLY how embed_batch keys them for a
+        frame of the same length. Nearby payload sizes share one compiled
+        graph, and an embed->extract round trip (or verify-mode embed)
+        shares ONE device index upload and ONE jitter-statics build instead
+        of building per side."""
         password, master_key = self._key
         PH, PW = self._dims
-        S = (-(-payload_stream_bits // 4096) * 4096
-             if payload_stream_bits else 0)
-        hdr_bits = _HEADER_STREAM_BITS if with_header else 0
-        skip = 0 if with_header else _HEADER_STREAM_BITS
-        nbits = _HEADER_STREAM_BITS + S
+        hdr = _HEADER_STREAM_BITS
+        if payload_stream_bits:
+            total = hdr + payload_stream_bits
+            bucket_total = -(-total // 4096) * 4096
+        else:  # header-only probe (no hint): 912 slots, no rounding
+            total = bucket_total = hdr
+        hdr_bits = hdr if with_header else 0
+        skip = 0 if with_header else hdr
+        if with_header:
+            # Slots [total, bucket_total) are tail-padded DUPLICATES of slot
+            # total-1 (embed's padding semantics), not real walk bins — only
+            # the unrounded payload bits are genuinely readable.
+            self._covered_payload_bits = total - hdr
         (pl, yy, xx, jj), _ = _walk_indices_device(
-            password, master_key, self._params, PH, PW, nbits, skip,
-            hdr_bits + S, self._mesh)
+            password, master_key, self._params, PH, PW, total, skip,
+            bucket_total - skip, self._mesh)
         if self._use_corner and self._mesh is None:
             # single-chip: FFT-read + gather + ECC decode fused into ONE
             # dispatched module (launch latency dominates the tunnel). A
@@ -555,15 +594,15 @@ class _ExtractJob:
                 self._layout, hdr_bits, self.B)
             if self._has_jitter:
                 maps, _ = _corner_statics_device(
-                    password, master_key, self._params, PH, PW, nbits,
-                    nbits, Ky, Kx, None)
+                    password, master_key, self._params, PH, PW, total,
+                    bucket_total, Ky, Kx, None)
                 return core(self._imgs_d, maps[1], maps[2], self._alpha,
                             pl, yy, xx)
             return core(self._imgs_d, self._alpha, pl, yy, xx)
         if self._use_corner:
             core = pbatch.corner_gather_decode_core(
                 self._mesh, hdr_stream_bits=hdr_bits)
-            return core(self._bit_dense_for(nbits), pl, yy, xx)
+            return core(self._bit_dense_for(total, bucket_total), pl, yy, xx)
         core = pbatch.batched_gather_decode_core(
             self._params.adaptive_alpha, self._mesh, hdr_stream_bits=hdr_bits)
         return core(self._spec, self._med, pl, yy, xx, jj, self._alpha)
@@ -575,7 +614,12 @@ class _ExtractJob:
 
     def finalize(self) -> list[bytes | None]:
         """Pull the fused pass, parse headers, run the payload second pass if
-        the hint was too small, AEAD-open everything."""
+        the hint was too small, AEAD-open everything. Idempotent: repeat
+        calls return the cached result."""
+        if self._words_d is None:
+            if self._result is not None:
+                return self._result
+            raise StegoError("extract job already failed; re-dispatch it")
         password, master_key = self._key
         bufs = self._to_bufs(self._words_d)
         self._words_d = None
@@ -588,10 +632,10 @@ class _ExtractJob:
                 headers.append(Header.from_bytes(hb))
         clens = [h.clen for h in headers if h is not None]
         if not clens:
-            return [None] * self.B
+            self._result = [None] * self.B
+            return self._result
         need = min((max(clens) + 16) * 8 * 7, self._cap_bits)
-        S_hint = -(-self._hint_bits // 4096) * 4096 if self._hint_bits else 0
-        if need <= S_hint:
+        if need <= self._covered_payload_bits:
             # payload bytes follow the 40-byte header block in the fused bufs
             payloads = [buf[40:] for buf in bufs]
         else:  # hint too small (or absent): payload-only second pass
@@ -614,6 +658,7 @@ class _ExtractJob:
                                         self._params.pbkdf2_iter)
             out.append(crypto.aead_open(km.aead_key, km.nonce,
                                         hdr.to_bytes(), ct, tag))
+        self._result = out
         return out
 
 

@@ -41,16 +41,26 @@ def embed_stream(
 ):
     """Pipeline embed_batch over an iterable of batches.
 
-    batches: iterable of (imgs, secrets) or (imgs, secrets, salts); imgs may
-    be numpy or already device-resident. Yields one BatchEmbedResult per
-    batch, in order, with DEVICE-RESIDENT stego arrays (pull with
-    np.asarray, or feed them straight to extract_stream). Up to `depth`
-    batches are in flight: batch N+1's host crypto runs while batch N's
-    embed graphs execute (verify=True adds device read-back verification,
-    which syncs per batch and shrinks — but does not eliminate — the
-    overlap window).
+    batches: iterable of (imgs, secrets), (imgs, secrets, salts), or
+    (imgs, secrets, salts, master_key); imgs may be numpy or already
+    device-resident. A per-batch master_key (4th element) overrides the
+    stream-level key — when it CHANGES between batches, the new key's
+    sequential turtle-walk expansion (~1.5 s/M-bit, the one host cost the
+    AEAD/packing overlap cannot hide) is kicked onto a worker thread so it
+    runs while the in-flight device batches execute (the walk cache is
+    thread-safe; the later embed_batch finds it warm).
+
+    Yields one BatchEmbedResult per batch, in order, with DEVICE-RESIDENT
+    stego arrays (pull with np.asarray, or feed them straight to
+    extract_stream). Up to `depth` batches are in flight: batch N+1's host
+    crypto runs while batch N's embed graphs execute (verify=True adds
+    device read-back verification, which syncs per batch and shrinks — but
+    does not eliminate — the overlap window).
     """
+    from steganosaurus_tpu.pipeline.batch import prefetch_walk
+
     q: deque[BatchEmbedResult] = deque()
+    pool: ThreadPoolExecutor | None = None
 
     def _drain():
         res = q.popleft()
@@ -61,18 +71,40 @@ def embed_stream(
         jax.block_until_ready(res.stego)
         return res
 
-    for item in batches:
-        imgs, secrets = item[0], item[1]
-        salts = item[2] if len(item) > 2 else None
-        q.append(embed_batch(imgs, secrets, password=password,
-                             master_key=master_key, params=params,
-                             salts=salts, mesh=mesh, device_resident=True,
-                             verify=verify, max_retries=max_retries,
-                             layout=layout))
-        if len(q) > depth:
+    try:
+        last_mk = master_key
+        for item in batches:
+            imgs, secrets = item[0], item[1]
+            salts = item[2] if len(item) > 2 else None
+            mk = (item[3] if len(item) > 3 and item[3] is not None
+                  else master_key)
+            pw = password if mk is None else None
+            if mk != last_mk:
+                if pool is None:
+                    pool = ThreadPoolExecutor(max_workers=1,
+                                              thread_name_prefix="walk-pf")
+                if layout == "nchw":
+                    H, W = imgs.shape[2], imgs.shape[3]
+                else:
+                    H, W = imgs.shape[1], imgs.shape[2]
+                pool.submit(prefetch_walk, pw, mk, params, H, W,
+                            [len(s) for s in secrets])
+                last_mk = mk
+            # Drain BEFORE dispatching the new batch: the blocking device
+            # wait is the window in which a just-submitted walk prefetch
+            # makes progress (and the in-flight bound stays `depth`).
+            if len(q) >= depth:
+                yield _drain()
+            q.append(embed_batch(imgs, secrets, password=pw,
+                                 master_key=mk, params=params,
+                                 salts=salts, mesh=mesh, device_resident=True,
+                                 verify=verify, max_retries=max_retries,
+                                 layout=layout))
+        while q:
             yield _drain()
-    while q:
-        yield _drain()
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def extract_stream(
@@ -98,7 +130,7 @@ def extract_stream(
                                   master_key=master_key, params=params,
                                   mesh=mesh, clen_hint=clen_hint,
                                   layout=layout))
-        if len(q) > depth:
+        if len(q) >= depth:
             yield q.popleft().finalize()
     while q:
         yield q.popleft().finalize()

@@ -394,3 +394,136 @@ def test_edge_cases(covers):
     assert extract_batch(res.stego, password="WRONG", params=p) == [None] * 2
     assert extract_dispatch(two, password="pw",
                             params=p).finalize() == [None, None]
+
+
+def test_stream_depth_watermark(covers, monkeypatch):
+    """The stream generators must hold AT MOST `depth` batches in flight —
+    the docstring's promise (a prior off-by-one held depth+1: ~800 MB of
+    surplus device-resident stego at 4K/B=32). Watermark = dispatched minus
+    yielded, sampled at every dispatch."""
+    from steganosaurus_tpu.pipeline import stream as pstream
+    from steganosaurus_tpu.pipeline.batch import extract_dispatch as real_ed
+
+    p = Params(**FAST)
+    secrets = [b"watermark"] * 2
+    salts = [bytes([9]) * 16, bytes([10]) * 16]
+
+    state = {"created": 0, "consumed": 0, "marks": []}
+    real_embed = pstream.embed_batch
+
+    def counting_embed(*a, **k):
+        state["created"] += 1
+        state["marks"].append(state["created"] - state["consumed"])
+        return real_embed(*a, **k)
+
+    monkeypatch.setattr(pstream, "embed_batch", counting_embed)
+    results = []
+    for res in pstream.embed_stream(
+            ((covers[:2], secrets, salts) for _ in range(5)),
+            password="pw", params=p, depth=2):
+        state["consumed"] += 1
+        results.append(res)
+    assert len(results) == 5
+    assert max(state["marks"]) <= 2
+
+    state2 = {"created": 0, "consumed": 0, "marks": []}
+
+    def counting_dispatch(*a, **k):
+        state2["created"] += 1
+        state2["marks"].append(state2["created"] - state2["consumed"])
+        return real_ed(*a, **k)
+
+    monkeypatch.setattr(pstream, "extract_dispatch", counting_dispatch)
+    n = 0
+    for got in pstream.extract_stream((r.stego for r in results),
+                                      password="pw", params=p, depth=2):
+        state2["consumed"] += 1
+        n += 1
+        assert got == secrets
+    assert n == 5
+    assert max(state2["marks"]) <= 2
+
+
+def test_extract_finalize_idempotent(covers):
+    """finalize() must cache its result: a second call on a job obtained
+    from the public extract_dispatch() returns the SAME list instead of
+    crashing on the consumed device buffer."""
+    from steganosaurus_tpu.pipeline.batch import extract_dispatch
+
+    p = Params(**FAST)
+    secrets = [b"idempotent"] * 6
+    res = embed_batch(covers, secrets, password="pw", params=p,
+                      salts=[bytes([5 * i + 2]) * 16 for i in range(6)])
+    job = extract_dispatch(res.stego, password="pw", params=p, clen_hint=10)
+    first = job.finalize()
+    assert first == secrets
+    assert job.finalize() is first
+
+
+@pytest.mark.parametrize("jitter", [0.0, 0.05])
+def test_embed_extract_share_cached_statics(covers, jitter):
+    """An equal-length embed -> hinted-extract round trip must share ONE
+    device walk-index upload and ONE corner-statics build: both sides key
+    the caches (nbits=frame_total, bucket=ceil4096(total)) identically
+    (total-frame bucketing; a prior mismatch built functionally identical
+    statics twice on the jitter path)."""
+    from steganosaurus_tpu.pipeline import batch as pipeline_batch
+
+    p = Params(jitter=jitter, **FAST)
+    secrets = [b"one-shared-statics-build"] * 6  # equal-length fast path
+    salts = [bytes([3 * i + 1]) * 16 for i in range(6)]
+    pipeline_batch._CORNER_STATICS_CACHE.clear()
+    pipeline_batch._DEV_IDX_CACHE.clear()
+
+    res = embed_batch(covers, secrets, password="pw", params=p, salts=salts)
+    n_statics = len(pipeline_batch._CORNER_STATICS_CACHE)
+    n_idx = len(pipeline_batch._DEV_IDX_CACHE)
+    assert n_statics >= 1 and n_idx >= 1
+
+    got = extract_batch(res.stego, password="pw", params=p,
+                        clen_hint=len(secrets[0]))
+    assert got == secrets
+    assert len(pipeline_batch._CORNER_STATICS_CACHE) == n_statics
+    assert len(pipeline_batch._DEV_IDX_CACHE) == n_idx
+
+
+def test_stream_key_rotation_prefetch(covers, monkeypatch):
+    """Per-batch master_key rotation in embed_stream: results must match
+    per-key embed_batch calls, and the NEW key's sequential walk expansion
+    must be kicked onto the worker thread (overlapping device work) rather
+    than stalling the dispatching thread."""
+    import threading
+
+    from steganosaurus_tpu import keystream
+    from steganosaurus_tpu.pipeline import stream as pstream
+
+    expand_threads: list[str] = []
+    real_expand = keystream.turtle_expand
+
+    def spy(*a, **k):
+        expand_threads.append(threading.current_thread().name)
+        return real_expand(*a, **k)
+
+    monkeypatch.setattr(keystream, "turtle_expand", spy)
+    keystream._CACHE.clear()  # cold walks: both keys must expand
+
+    p = Params(**FAST)
+    mk1, mk2 = bytes(range(32)), bytes(range(1, 33))
+    secrets = [b"rotate", b"keys!!"]
+    salts = [bytes([40]) * 16, bytes([41]) * 16]
+    batches = [(covers[:2], secrets, salts),
+               (covers[2:4], secrets, salts, mk2),
+               (covers[4:6], secrets, salts, mk2)]
+    got = list(pstream.embed_stream(iter(batches), master_key=mk1,
+                                    params=p, depth=2))
+    assert len(got) == 3
+    assert any(t.startswith("walk-pf") for t in expand_threads), expand_threads
+
+    ref1 = embed_batch(covers[:2], secrets, master_key=mk1, params=p,
+                       salts=salts)
+    ref2 = embed_batch(covers[2:4], secrets, master_key=mk2, params=p,
+                       salts=salts)
+    np.testing.assert_array_equal(np.asarray(got[0].stego), ref1.stego)
+    np.testing.assert_array_equal(np.asarray(got[1].stego), ref2.stego)
+    assert extract_batch(np.asarray(got[2].stego), master_key=mk2,
+                         params=p) == secrets
