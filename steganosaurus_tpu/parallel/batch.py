@@ -454,14 +454,14 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         return jnp.concatenate(
             [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
 
-    def fn(imgs, table, pos, cjd, sjd, alpha, eyr, eyi, exr, exi):
+    def fn(imgs, table, pos, cjd, sjd, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
             planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         B = planes.shape[0]
         pin = spectral.apply_center(planes, center)
-        cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
+        cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
         if stream_bytes:
             table = build_table(table)
         tbucket = table.shape[0] - 1
@@ -478,7 +478,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         mask = (pos < tbucket).astype(jnp.float32)
         dr, di = corner.write_delta(cr, ci, sign, mask, jnp.cos(alpha),
                                     jnp.sin(alpha), cjd, sjd)
-        t = corner.ifft_corner_real(dr, di, H, W, eyr, eyi, exr, exi, prec)
+        t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
         out = out.astype(jnp.uint8)
@@ -500,7 +500,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4), _shardB(mesh, 2, axis=1), rep)
     in_sh += (rep, rep, rep) if has_jitter else (rep,)
-    in_sh += (rep, rep, rep, rep)
+    in_sh += (rep,) * len(tabs)
     # P("batch") with no trailing dims is rank-agnostic (pack=True -> rank 2)
     jfn = jax.jit(fn, in_shardings=in_sh,
                   out_shardings=NamedSharding(mesh, P("batch")))
@@ -525,13 +525,13 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     prec = corner.precision()
     packed = mesh is None
 
-    def fn(imgs, cjd, sjd, alpha, eyr, eyi, exr, exi):
+    def fn(imgs, cjd, sjd, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
             planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         pin = spectral.apply_center(planes, center)
-        cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
+        cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
         bd = corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
                                     cjd, sjd)
         return _pack_bd_batch(bd) if packed else bd
@@ -547,7 +547,7 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4),)
     in_sh += (rep, rep, rep) if has_jitter else (rep,)
-    in_sh += (rep, rep, rep, rep)
+    in_sh += (rep,) * len(tabs)
     jfn = jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 4))
     return lambda *args: jfn(*args, *tabs)
 
@@ -590,13 +590,13 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             ecc.rep_decode(raw[hdr_stream_bits:], 7)))
         return jnp.concatenate(outs)
 
-    def fn(imgs, cjd, sjd, alpha, plane, y, x, eyr, eyi, exr, exi):
+    def fn(imgs, cjd, sjd, alpha, plane, y, x, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
             planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         pin = spectral.apply_center(planes, center)
-        cr, ci = corner.fwd_corner(pin, eyr, eyi, exr, exi, prec)
+        cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
         bd = corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
                                     cjd, sjd)
         bdw = _pack_bd_batch(bd)

@@ -82,18 +82,200 @@ def precision():
     if name == "mix2":
         return ("bf16", HIGH, "bf16", HIGH)
     if name == "bf16":  # experimental / measurement only
+        global _WARNED_BF16
+        if not _WARNED_BF16:
+            _WARNED_BF16 = True
+            import sys
+
+            print("steganosaurus_tpu: STEGANOSAURUS_MM_PRECISION=bf16 runs "
+                  "the forward stage-2 contraction in bf16, which is "
+                  "MEASURED to break 4K/16KB payload recovery (operand "
+                  "dynamic range ~1e6 vs ~1e4 signal) — measurement mode "
+                  "only, not for real embeds", file=sys.stderr)
         return ("bf16", "bf16", "bf16", "bf16")
     p = HIGH if name == "high" else HIGHEST
     return (p, p, p, p)
 
 
+_WARNED_BF16 = False
+
+
 def _mm(subscripts, a, b, precision):
-    """einsum wrapper implementing the bf16-operand/f32-accumulate mode."""
+    """einsum wrapper implementing the bf16-operand/f32-accumulate mode.
+
+    On CPU backends the same semantics are emulated by rounding the
+    operands through bf16 and running the dot in f32: XLA:CPU's DotThunk
+    rejects bf16 x bf16 = f32 for batched/3D dot shapes (the four-step
+    factored transforms hit this), and the emulation is numerically
+    identical (bf16 operand rounding, f32 products and accumulation) — it
+    only costs CPU test time, never TPU time."""
     if precision == "bf16":
+        if jax.default_backend() == "cpu":
+            return jnp.einsum(subscripts,
+                              a.astype(jnp.bfloat16).astype(jnp.float32),
+                              b.astype(jnp.bfloat16).astype(jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST)
         return jnp.einsum(subscripts, a.astype(jnp.bfloat16),
                           b.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
     return jnp.einsum(subscripts, a, b, precision=precision)
+
+
+def _small_p(p):
+    """Precision for the four-step transforms' SMALL contractions (the
+    twiddle-merged group sums, contraction length 8-30): their flops are
+    negligible next to the radix-N1 matmuls, so never spend bf16's operand
+    rounding there — full f32 products unless the caller asked for a
+    specific XLA precision."""
+    return jax.lax.Precision.HIGHEST if p == "bf16" else p
+
+
+@functools.lru_cache(maxsize=64)
+def axis_plan(N: int, K: int) -> int:
+    """Four-step split radix N1 for a length-N transform axis with K corner
+    outputs, or 0 for the dense pruned-DFT matmul.
+
+    The dense matmul contracts N (or emits K) with per-element cost ~2K
+    MACs; a Bailey four-step factorization N = N1*N2 costs ~2*N1 (+ small)
+    per element — an ~K/N1 arithmetic reduction (~8x at 4K where K=1024,
+    N1=128). N1 is chosen among divisors of N to maximize MXU lane density
+    d / (128*ceil(d/128)); density < 0.82 or N < 512 stays dense.
+
+    DEFAULT OFF — measured SLOWER end-to-end despite the ~7x arithmetic
+    cut: at 4K/B=32 the factored step is 456 ms vs 209 ms dense (embed-only
+    306 vs 147 ms), same tunnel window, and its modules compile 3-6x
+    slower. The radix-batched small matmuls and per-stage reshapes defeat
+    XLA's scheduling where the dense pruned-DFT's perfect (1024 x 3840)
+    MXU shapes excel — full measurement in doc/PAPER.md §5a.
+    STEGANOSAURUS_CORNER_FACTORED=1 opts in (kept as the measured-comparison
+    artifact and the insertion point should shapes/compiler change)."""
+    import os
+
+    if os.environ.get("STEGANOSAURUS_CORNER_FACTORED", "0") != "1":
+        return 0
+    if N < 512 or K < 1:
+        return 0
+    best, score = 0, 0.82
+    for d in range(64, 193):
+        if N % d == 0:
+            s = d / (128.0 * -(-d // 128))
+            if s > score:
+                best, score = d, s
+    return best
+
+
+@functools.lru_cache(maxsize=32)
+def _factored_tables(N: int, K: int, N1: int):
+    """HOST numpy f32 four-step tables (e1r, e1i, cr, ci) for one axis.
+
+    E1[a, b] = exp(+2j*pi*a*b/N1), (N1, N1) — the radix transform, shared
+    by both directions (it is symmetric).
+    C[j1, j2, m] = exp(+2j*pi*m*(j1 + N1*j2)/N), (N1, ceil(K/N1), N//N1) —
+    the twiddle MERGED with the short transform: for the forward direction
+    j is the output index k (k = k1 + N1*k2) contracted over m = n2; for
+    the inverse, j is the input index x contracted over j2 = group, m = w2.
+    One table pair serves both (the reference's +2pi forward convention,
+    steganosaur.cpp:347, conj of numpy's). Exact int64 angle reduction as
+    in _dft_tables."""
+    import numpy as np
+
+    N2, ng = N // N1, -(-K // N1)
+    j1 = np.arange(N1, dtype=np.int64)
+    a1 = ((j1[:, None] * j1[None, :]) % N1).astype(np.float32) * np.float32(
+        2.0 * math.pi / N1)
+    jj = j1[:, None, None] + N1 * np.arange(ng, dtype=np.int64)[None, :, None]
+    a2 = ((jj * np.arange(N2, dtype=np.int64)[None, None, :]) % N).astype(
+        np.float32) * np.float32(2.0 * math.pi / N)
+    return (np.cos(a1, dtype=np.float32), np.sin(a1, dtype=np.float32),
+            np.cos(a2, dtype=np.float32), np.sin(a2, dtype=np.float32))
+
+
+def _fwd_last_fact(v, K, tabs, p):
+    """Four-step forward DFT along the LAST axis of real `v` (..., N) ->
+    (re, im) (..., K). Inner radix-N1 matmul at stage precision; short
+    twiddle-merged sum at _small_p."""
+    e1r, e1i, ct_r, ct_i = tabs
+    N1, ng, N2 = e1r.shape[0], ct_r.shape[1], ct_r.shape[2]
+    lead = v.shape[:-1]
+    sp = _small_p(p)
+    y = v.reshape(*lead, N1, N2)
+    ar = _mm("...nm,kn->...km", y, e1r, p)
+    ai = _mm("...nm,kn->...km", y, e1i, p)
+    xr = (_mm("...km,kjm->...kj", ar, ct_r, sp)
+          - _mm("...km,kjm->...kj", ai, ct_i, sp))
+    xi = (_mm("...km,kjm->...kj", ar, ct_i, sp)
+          + _mm("...km,kjm->...kj", ai, ct_r, sp))
+    xr = jnp.swapaxes(xr, -1, -2).reshape(*lead, ng * N1)[..., :K]
+    xi = jnp.swapaxes(xi, -1, -2).reshape(*lead, ng * N1)[..., :K]
+    return xr, xi
+
+
+def _fwd_y_fact(vr, vi, K, tabs, p):
+    """Four-step forward DFT along axis -2 of complex (vr, vi)
+    (..., N, X) -> (..., K, X)."""
+    e1r, e1i, ct_r, ct_i = tabs
+    N1, ng, N2 = e1r.shape[0], ct_r.shape[1], ct_r.shape[2]
+    lead, X = vr.shape[:-2], vr.shape[-1]
+    sp = _small_p(p)
+    yr = vr.reshape(*lead, N1, N2, X)
+    yi = vi.reshape(*lead, N1, N2, X)
+    ar = (_mm("...nmx,kn->...kmx", yr, e1r, p)
+          - _mm("...nmx,kn->...kmx", yi, e1i, p))
+    ai = (_mm("...nmx,kn->...kmx", yr, e1i, p)
+          + _mm("...nmx,kn->...kmx", yi, e1r, p))
+    xr = (_mm("...knx,kjn->...jkx", ar, ct_r, sp)
+          - _mm("...knx,kjn->...jkx", ai, ct_i, sp))
+    xi = (_mm("...knx,kjn->...jkx", ar, ct_i, sp)
+          + _mm("...knx,kjn->...jkx", ai, ct_r, sp))
+    xr = xr.reshape(*lead, ng * N1, X)[..., :K, :]
+    xi = xi.reshape(*lead, ng * N1, X)[..., :K, :]
+    return xr, xi
+
+
+def _ifft_y_fact(mr, mi, H, tabs, p):
+    """Four-step inverse-direction sum over axis -2: complex (..., K, X) ->
+    complex (..., H, X), t[h] = sum_y M[y] e^{+2j*pi*y*h/H}."""
+    e1r, e1i, ct_r, ct_i = tabs
+    N1, ng, N2 = e1r.shape[0], ct_r.shape[1], ct_r.shape[2]
+    lead, K, X = mr.shape[:-2], mr.shape[-2], mr.shape[-1]
+    sp = _small_p(p)
+    pad = ng * N1 - K
+    if pad:
+        pw = [(0, 0)] * len(lead) + [(0, pad), (0, 0)]
+        mr, mi = jnp.pad(mr, pw), jnp.pad(mi, pw)
+    mr = mr.reshape(*lead, ng, N1, X)
+    mi = mi.reshape(*lead, ng, N1, X)
+    dr = (_mm("...gyx,ygm->...ymx", mr, ct_r, sp)
+          - _mm("...gyx,ygm->...ymx", mi, ct_i, sp))
+    di = (_mm("...gyx,ygm->...ymx", mr, ct_i, sp)
+          + _mm("...gyx,ygm->...ymx", mi, ct_r, sp))
+    tr = (_mm("...ymx,yk->...kmx", dr, e1r, p)
+          - _mm("...ymx,yk->...kmx", di, e1i, p))
+    ti = (_mm("...ymx,yk->...kmx", dr, e1i, p)
+          + _mm("...ymx,yk->...kmx", di, e1r, p))
+    return tr.reshape(*lead, H, X), ti.reshape(*lead, H, X)
+
+
+def _ifft_last_fact(mr, mi, N, tabs, p):
+    """Four-step inverse-direction sum over the LAST axis, REAL part only:
+    complex (..., K) -> real (..., N), t[w] = Re(sum_x M[x] e^{+2j*pi*x*w/N})."""
+    e1r, e1i, ct_r, ct_i = tabs
+    N1, ng, N2 = e1r.shape[0], ct_r.shape[1], ct_r.shape[2]
+    lead, K = mr.shape[:-1], mr.shape[-1]
+    sp = _small_p(p)
+    pad = ng * N1 - K
+    if pad:
+        pw = [(0, 0)] * len(lead) + [(0, pad)]
+        mr, mi = jnp.pad(mr, pw), jnp.pad(mi, pw)
+    m2r = mr.reshape(*lead, ng, N1)
+    m2i = mi.reshape(*lead, ng, N1)
+    dr = (_mm("...gx,xgm->...xm", m2r, ct_r, sp)
+          - _mm("...gx,xgm->...xm", m2i, ct_i, sp))
+    di = (_mm("...gx,xgm->...xm", m2r, ct_i, sp)
+          + _mm("...gx,xgm->...xm", m2i, ct_r, sp))
+    t = (_mm("...xm,xk->...km", dr, e1r, p)
+         - _mm("...xm,xk->...km", di, e1i, p))
+    return t.reshape(*lead, N)
 
 
 def corner_dims(H: int, W: int, rmax: float) -> tuple[int, int]:
@@ -136,15 +318,23 @@ def _dft_tables(N: int, K: int):
 _DEV_TABLES: dict = {}
 
 
+def _axis_tables_host(N: int, K: int):
+    """Host f32 tables for one transform axis: the four-step set (4 arrays)
+    when axis_plan elects factoring, the dense (K, N) pair otherwise."""
+    N1 = axis_plan(N, K)
+    return _factored_tables(N, K, N1) if N1 else _dft_tables(N, K)
+
+
 def dft_tables_device(H: int, Ky: int, W: int, Kx: int, mesh=None):
-    """(eyr, eyi, exr, exi) device-resident f32 tables for an (H, W) grid's
-    (Ky, Kx) corner — uploaded once per (dims, mesh) and cached (replicated
-    over the mesh when given)."""
-    key = (H, Ky, W, Kx, mesh)
+    """Flat tuple of device-resident f32 transform tables for an (H, W)
+    grid's (Ky, Kx) corner — y-axis tables first, then x-axis; each axis
+    contributes 2 (dense pruned-DFT) or 4 (four-step factored, see
+    axis_plan) arrays. Consumers split via _split_tabs. Uploaded once per
+    (dims, plan, mesh) and cached (replicated over the mesh when given)."""
+    key = (H, Ky, W, Kx, axis_plan(H, Ky), axis_plan(W, Kx), mesh)
     ent = _DEV_TABLES.get(key)
     if ent is None:
-        eyr, eyi = _dft_tables(H, Ky)
-        exr, exi = _dft_tables(W, Kx)
+        host = _axis_tables_host(H, Ky) + _axis_tables_host(W, Kx)
         if mesh is None:
             put = jax.device_put
         else:
@@ -152,21 +342,30 @@ def dft_tables_device(H: int, Ky: int, W: int, Kx: int, mesh=None):
 
             sh = NamedSharding(mesh, PartitionSpec())
             put = lambda a: jax.device_put(a, sh)  # noqa: E731
-        ent = tuple(put(a) for a in (eyr, eyi, exr, exi))
+        ent = tuple(put(a) for a in host)
         _DEV_TABLES[key] = ent
         while len(_DEV_TABLES) > 16:
             _DEV_TABLES.pop(next(iter(_DEV_TABLES)))
     return ent
 
 
-def fwd_corner(planes, eyr, eyi, exr, exi, precision):
+def _split_tabs(H: int, Ky: int, W: int, Kx: int, tabs):
+    """(y_tabs, x_tabs) from the flat dft_tables_device tuple."""
+    ny = 4 if axis_plan(H, Ky) else 2
+    return tabs[:ny], tabs[ny:]
+
+
+def fwd_corner(planes, Ky, Kx, tabs, precision):
     """planes (..., H, W) f32 real -> corner spectrum (re, im) (..., Ky, Kx).
 
     C[y, x] = sum_{h,w} planes[h,w] * e^{+2pi*i*(yh/H + xw/W)}; the big
     dimension (w) is contracted first so the widest matmul runs on the
     smaller operand. precision is the 4-tuple from precision(): stage1
     contracts the exact u8 planes, fwd_stage2 the f32 intermediates (see
-    precision() for why they differ).
+    precision() for why they differ). tabs is the dft_tables_device tuple;
+    per axis_plan each stage runs either as the dense pruned-DFT matmul or
+    the four-step factored form (~K/N1 ~ 8x fewer MACs at 4K — measured
+    results in doc/PAPER.md §5a).
 
     Separate re/im dots beat a stacked single-dot formulation here
     (measured on TPU: stacking re/im into one (2K,·) dot per stage costs
@@ -174,16 +373,26 @@ def fwd_corner(planes, eyr, eyi, exr, exi, precision):
     otherwise avoids).
     """
     p1, p2 = precision[0], precision[1]
-    ar = _mm("...hw,xw->...hx", planes, exr, p1)
-    ai = _mm("...hw,xw->...hx", planes, exi, p1)
-    cr = (_mm("yh,...hx->...yx", eyr, ar, p2)
-          - _mm("yh,...hx->...yx", eyi, ai, p2))
-    ci = (_mm("yh,...hx->...yx", eyr, ai, p2)
-          + _mm("yh,...hx->...yx", eyi, ar, p2))
+    H, W = planes.shape[-2], planes.shape[-1]
+    ty, tx = _split_tabs(H, Ky, W, Kx, tabs)
+    if len(tx) == 4:
+        ar, ai = _fwd_last_fact(planes, Kx, tx, p1)
+    else:
+        exr, exi = tx
+        ar = _mm("...hw,xw->...hx", planes, exr, p1)
+        ai = _mm("...hw,xw->...hx", planes, exi, p1)
+    if len(ty) == 4:
+        cr, ci = _fwd_y_fact(ar, ai, Ky, ty, p2)
+    else:
+        eyr, eyi = ty
+        cr = (_mm("yh,...hx->...yx", eyr, ar, p2)
+              - _mm("yh,...hx->...yx", eyi, ai, p2))
+        ci = (_mm("yh,...hx->...yx", eyr, ai, p2)
+              + _mm("yh,...hx->...yx", eyi, ar, p2))
     return cr, ci
 
 
-def ifft_corner_real(dr, di, H, W, eyr, eyi, exr, exi, precision):
+def ifft_corner_real(dr, di, H, W, tabs, precision):
     """real(IFFT2(Delta)) for a corner-supported Delta = (dr, di).
 
     ifft2_real under the reference convention is
@@ -193,18 +402,29 @@ def ifft_corner_real(dr, di, H, W, eyr, eyi, exr, exi, precision):
 
     Both stages contract the masked walk delta (mild dynamic range, no DC
     term) and run at precision()'s ifft modes (bf16 under the default mix;
-    see precision()).
+    see precision()). Per axis_plan each stage runs dense or four-step
+    factored (doc/PAPER.md §5a).
 
     Separate re/im dots, for the same measured reason as fwd_corner.
     """
     p2, p3 = precision[3], precision[2]
+    Ky, Kx = dr.shape[-2], dr.shape[-1]
+    ty, tx = _split_tabs(H, Ky, W, Kx, tabs)
     dcr, dci = dr, -di
-    mr = (_mm("yh,...yx->...hx", eyr, dcr, p2)
-          - _mm("yh,...yx->...hx", eyi, dci, p2))
-    mi = (_mm("yh,...yx->...hx", eyr, dci, p2)
-          + _mm("yh,...yx->...hx", eyi, dcr, p2))
-    t = (_mm("...hx,xw->...hw", mr, exr, p3)
-         - _mm("...hx,xw->...hw", mi, exi, p3))
+    if len(ty) == 4:
+        mr, mi = _ifft_y_fact(dcr, dci, H, ty, p2)
+    else:
+        eyr, eyi = ty
+        mr = (_mm("yh,...yx->...hx", eyr, dcr, p2)
+              - _mm("yh,...yx->...hx", eyi, dci, p2))
+        mi = (_mm("yh,...yx->...hx", eyr, dci, p2)
+              + _mm("yh,...yx->...hx", eyi, dcr, p2))
+    if len(tx) == 4:
+        t = _ifft_last_fact(mr, mi, W, tx, p3)
+    else:
+        exr, exi = tx
+        t = (_mm("...hx,xw->...hw", mr, exr, p3)
+             - _mm("...hx,xw->...hw", mi, exi, p3))
     return t * jnp.float32(1.0 / (H * W))
 
 

@@ -101,3 +101,64 @@ def test_corner_pallas_matches_einsum():
     scale = float(jnp.max(jnp.abs(ar2)))
     assert float(jnp.max(jnp.abs(ar - ar2))) <= 1e-5 * scale
     assert float(jnp.max(jnp.abs(ai - ai2))) <= 1e-5 * scale
+
+
+def test_factored_corner_matches_dense(monkeypatch):
+    """The four-step factored corner transforms (axis_plan != 0) must match
+    the dense pruned-DFT matmuls to f32 roundoff in both directions — the
+    factorization is exact math (validated to 1e-15 in f64), so any drift
+    here is a table/indexing bug."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from steganosaurus_tpu.spectral import corner
+
+    H, W, Ky, Kx = 512, 768, 256, 256
+    # the factored path is opt-in (measured slower end-to-end, PAPER §5a);
+    # force it on for this equivalence check
+    monkeypatch.setenv("STEGANOSAURUS_CORNER_FACTORED", "1")
+    corner.axis_plan.cache_clear()
+    assert corner.axis_plan(W, Kx) == 128
+    assert corner.axis_plan(H, Ky) == 128
+    rng = np.random.default_rng(5)
+    planes = rng.uniform(0, 255, (2, 3, H, W)).astype(np.float32)
+    hp = jax.lax.Precision.HIGHEST
+    prec = (hp, hp, hp, hp)
+
+    dense_y = corner._dft_tables(H, Ky)
+    dense_x = corner._dft_tables(W, Kx)
+    fact = corner.dft_tables_device(H, Ky, W, Kx)
+    assert len(fact) == 8  # both axes factored
+
+    # dense reference result computed directly from the dense tables
+    eyr, eyi = (jnp.asarray(a) for a in dense_y)
+    exr, exi = (jnp.asarray(a) for a in dense_x)
+    ar = corner._mm("...hw,xw->...hx", jnp.asarray(planes), exr, hp)
+    ai = corner._mm("...hw,xw->...hx", jnp.asarray(planes), exi, hp)
+    want_r = (corner._mm("yh,...hx->...yx", eyr, ar, hp)
+              - corner._mm("yh,...hx->...yx", eyi, ai, hp))
+    want_i = (corner._mm("yh,...hx->...yx", eyr, ai, hp)
+              + corner._mm("yh,...hx->...yx", eyi, ar, hp))
+    got_r, got_i = corner.fwd_corner(jnp.asarray(planes), Ky, Kx, fact, prec)
+    scale = float(jnp.max(jnp.abs(want_r)))
+    np.testing.assert_allclose(np.asarray(got_r) / scale,
+                               np.asarray(want_r) / scale, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(got_i) / scale,
+                               np.asarray(want_i) / scale, atol=3e-6)
+    # inverse direction: dense vs factored real IFFT of a corner delta
+    dr = rng.normal(size=(2, 3, Ky, Kx)).astype(np.float32) * 100
+    di = rng.normal(size=(2, 3, Ky, Kx)).astype(np.float32) * 100
+    mr = (corner._mm("yh,...yx->...hx", eyr, jnp.asarray(dr), hp)
+          - corner._mm("yh,...yx->...hx", eyi, jnp.asarray(-di), hp))
+    mi = (corner._mm("yh,...yx->...hx", eyr, jnp.asarray(-di), hp)
+          + corner._mm("yh,...yx->...hx", eyi, jnp.asarray(dr), hp))
+    want_t = (corner._mm("...hx,xw->...hw", mr, exr, hp)
+              - corner._mm("...hx,xw->...hw", mi, exi, hp)) / (H * W)
+    got_t = corner.ifft_corner_real(jnp.asarray(dr), jnp.asarray(di),
+                                    H, W, fact, prec)
+    tscale = float(jnp.max(jnp.abs(want_t)))
+    np.testing.assert_allclose(np.asarray(got_t) / tscale,
+                               np.asarray(want_t) / tscale, atol=3e-6)
+    monkeypatch.delenv("STEGANOSAURUS_CORNER_FACTORED")
+    corner.axis_plan.cache_clear()
