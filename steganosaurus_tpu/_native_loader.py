@@ -141,31 +141,55 @@ def get() -> NativeLib | None:
         return _lib
 
 
+# Serializes the check-build-reload sequence: without it, concurrent callers
+# race two cmake/ninja invocations into the same build directory.
+_build_lock = threading.Lock()
+
+
 def ensure_built() -> NativeLib | None:
     """Build native/ (cmake+ninja, ~5 s) if the library is missing, then load.
 
     The .so is a build artifact and does not survive workspace cleanup; the
     performance-critical entry points (bench.py, __graft_entry__) call this
     so a fresh checkout never silently falls back to the ~1000x slower
-    pure-Python turtle walk. Build failures degrade to the Python paths.
+    pure-Python turtle walk. Build failures degrade to the Python paths with
+    a one-line stderr diagnostic (silent degradation is exactly the failure
+    mode this function exists to prevent).
     """
     global _loaded, _lib
-    lib = get()
-    if lib is not None or os.environ.get("STEGANOSAURUS_NO_NATIVE"):
-        return lib
-    import subprocess
+    if os.environ.get("STEGANOSAURUS_NO_NATIVE"):
+        return get()
+    with _build_lock:
+        lib = get()
+        if lib is not None:
+            return lib
+        import subprocess
+        import sys
 
-    root = pathlib.Path(__file__).resolve().parent.parent
-    src, build = root / "native", root / "native" / "build"
-    try:
-        subprocess.run(["cmake", "-S", str(src), "-B", str(build),
-                        "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release"],
-                       check=True, capture_output=True, timeout=300)
-        subprocess.run(["ninja", "-C", str(build)], check=True,
-                       capture_output=True, timeout=300)
-    except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        return None
-    with _lock:
-        _loaded = False  # force a fresh search now that the .so may exist
-        _lib = None
-    return get()
+        root = pathlib.Path(__file__).resolve().parent.parent
+        src, build = root / "native", root / "native" / "build"
+        try:
+            subprocess.run(["cmake", "-S", str(src), "-B", str(build),
+                            "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release"],
+                           check=True, capture_output=True, timeout=300)
+            subprocess.run(["ninja", "-C", str(build)], check=True,
+                           capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
+            detail = ""
+            stderr = getattr(e, "stderr", None)
+            if stderr:
+                detail = ": " + stderr.decode(errors="replace").strip()[-200:]
+            print(f"steganosaurus_tpu: native build failed "
+                  f"({type(e).__name__}{detail}); falling back to the "
+                  f"~1000x slower pure-Python turtle walk",
+                  file=sys.stderr)
+            return None
+        with _lock:
+            _loaded = False  # force a fresh search now that the .so may exist
+            _lib = None
+        lib = get()
+        if lib is None:
+            print("steganosaurus_tpu: native build succeeded but the library "
+                  "failed to load; using pure-Python fallback",
+                  file=sys.stderr)
+        return lib
