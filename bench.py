@@ -51,11 +51,13 @@ BASELINE_CACHE = REPO / ".cache" / "bench_baseline.json"
 BASELINE_TRACKED = REPO / "BASELINE_MEASURED.json"
 
 # Headline config: 4K UHD, 16 KB payloads (BASELINE.json config 3).
-# Batch 32: per-batch dispatch/launch overhead amortizes over 2x images vs
-# batch 16 (152 vs 111 img/s serialized loop, measured); all 32 fixed
-# (cover, salt) pairs verify recovery.
+# Batch 64: dispatch/launch overhead amortizes further over the batch —
+# measured serialized loop 350 ms (183 img/s) at B=64 vs 209 ms (153) at
+# B=32, stream 218-231 vs 183 img/s; all 64 fixed (cover, salt) pairs
+# verify recovery (no HBM pressure: ~7 GB peak of 16).
 UHD_H, UHD_W = 2160, 3840
-UHD_BATCH = 32
+UHD_BASE_BATCH = 32   # the disk-cached, known-verified cover set
+UHD_BATCH = 64
 UHD_SECRET = 16 * 1024
 UHD_ITERS = 3
 
@@ -232,12 +234,24 @@ def reference_baselines(key_b64: str, allow_measure: bool) -> dict:
     return out
 
 
+def uhd_headline_covers(B: int) -> np.ndarray:
+    """Headline covers for B > the cached base set: tile the known-verified
+    32-cover base. Every image still gets a DISTINCT salt, hence distinct
+    AEAD bits, walk writes, and quantization noise — duplicate cover pixels
+    lighten no stage of the pipeline (and generating 64 fresh 4K covers is
+    ~6 min of single-core numpy)."""
+    base = make_covers(UHD_BASE_BATCH, UHD_H, UHD_W)
+    reps = -(-B // UHD_BASE_BATCH)
+    return np.ascontiguousarray(np.concatenate([base] * reps)[:B])
+
+
 class Workload:
     """One (shape, batch, secret_len) workload with its device-resident
     covers and jitted step; lets the stages of a measurement be interleaved
     with emits instead of bundled into one long function."""
 
-    def __init__(self, h, w, batch, secret_len, master_key):
+    def __init__(self, h, w, batch, secret_len, master_key, covers=None,
+                 salts=None):
         import jax
         import jax.numpy as jnp
 
@@ -247,10 +261,11 @@ class Workload:
         self.master_key = master_key
         self.p = Params()
         rng = np.random.default_rng(7)
-        self.covers = make_covers(batch, h, w)
+        self.covers = make_covers(batch, h, w) if covers is None else covers
         self.secrets = [bytes(rng.integers(0, 256, secret_len, dtype=np.uint8))
                         for _ in range(batch)]
-        self.salts = [bytes([i]) * 16 for i in range(batch)]
+        self.salts = (salts if salts is not None
+                      else [bytes([i]) * 16 for i in range(batch)])
         # Serving layout: covers live on device in (B, 3, H, W) —
         # layout="nchw" skips two strided u8 relayouts per round-trip (the
         # one-time transpose below is paid at ingest, exactly like a
@@ -309,15 +324,25 @@ class Workload:
         return (self.batch * iters) / (time.perf_counter() - t0)
 
     def quality(self, stego_d) -> tuple[float, float]:
+        """PSNR over the WHOLE batch (computed on device — the host-side
+        f64 version materializes ~40 GB of error intermediates at 4K/B=64
+        and took minutes on this 1-core host), SSIM over 4 images (pulled
+        individually: ~100 MB instead of the full stego batch)."""
+        import jax
+        import jax.numpy as jnp
+
         from steganosaurus_tpu.utils import metrics
 
-        stego = np.asarray(stego_d).transpose(0, 2, 3, 1)
-        err = stego.astype(np.float64) - self.covers.astype(np.float64)
-        mse = float(np.mean(np.square(err)))
+        mse = float(jax.jit(
+            lambda a, b: jnp.mean(jnp.square(
+                a.astype(jnp.float32) - b.astype(jnp.float32))))(
+                    stego_d, self.covers_d))
         psnr = (10.0 * np.log10(255.0 * 255.0 / mse) if mse > 0
                 else float("inf"))
-        ssim = float(np.mean([metrics.ssim(self.covers[i], stego[i])
-                              for i in range(min(self.batch, 4))]))
+        n = min(self.batch, 4)
+        stego4 = np.asarray(stego_d[:n]).transpose(0, 2, 3, 1)
+        ssim = float(np.mean([metrics.ssim(self.covers[i], stego4[i])
+                              for i in range(n)]))
         return psnr, ssim
 
     def ber(self, stego_d) -> dict:
@@ -352,8 +377,9 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0) -> dict | None:
 
     rng = np.random.default_rng(13)
     B, STEP, ALPHA = 4, 512, 0.5
-    # first 4 of the headline batch (same seed/order; reuses the disk cache)
-    covers = np.ascontiguousarray(make_covers(UHD_BATCH, UHD_H, UHD_W)[:B])
+    # first 4 of the cached base cover set (same seed/order as the headline)
+    covers = np.ascontiguousarray(make_covers(UHD_BASE_BATCH, UHD_H,
+                                              UHD_W)[:B])
     covers_d = jax.device_put(covers)
 
     def probe(nbytes: int):
@@ -444,7 +470,11 @@ def main():
 
     # ---- HEADLINE: 4K UHD pipelined stream, fixed known-verified salts ----
     note("building UHD workload (covers + upload)")
-    uhd = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key)
+    uhd = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
+                   covers=uhd_headline_covers(UHD_BATCH),
+                   # measured: all 64 (cover, salt) pairs recover raw
+                   salts=[bytes([i % 256, i // 256]) * 8
+                          for i in range(UHD_BATCH)])
     note("warmup step (compile + correctness)")
     stego_d = uhd.step()  # warmup + compile + correctness (asserts recovery)
     note("warmup done; measuring headline stream")
@@ -509,7 +539,7 @@ def main():
         try:
             rot_ips, rot_rec = uhd.stream_ips(
                 UHD_ITERS,
-                salts_for_iter=lambda k: [bytes([i, k + 1]) * 8
+                salts_for_iter=lambda k: [bytes([i % 256, 200 + k]) * 8
                                           for i in range(UHD_BATCH)])
             RESULT["rotating_salt_images_per_sec"] = round(rot_ips, 3)
             RESULT["rotating_salt_recovery_rate"] = round(rot_rec, 4)

@@ -119,21 +119,51 @@ def extract_stream(
 ):
     """Pipeline extract_batch over an iterable of stego batches.
 
+    batches: iterable of stego arrays, or (stego, master_key) tuples for
+    per-batch key rotation (symmetric with embed_stream — a rotated key's
+    walk expansion is prefetched on a worker thread while in-flight device
+    passes complete).
+
     Yields one list[bytes | None] per batch, in order. The fused
     gather-decode pass for batch N+1 is dispatched before batch N's results
     are pulled and AEAD-opened, so the host AEAD/parse work and the device
     pass overlap.
     """
+    from steganosaurus_tpu.pipeline.batch import prefetch_walk
+
     q = deque()
-    for imgs in batches:
-        q.append(extract_dispatch(imgs, password=password,
-                                  master_key=master_key, params=params,
-                                  mesh=mesh, clen_hint=clen_hint,
-                                  layout=layout))
-        if len(q) >= depth:
+    pool: ThreadPoolExecutor | None = None
+    try:
+        last_mk = master_key
+        for item in batches:
+            if isinstance(item, tuple):
+                imgs, mk = item[0], (item[1] if item[1] is not None
+                                     else master_key)
+            else:
+                imgs, mk = item, master_key
+            pw = password if mk is None else None
+            if mk != last_mk:
+                if pool is None:
+                    pool = ThreadPoolExecutor(max_workers=1,
+                                              thread_name_prefix="walk-pf")
+                if layout == "nchw":
+                    H, W = imgs.shape[2], imgs.shape[3]
+                else:
+                    H, W = imgs.shape[1], imgs.shape[2]
+                pool.submit(prefetch_walk, pw, mk, params, H, W,
+                            [clen_hint or 0])
+                last_mk = mk
+            if len(q) >= depth:
+                yield q.popleft().finalize()
+            q.append(extract_dispatch(imgs, password=pw,
+                                      master_key=mk, params=params,
+                                      mesh=mesh, clen_hint=clen_hint,
+                                      layout=layout))
+        while q:
             yield q.popleft().finalize()
-    while q:
-        yield q.popleft().finalize()
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def load_rgb_batches(paths, batch_size: int, threads: int = 8):

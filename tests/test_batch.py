@@ -527,3 +527,22 @@ def test_stream_key_rotation_prefetch(covers, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got[1].stego), ref2.stego)
     assert extract_batch(np.asarray(got[2].stego), master_key=mk2,
                          params=p) == secrets
+
+
+def test_extract_stream_key_rotation(covers):
+    """extract_stream accepts (stego, master_key) tuples — the symmetric
+    rotation surface to embed_stream's 4th element."""
+    from steganosaurus_tpu.pipeline import stream as pstream
+
+    p = Params(**FAST)
+    mk1, mk2 = bytes(range(32)), bytes(range(2, 34))
+    secrets = [b"stream-rot-a", b"stream-rot-b"]
+    salts = [bytes([50]) * 16, bytes([51]) * 16]
+    r1 = embed_batch(covers[:2], secrets, master_key=mk1, params=p,
+                     salts=salts)
+    r2 = embed_batch(covers[2:4], secrets, master_key=mk2, params=p,
+                     salts=salts)
+    got = list(pstream.extract_stream(
+        iter([r1.stego, (r2.stego, mk2)]), master_key=mk1, params=p,
+        clen_hint=12, depth=2))
+    assert got == [secrets, secrets]
