@@ -412,22 +412,29 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0) -> dict | None:
         return None
 
     # First probe at 2 KB: round-1 measured 36.3 dB at 16 KB and the bar
-    # moves ~6 dB per halving, so 2 KB (~+18 dB) is the expected ballpark —
-    # probing it first banks a bar-meeting record before any refinement.
+    # moves ~6 dB per halving; 512 B is the MEASURED bar-meeting payload
+    # (50.07 dB / 0.9977 at alpha=0.5) — probing it first banks a passing
+    # record on the very first probe, before the budget gate can fire
+    # (round 2's first-probe-at-2KB ordering burned the whole budget on
+    # failing sizes and recorded null). The gallop then expands upward.
     return _frontier_search(timed_probe, lambda: fits(cost[0]),
-                            lo=STEP, hi=UHD_SECRET, step=STEP, first=2048)
+                            lo=STEP, hi=UHD_SECRET, step=STEP, first=STEP)
 
 
 def _frontier_search(probe, may_continue, lo: int, hi: int, step: int,
                      first: int) -> dict | None:
-    """Pure binary-search driver over step-quantized payload sizes.
+    """Pure exponential-then-binary search over step-quantized payloads.
 
     probe(n) returns a bar-meeting config dict or None; may_continue() is
-    the budget gate, checked before every probe. Invariant: every size in
-    [lo, hi] is undecided; a pass moves lo up, a fail moves hi down. The
-    returned best (largest passing) config carries search_exhausted=True
-    only if the bracket closed rather than the budget running out."""
+    the budget gate, checked before every probe. While probes pass the
+    candidate DOUBLES (galloping: each probe both banks a better record and
+    halves the log-distance to the frontier); the first failure switches to
+    bisection of the remaining bracket. Invariant: every size in [lo, hi]
+    is undecided; a pass moves lo up, a fail moves hi down. The returned
+    best (largest passing) config carries search_exhausted=True only if
+    the bracket closed rather than the budget running out."""
     best: dict | None = None
+    galloping = True
     cand = min(max(first, lo), hi)
     while True:
         if not may_continue():
@@ -438,11 +445,16 @@ def _frontier_search(probe, may_continue, lo: int, hi: int, step: int,
             lo = cand + step
         else:
             hi = cand - step
+            galloping = False
         if lo > hi:
             if best is not None:
                 best["search_exhausted"] = True
             break
-        cand = max((lo + hi) // 2 // step * step, step)
+        if galloping:
+            cand = min(2 * cand // step * step, hi // step * step)
+        else:
+            cand = max((lo + hi) // 2 // step * step, step)
+        cand = max(cand, lo)
     return best
 
 

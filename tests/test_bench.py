@@ -78,7 +78,41 @@ def test_frontier_search_converges(threshold, expect):
         assert got["secret_bytes"] == expect
         assert got["search_exhausted"] is True
     assert len(probed) == len(set(probed)), "no size probed twice"
-    assert len(probed) <= 8, probed  # log2(32 sizes) + first probe
+    assert len(probed) <= 8, probed  # gallop doublings + bisect of bracket
+
+
+def test_frontier_search_banks_floor_first():
+    """first=lo must bank a passing record on probe #1 (the whole point of
+    the gallop ordering: a budget gate firing after one probe still leaves
+    a non-null psnr_target_config), then expand upward by doubling."""
+    probed = []
+
+    def probe(n):
+        probed.append(n)
+        return {"secret_bytes": n} if n <= 1024 else None
+
+    got = bench._frontier_search(probe, lambda: True, lo=512, hi=16384,
+                                 step=512, first=512)
+    assert probed[0] == 512                      # floor probed first
+    assert got["secret_bytes"] == 1024
+    assert got["search_exhausted"] is True
+    # doubling, not bisection from the top: no probe above 2x the frontier
+    assert max(probed) <= 2048, probed
+
+
+def test_frontier_search_budget_stop_keeps_floor():
+    """One allowed probe at first=lo → the floor record survives, not null."""
+    budget = [1]
+
+    def may_continue():
+        budget[0] -= 1
+        return budget[0] >= 0
+
+    got = bench._frontier_search(
+        lambda n: {"secret_bytes": n, "search_exhausted": False},
+        may_continue, lo=512, hi=16384, step=512, first=512)
+    assert got is not None and got["secret_bytes"] == 512
+    assert got["search_exhausted"] is False
 
 
 def test_frontier_search_budget_stop():
