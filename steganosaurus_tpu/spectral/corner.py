@@ -75,6 +75,8 @@ def precision():
 
     name = os.environ.get("STEGANOSAURUS_MM_PRECISION", "mix").lower()
     HIGH, HIGHEST = jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST
+    if name == "mix_split":  # candidate: fwd stage2 HIGH only at low x
+        return ("bf16", "split", "bf16", "bf16")
     if name in ("mix", "mix3"):
         return ("bf16", HIGH, "bf16", "bf16")
     if name == "mix_conservative":
@@ -382,14 +384,60 @@ def fwd_corner(planes, Ky, Kx, tabs, precision):
         ar = _mm("...hw,xw->...hx", planes, exr, p1)
         ai = _mm("...hw,xw->...hx", planes, exi, p1)
     if len(ty) == 4:
+        if p2 == "split":  # factored path has no column split; stay HIGH
+            p2 = jax.lax.Precision.HIGH
         cr, ci = _fwd_y_fact(ar, ai, Ky, ty, p2)
     else:
         eyr, eyi = ty
+        if p2 == "split":
+            return _fwd_y_split(ar, ai, ty)
         cr = (_mm("yh,...hx->...yx", eyr, ar, p2)
               - _mm("yh,...hx->...yx", eyi, ai, p2))
         ci = (_mm("yh,...hx->...yx", eyr, ai, p2)
               + _mm("yh,...hx->...yx", eyi, ar, p2))
     return cr, ci
+
+
+def split_x0() -> int:
+    """Width of the fwd stage-2 high-accuracy column band (see
+    _fwd_y_split). Env-tunable for measurement (STEGANOSAURUS_SPLIT_X0)."""
+    import os
+
+    return int(os.environ.get("STEGANOSAURUS_SPLIT_X0", "64"))
+
+
+def _fwd_y_split(ar, ai, ty):
+    """Forward stage-2 y-contraction with column-split precision.
+
+    The y stage's bf16 hazard is operand dynamic range: stage-1 output
+    column x carries the image's energy at horizontal frequency x, so the
+    low-x columns hold values up to ~1e6 next to ~1e4 walk-bin signals, and
+    bf16's 8-bit mantissa on THOSE operands flips decoded bits (measured,
+    round 2 — which is why the whole stage ran HIGH = bf16_3x = 3 MXU
+    passes). But the contraction is over h: a rounding error in operand
+    column x lands ONLY in output column x. So the narrow low-x band where
+    the hazard lives gets HIGH, and every column >= X0 runs true bf16 at
+    full MXU rate — errors there are bounded by their own column's (mild)
+    energy, the exact argument that already justifies bf16 for the
+    delta-IFFT stages. Cuts the stage's MXU passes ~3x for X0 << Kx.
+    """
+    eyr, eyi = ty
+    X0 = min(split_x0(), ar.shape[-1])
+    HIGH = jax.lax.Precision.HIGH
+    if X0 == ar.shape[-1]:  # degenerate (tiny corner): plain HIGH
+        cr = (_mm("yh,...hx->...yx", eyr, ar, HIGH)
+              - _mm("yh,...hx->...yx", eyi, ai, HIGH))
+        ci = (_mm("yh,...hx->...yx", eyr, ai, HIGH)
+              + _mm("yh,...hx->...yx", eyi, ar, HIGH))
+        return cr, ci
+    crs, cis = [], []
+    for sl, p in ((slice(0, X0), HIGH), (slice(X0, None), "bf16")):
+        a_r, a_i = ar[..., sl], ai[..., sl]
+        crs.append(_mm("yh,...hx->...yx", eyr, a_r, p)
+                   - _mm("yh,...hx->...yx", eyi, a_i, p))
+        cis.append(_mm("yh,...hx->...yx", eyr, a_i, p)
+                   + _mm("yh,...hx->...yx", eyi, a_r, p))
+    return (jnp.concatenate(crs, axis=-1), jnp.concatenate(cis, axis=-1))
 
 
 def ifft_corner_real(dr, di, H, W, tabs, precision):

@@ -162,3 +162,37 @@ def test_factored_corner_matches_dense(monkeypatch):
                                np.asarray(want_t) / tscale, atol=3e-6)
     monkeypatch.delenv("STEGANOSAURUS_CORNER_FACTORED")
     corner.axis_plan.cache_clear()
+
+
+def test_split_fwd_y_band_semantics(monkeypatch):
+    """mix_split's forward stage-2: columns x < X0 must EXACTLY equal the
+    all-HIGH stage (the hazard band keeps its full accuracy), columns
+    x >= X0 must EXACTLY equal the true-bf16 stage (operand-rounded, f32
+    accumulated) — the split is a per-column selection between the two
+    existing modes, never a third numeric."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from steganosaurus_tpu.spectral import corner
+
+    H, W, Ky, Kx = 384, 512, 256, 256
+    monkeypatch.setenv("STEGANOSAURUS_MM_PRECISION", "mix_split")
+    monkeypatch.setenv("STEGANOSAURUS_SPLIT_X0", "64")
+    prec = corner.precision()
+    assert prec[1] == "split"
+    X0 = corner.split_x0()
+    rng = np.random.default_rng(11)
+    planes = rng.uniform(0, 255, (2, 3, H, W)).astype(np.float32)
+    tabs = corner.dft_tables_device(H, Ky, W, Kx)
+    got_r, got_i = corner.fwd_corner(jnp.asarray(planes), Ky, Kx, tabs, prec)
+
+    HIGH = jax.lax.Precision.HIGH
+    for band_p, sl in ((HIGH, slice(0, X0)), ("bf16", slice(X0, None))):
+        ref_p = (prec[0], band_p, prec[2], prec[3])
+        want_r, want_i = corner.fwd_corner(jnp.asarray(planes), Ky, Kx,
+                                           tabs, ref_p)
+        np.testing.assert_array_equal(np.asarray(got_r[..., sl]),
+                                      np.asarray(want_r[..., sl]))
+        np.testing.assert_array_equal(np.asarray(got_i[..., sl]),
+                                      np.asarray(want_i[..., sl]))
