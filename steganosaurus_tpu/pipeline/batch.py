@@ -386,9 +386,12 @@ def channel_report(
     params: Params = Params(),
     mesh=None,
     layout: str = "nhwc",
+    per_image: bool = False,
 ) -> dict:
     """Measure channel quality: raw and post-ECC BER, header and payload,
     averaged over the batch (SURVEY.md §5 'BER before/after ECC').
+    per_image=True adds a "per_image" list with each image's report (used
+    by the precision-margin validator to attribute errors to covers).
 
     Re-derives each image's exact on-wire frame from (secret, salt) — the
     AEAD is deterministic given the salt — reads the raw stream bits back
@@ -459,8 +462,11 @@ def channel_report(
 
     reports = [metrics.ecc_report(frames[i], got[i, : frame_lens[i]],
                                   _HEADER_STREAM_BITS) for i in range(B)]
-    return {k: float(np.mean([r[k] for r in reports]))
-            for k in reports[0]}
+    out = {k: float(np.mean([r[k] for r in reports])) for k in reports[0]}
+    if per_image:
+        out["per_image"] = [
+            {k: float(v) for k, v in r.items()} for r in reports]
+    return out
 
 
 class _ExtractJob:

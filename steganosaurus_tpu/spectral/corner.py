@@ -43,7 +43,25 @@ def precision():
     matmuls whose LHS operand is the exact u8 plane data, the others the
     contractions over intermediate f32 spectra.
 
-    - "mix" (default): stage1 and BOTH delta-IFFT stages in true bf16
+    - "mix_adaptive" (DEFAULT since 0.3): "mix" but the forward stage-2
+      contraction runs true bf16 on all corner columns EXCEPT the top-X0
+      (default 64 of 1024 at 4K) ranked by measured per-(image, plane)
+      column energy, which stay at HIGH — ranking by column energy is
+      ranking by expected bf16 contraction error (see _fwd_y_split), so
+      adversarial spectra protect themselves. Measured at 4K/B=64, same
+      tunnel window: step 356 -> 306 ms (+16.6%); raw BER identical to
+      "mix" on both the bench covers (0.0016) and adversarial
+      horizontal-texture covers; marginal (cover, salt) pairs near the ECC
+      cliff can tip either way (one extra failure in 64 fixed pairs —
+      serving absorbs these via verify/re-salt).
+    - "mix_split": "mix_adaptive" but the HIGH band is the STATIC low-x
+      window [0, X0) (no energy ranking, no gather/scatter — fastest:
+      290 ms at 4K/B=64, +22.6% over mix). Correct for natural-image
+      spectra; covers with strong texture at an in-corner horizontal
+      frequency >= X0 measured +2-10% raw BER (graceful — errors
+      concentrate in few columns and Rep-7 copies are spread randomly).
+      Opt-in for curated/natural cover pipelines.
+    - "mix": stage1 and BOTH delta-IFFT stages in true bf16
       (bf16 operands, f32 accumulation — full MXU rate, 6x HIGHEST); only
       the forward stage2 at HIGH (bf16_3x error compensation,
       ~f32-faithful products at 2x HIGHEST). Why this exact split, all
@@ -73,10 +91,13 @@ def precision():
     """
     import os
 
-    name = os.environ.get("STEGANOSAURUS_MM_PRECISION", "mix").lower()
+    name = os.environ.get("STEGANOSAURUS_MM_PRECISION",
+                          "mix_adaptive").lower()
     HIGH, HIGHEST = jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST
-    if name == "mix_split":  # candidate: fwd stage2 HIGH only at low x
+    if name == "mix_split":  # fwd stage2 HIGH only at the static low-x band
         return ("bf16", "split", "bf16", "bf16")
+    if name == "mix_adaptive":  # fwd stage2 HIGH at the top-X0 energy cols
+        return ("bf16", "adaptive", "bf16", "bf16")
     if name in ("mix", "mix3"):
         return ("bf16", HIGH, "bf16", "bf16")
     if name == "mix_conservative":
@@ -384,13 +405,13 @@ def fwd_corner(planes, Ky, Kx, tabs, precision):
         ar = _mm("...hw,xw->...hx", planes, exr, p1)
         ai = _mm("...hw,xw->...hx", planes, exi, p1)
     if len(ty) == 4:
-        if p2 == "split":  # factored path has no column split; stay HIGH
+        if p2 in ("split", "adaptive"):  # factored path: no column split
             p2 = jax.lax.Precision.HIGH
         cr, ci = _fwd_y_fact(ar, ai, Ky, ty, p2)
     else:
         eyr, eyi = ty
-        if p2 == "split":
-            return _fwd_y_split(ar, ai, ty)
+        if p2 in ("split", "adaptive"):
+            return _fwd_y_split(ar, ai, ty, adaptive=(p2 == "adaptive"))
         cr = (_mm("yh,...hx->...yx", eyr, ar, p2)
               - _mm("yh,...hx->...yx", eyi, ai, p2))
         ci = (_mm("yh,...hx->...yx", eyr, ai, p2)
@@ -406,20 +427,34 @@ def split_x0() -> int:
     return int(os.environ.get("STEGANOSAURUS_SPLIT_X0", "64"))
 
 
-def _fwd_y_split(ar, ai, ty):
+def _fwd_y_split(ar, ai, ty, adaptive: bool = False):
     """Forward stage-2 y-contraction with column-split precision.
 
     The y stage's bf16 hazard is operand dynamic range: stage-1 output
     column x carries the image's energy at horizontal frequency x, so the
-    low-x columns hold values up to ~1e6 next to ~1e4 walk-bin signals, and
-    bf16's 8-bit mantissa on THOSE operands flips decoded bits (measured,
-    round 2 — which is why the whole stage ran HIGH = bf16_3x = 3 MXU
-    passes). But the contraction is over h: a rounding error in operand
-    column x lands ONLY in output column x. So the narrow low-x band where
-    the hazard lives gets HIGH, and every column >= X0 runs true bf16 at
-    full MXU rate — errors there are bounded by their own column's (mild)
-    energy, the exact argument that already justifies bf16 for the
-    delta-IFFT stages. Cuts the stage's MXU passes ~3x for X0 << Kx.
+    high-energy columns hold values up to ~1e6 next to ~1e4 walk-bin
+    signals, and bf16's 8-bit mantissa on THOSE operands flips decoded bits
+    (measured, round 2 — which is why the whole stage ran HIGH = bf16_3x =
+    3 MXU passes). But the contraction is over h: a rounding error in
+    operand column x lands ONLY in output column x, with absolute size
+    ~2^-9 * sqrt(sum_h |a[h,x]|^2) — proportional to the COLUMN's energy,
+    independent of the walk-bin signal there. So the narrow high-energy
+    band gets HIGH and every other column runs true bf16 at full MXU rate,
+    cutting the stage's MXU passes ~3x for X0 << Kx.
+
+    adaptive=False (mix_split): the band is the static low-x window
+    [0, X0) — correct for natural-image spectra (energy ~1/f, concentrated
+    at low horizontal frequency), measured +2-10% raw BER on adversarial
+    covers whose texture peaks at a higher in-corner frequency.
+
+    adaptive=True (mix_adaptive): the band is the top-X0 columns ranked by
+    measured column energy PER (image, plane) — ranking by energy IS
+    ranking by expected bf16 error, so adversarial spectra protect
+    themselves. Columns are gathered, contracted at HIGH, and scattered
+    over the bf16 result via an exact one-hot matmul (take_along_axis has
+    no scatter dual with batch dims; the one-hot contraction is
+    MXU-friendly and exactly selects between the two numerics — no third
+    value is ever produced).
     """
     eyr, eyi = ty
     X0 = min(split_x0(), ar.shape[-1])
@@ -430,14 +465,40 @@ def _fwd_y_split(ar, ai, ty):
         ci = (_mm("yh,...hx->...yx", eyr, ai, HIGH)
               + _mm("yh,...hx->...yx", eyi, ar, HIGH))
         return cr, ci
-    crs, cis = [], []
-    for sl, p in ((slice(0, X0), HIGH), (slice(X0, None), "bf16")):
-        a_r, a_i = ar[..., sl], ai[..., sl]
-        crs.append(_mm("yh,...hx->...yx", eyr, a_r, p)
-                   - _mm("yh,...hx->...yx", eyi, a_i, p))
-        cis.append(_mm("yh,...hx->...yx", eyr, a_i, p)
-                   + _mm("yh,...hx->...yx", eyi, a_r, p))
-    return (jnp.concatenate(crs, axis=-1), jnp.concatenate(cis, axis=-1))
+    if not adaptive:
+        crs, cis = [], []
+        for sl, p in ((slice(0, X0), HIGH), (slice(X0, None), "bf16")):
+            a_r, a_i = ar[..., sl], ai[..., sl]
+            crs.append(_mm("yh,...hx->...yx", eyr, a_r, p)
+                       - _mm("yh,...hx->...yx", eyi, a_i, p))
+            cis.append(_mm("yh,...hx->...yx", eyr, a_i, p)
+                       + _mm("yh,...hx->...yx", eyi, a_r, p))
+        return (jnp.concatenate(crs, axis=-1), jnp.concatenate(cis, axis=-1))
+    X = ar.shape[-1]
+    energy = jnp.sum(ar * ar + ai * ai, axis=-2)          # (..., X)
+    _, idx = jax.lax.top_k(energy, X0)                    # (..., X0)
+    onehot = (idx[..., :, None] ==
+              jnp.arange(X)[None, :]).astype(jnp.float32)  # (..., X0, X)
+    # gather the selected columns as an exact 0/1 contraction (f32 products
+    # of exact values — no rounding; lowers to one clean MXU matmul)
+    ag_r = _mm("...hx,...kx->...hk", ar, onehot, jax.lax.Precision.HIGHEST)
+    ag_i = _mm("...hx,...kx->...hk", ai, onehot, jax.lax.Precision.HIGHEST)
+    cr = (_mm("yh,...hx->...yx", eyr, ar, "bf16")
+          - _mm("yh,...hx->...yx", eyi, ai, "bf16"))
+    ci = (_mm("yh,...hx->...yx", eyr, ai, "bf16")
+          + _mm("yh,...hx->...yx", eyi, ar, "bf16"))
+    hr = (_mm("yh,...hk->...yk", eyr, ag_r, HIGH)
+          - _mm("yh,...hk->...yk", eyi, ag_i, HIGH))
+    hi = (_mm("yh,...hk->...yk", eyr, ag_i, HIGH)
+          + _mm("yh,...hk->...yk", eyi, ag_r, HIGH))
+    # scatter-by-one-hot: selected columns take the HIGH value exactly
+    sel = jnp.max(onehot, axis=-2)                        # (..., X) 0/1
+    put = jax.lax.Precision.HIGHEST
+    cr = cr * (1.0 - sel[..., None, :]) + _mm(
+        "...yk,...kx->...yx", hr, onehot, put)
+    ci = ci * (1.0 - sel[..., None, :]) + _mm(
+        "...yk,...kx->...yx", hi, onehot, put)
+    return cr, ci
 
 
 def ifft_corner_real(dr, di, H, W, tabs, precision):

@@ -196,3 +196,65 @@ def test_split_fwd_y_band_semantics(monkeypatch):
                                       np.asarray(want_r[..., sl]))
         np.testing.assert_array_equal(np.asarray(got_i[..., sl]),
                                       np.asarray(want_i[..., sl]))
+
+
+def test_adaptive_fwd_y_band_semantics(monkeypatch):
+    """mix_adaptive's forward stage-2: per (image, plane), the X0 columns
+    with the LARGEST stage-1 energy must EXACTLY equal the all-HIGH stage
+    and every other column EXACTLY the true-bf16 stage — an exact per-column
+    selection between the two existing numerics, with the band placed by
+    measured energy instead of the static low-x prior (so covers whose
+    texture peaks at a high in-corner frequency protect themselves)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from steganosaurus_tpu.spectral import corner
+
+    H, W, Ky, Kx = 384, 512, 256, 256
+    monkeypatch.setenv("STEGANOSAURUS_MM_PRECISION", "mix_adaptive")
+    monkeypatch.setenv("STEGANOSAURUS_SPLIT_X0", "64")
+    prec = corner.precision()
+    assert prec[1] == "adaptive"
+    X0 = corner.split_x0()
+    rng = np.random.default_rng(12)
+    planes = rng.uniform(0, 255, (2, 3, H, W)).astype(np.float32)
+    # plant a strong horizontal texture at an x-frequency OUTSIDE the
+    # static band on image 0 so the adaptive band must move to cover it
+    xs = np.arange(W, dtype=np.float32)
+    planes[0] += 90.0 * np.sin(2 * np.pi * 200 * xs / W)[None, None, :]
+    tabs = corner.dft_tables_device(H, Ky, W, Kx)
+    got_r, got_i = corner.fwd_corner(jnp.asarray(planes), Ky, Kx, tabs, prec)
+
+    HIGH = jax.lax.Precision.HIGH
+    results = {}
+    for band_p in (HIGH, "bf16"):
+        ref_p = (prec[0], band_p, prec[2], prec[3])
+        results[band_p] = corner.fwd_corner(jnp.asarray(planes), Ky, Kx,
+                                            tabs, ref_p)
+    # replicate the band selection with the SAME ops the adaptive path
+    # uses: stage-1 at prec[0] (bf16-emulated on CPU), energy in f32,
+    # jax.lax.top_k tie-breaking
+    exr, exi = tabs[2], tabs[3]
+    ar = corner._mm("bphw,xw->bphx", jnp.asarray(planes), exr, prec[0])
+    ai = corner._mm("bphw,xw->bphx", jnp.asarray(planes), exi, prec[0])
+    energy = jnp.sum(ar * ar + ai * ai, axis=-2)
+    _, idx_all = jax.lax.top_k(energy, X0)
+    idx_all = np.asarray(idx_all)
+    n_checked_moved = 0
+    for b in range(planes.shape[0]):
+        for p in range(3):
+            idx = idx_all[b, p]
+            sel = np.zeros(Kx, dtype=bool)
+            sel[idx] = True
+            if idx.max() >= X0:
+                n_checked_moved += 1
+            for band_p, mask in ((HIGH, sel), ("bf16", ~sel)):
+                want_r, want_i = results[band_p]
+                np.testing.assert_array_equal(
+                    np.asarray(got_r[b, p][..., mask]),
+                    np.asarray(want_r[b, p][..., mask]))
+                np.testing.assert_array_equal(
+                    np.asarray(got_i[b, p][..., mask]),
+                    np.asarray(want_i[b, p][..., mask]))
+    assert n_checked_moved >= 3  # the planted texture moved the band
