@@ -46,6 +46,8 @@ USAGE = """Usage:
     --pbkdf2_iter N        : PBKDF2 iterations (default: 600000 for >100ms)
     --adaptive_alpha 0|1   : Adaptive phase shift per bin (default: 0)
     --cover_dependent_path 0|1 : Cover-dependent turtlewalk (default: 0)
+    --soft_write 0|1       : Minimal-energy phase write (+3-5 dB PSNR,
+                             rebuild-only; reference still extracts) (0)
 """
 
 
@@ -118,6 +120,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["cover_dependent_path"] = need() in ("1", "true")
         elif k == "--fft_dtype":  # rebuild-only: complex64|complex128
             p["fft_dtype"] = need()
+        elif k == "--soft_write":  # rebuild-only: minimal-energy write
+            p["soft_write"] = need() in ("1", "true")
         elif k == "--in-dir":  # batch modes (rebuild-only)
             a.in_dir = need()
         elif k == "--out-dir":

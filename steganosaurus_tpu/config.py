@@ -31,6 +31,14 @@ class Params:
     # FFT compute dtype: "complex64" (TPU default) or "complex128" (CPU-only
     # parity arbiter; TPU has no f64).
     fft_dtype: str = "complex64"
+    # Minimal-energy phase write: leave bins that already decode with
+    # margin >= alpha untouched, clamp the rest to the margin boundary.
+    # ~2.8x less write energy (+3-5 dB stego PSNR at equal payload); the
+    # decode rule is unchanged and the reference binary still extracts the
+    # output (its read is the same half-plane test). Default off: stego
+    # pixels diverge from the reference's write. See ops/phase.py,
+    # doc/ATTACKS.md §1a.
+    soft_write: bool = False
 
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)

@@ -30,13 +30,28 @@ def adaptive_alpha(base_alpha, mag, median_mag, enabled: bool):
 
 def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
                  adaptive: bool, gain: float = 1.0,
-                 hermitian_half: bool = False):
+                 hermitian_half: bool = False, soft: bool = False):
     """Write `bits` into the phases of the selected bins.
 
     Per bin (reference write_bit_on_bin, :712-732): keep magnitude, set phase
     to (bit ? +a : -a) + jitter where a may be magnitude-adaptive; mirror the
     conjugate bin. Self-conjugate bins cannot occur (axis/Nyquist rejected by
     the walk), so the forced-real branch (:726-731) is unreachable here.
+
+    soft=True (rebuild-only, params.soft_write): minimal-energy write. The
+    decode rule reduces to a half-plane test — bit = 1 iff
+    sign(sin a)*sin(theta - jitter) >= 0 (read_phases) — with decision
+    margin equal to the phase distance from the boundary {0, pi} (in the
+    jitter-rotated frame). The hard write places every bin at distance
+    exactly `a` from the 0-boundary; the soft write instead LEAVES bins
+    whose phase already decodes with distance >= a untouched (zero delta),
+    and clamps the rest to the nearest point at distance exactly `a` in
+    the correct half-plane (preserving the sign of the rotated cosine).
+    Every written bin therefore ends with margin >= the hard write's, at
+    ~2.8x less total write energy on uniform cover phases (measured
+    +3-5 dB stego PSNR at equal payload, doc/ATTACKS.md §1a). Stego pixels
+    diverge from the reference's, but the bits decode identically — by the
+    reference binary too (its read is the same half-plane rule).
 
     gain: crop retention factor (H*W)/(PH*PW). Cropping the padded IFFT back
     to H x W multiplies every written spectral delta by `gain` when the stego
@@ -64,8 +79,23 @@ def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
     v = spectrum[plane, y, x]
     mag = jnp.maximum(1e-12, jnp.abs(v)).astype(real_dtype)
     a = adaptive_alpha(alpha, mag, medians[plane].astype(real_dtype), adaptive)
-    theta = jnp.where(bits.astype(bool), a, -a) + jitters.astype(real_dtype)
-    nv = (mag * jnp.exp(1j * theta.astype(real_dtype))).astype(spectrum.dtype)
+    if soft:
+        s = jnp.where(bits.astype(bool), 1.0, -1.0).astype(real_dtype)
+        sigma = jnp.where(jnp.sin(a) < 0, -1.0, 1.0).astype(real_dtype)
+        phi = jnp.angle(v).astype(real_dtype) - jitters.astype(real_dtype)
+        valid = s * sigma * jnp.sin(phi) >= jnp.abs(jnp.sin(a))
+        # nearest boundary point at distance `a` in the correct half-plane
+        tgt_sin = s * sigma * jnp.abs(jnp.sin(a))
+        tgt_cos = jnp.where(jnp.cos(phi) < 0, -1.0, 1.0) * jnp.abs(jnp.cos(a))
+        theta = jnp.arctan2(tgt_sin, tgt_cos) + jitters.astype(real_dtype)
+        moved = (mag * jnp.exp(1j * theta.astype(real_dtype))
+                 ).astype(spectrum.dtype)
+        nv = jnp.where(valid, v, moved)
+    else:
+        theta = (jnp.where(bits.astype(bool), a, -a)
+                 + jitters.astype(real_dtype))
+        nv = (mag * jnp.exp(1j * theta.astype(real_dtype))
+              ).astype(spectrum.dtype)
     if gain != 1.0:
         nv = v + (nv - v) / jnp.asarray(gain, real_dtype)
     if hermitian_half:

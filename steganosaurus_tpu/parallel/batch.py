@@ -66,7 +66,7 @@ def _analyze_core(img_u8, *, PH, PW, center, adaptive=True):
 
 
 def _embed_core(img_u8, plane, y, x, bits, jitters, alpha,
-                *, H, W, PH, PW, center, adaptive):
+                *, H, W, PH, PW, center, adaptive, soft=False):
     """Single-image embed: (H, W, 3) u8 -> (H, W, 3) u8 stego.
 
     The full embed data path of reference do_embed (steganosaur.cpp:907-1109)
@@ -78,7 +78,7 @@ def _embed_core(img_u8, plane, y, x, bits, jitters, alpha,
                               adaptive=adaptive)
     spec2 = phase_ops.embed_phases(spec, plane, y, x, bits, jitters, alpha,
                                    med, adaptive, gain=(H * W) / (PH * PW),
-                                   hermitian_half=True)
+                                   hermitian_half=True, soft=soft)
     planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
     planes2 = spectral.apply_center(planes2, center)
     return spectral.from_planes(planes2)
@@ -93,7 +93,8 @@ def _read_core(spec, med, plane, y, x, jitters, alpha, *, adaptive):
 @functools.lru_cache(maxsize=32)
 def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
                        mesh: Mesh | None = None, shared_idx: bool = True,
-                       pack: bool = False, bits_packed: bool = False):
+                       pack: bool = False, bits_packed: bool = False,
+                       soft: bool = False):
     """Jitted batched embed core.
 
     shared_idx=True (one walk for the batch — shared key):
@@ -109,7 +110,7 @@ def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
     """
     PH, PW = spectral.fft_dims(H, W)
     core = functools.partial(_embed_core, H=H, W=W, PH=PH, PW=PW,
-                             center=center, adaptive=adaptive)
+                             center=center, adaptive=adaptive, soft=soft)
     # shared_idx vmaps the index arrays with in_axes=None, NOT broadcast_to:
     # broadcasting makes XLA treat the scatter indices as per-image varying,
     # which compiles to a ~3x slower batched scatter (measured at 4K).
@@ -417,7 +418,8 @@ def bits_table_packed_core(bucket: int, B: int):
 def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                       mesh: Mesh | None = None, has_jitter: bool = False,
                       pack: bool = False, layout: str = "nhwc",
-                      stream_bytes: int = 0, bucket: int = 0):
+                      stream_bytes: int = 0, bucket: int = 0,
+                      soft: bool = False):
     """Jitted corner embed: (imgs u8, table, pos (3,Ky,Kx) i32, [cjd, sjd],
     alpha () f32) -> u8 stego.
 
@@ -477,7 +479,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             ).astype(jnp.float32) * 2.0 - 1.0            # (B,3,Ky,Kx)
         mask = (pos < tbucket).astype(jnp.float32)
         dr, di = corner.write_delta(cr, ci, sign, mask, jnp.cos(alpha),
-                                    jnp.sin(alpha), cjd, sjd)
+                                    jnp.sin(alpha), cjd, sjd, soft=soft)
         t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)

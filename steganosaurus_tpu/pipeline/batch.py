@@ -290,7 +290,8 @@ def embed_batch(
                                           pack=not device_resident,
                                           layout=layout,
                                           stream_bytes=len(streams[0]),
-                                          bucket=bucket)
+                                          bucket=bucket,
+                                          soft=params.soft_write)
             out = fn(imgs_d, words, *maps, alpha)
         else:
             if len(set(frame_lens)) == 1:
@@ -309,7 +310,8 @@ def embed_batch(
             fn = pbatch.corner_embed_core(H, W, Ky, Kx, params.center, mesh,
                                           has_jitter,
                                           pack=not device_resident,
-                                          layout=layout)
+                                          layout=layout,
+                                          soft=params.soft_write)
             out = fn(imgs_d, table, *maps, alpha)
     else:
         bits_w = pbatch.pack_bits_words_host(_host_frames())
@@ -318,7 +320,8 @@ def embed_batch(
         fn = pbatch.batched_embed_core(H, W, params.center,
                                        params.adaptive_alpha, mesh,
                                        pack=not device_resident,
-                                       bits_packed=True)
+                                       bits_packed=True,
+                                       soft=params.soft_write)
         out = fn(imgs_d, plane, y, x, bits_d, jit, alpha)
 
     out_shape = (B, 3, H, W) if layout == "nchw" else (B, H, W, 3)

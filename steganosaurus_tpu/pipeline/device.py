@@ -72,14 +72,15 @@ def _bucket_pad(arrs, n):
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_embed_apply(H, W, center, adaptive):
+def _jit_embed_apply(H, W, center, adaptive, soft=False):
     PH, PW = spectral.fft_dims(H, W)
     gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
 
     @jax.jit
     def apply_fn(spec, med, plane, y, x, bits, jitters, alpha):
         spec2 = phase_ops.embed_phases(
-            spec, plane, y, x, bits, jitters, alpha, med, adaptive, gain=gain
+            spec, plane, y, x, bits, jitters, alpha, med, adaptive, gain=gain,
+            soft=soft
         )
         planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
         planes2 = spectral.apply_center(planes2, center)
@@ -118,7 +119,8 @@ class JaxBackend:
     def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
         plane, y, x = _bucket_pad(idx, len(idx[0]))
         bits, jitters = _bucket_pad((bits, jitters), len(bits))
-        fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha)
+        fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha,
+                              params.soft_write)
         out = fn(
             spec, med,
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
@@ -191,8 +193,22 @@ class NumpyBackend:
         v = spec[plane, y, x]
         mag = np.maximum(1e-12, np.abs(v))
         a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
-        theta = np.where(np.asarray(bits, bool), a, -a) + np.asarray(jitters)
-        nv = mag * np.exp(1j * theta)
+        jit_arr = np.asarray(jitters)
+        if params.soft_write:
+            # f64 oracle of the minimal-energy write (ops/phase.py): keep
+            # bins already decoding with margin >= a, clamp the rest to the
+            # margin boundary in the correct half-plane.
+            s_sign = np.where(np.asarray(bits, bool), 1.0, -1.0)
+            sigma = np.where(np.sin(a) < 0, -1.0, 1.0)
+            phi = np.angle(v) - jit_arr
+            valid = s_sign * sigma * np.sin(phi) >= np.abs(np.sin(a))
+            t_sin = s_sign * sigma * np.abs(np.sin(a))
+            t_cos = np.where(np.cos(phi) < 0, -1.0, 1.0) * np.abs(np.cos(a))
+            theta = np.arctan2(t_sin, t_cos) + jit_arr
+            nv = np.where(valid, v, mag * np.exp(1j * theta))
+        else:
+            theta = np.where(np.asarray(bits, bool), a, -a) + jit_arr
+            nv = mag * np.exp(1j * theta)
         gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
         if gain != 1.0:
             nv = v + (nv - v) / gain

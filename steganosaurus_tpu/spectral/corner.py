@@ -537,7 +537,8 @@ def ifft_corner_real(dr, di, H, W, tabs, precision):
     return t * jnp.float32(1.0 / (H * W))
 
 
-def write_delta(cr, ci, sign, mask, cos_a, sin_a, cjd=None, sjd=None):
+def write_delta(cr, ci, sign, mask, cos_a, sin_a, cjd=None, sjd=None,
+                soft: bool = False):
     """Dense phase-write delta over the corner (reference write_bit_on_bin,
     steganosaur.cpp:712-732, vectorized to the whole corner at once).
 
@@ -546,12 +547,43 @@ def write_delta(cr, ci, sign, mask, cos_a, sin_a, cjd=None, sjd=None):
     cos_a/sin_a: scalars cos(alpha), sin(alpha). cjd/sjd: static per-walk
     cos/sin jitter maps (3, Ky, Kx), or None when jitter == 0.
 
+    soft=True (params.soft_write): minimal-energy write — bins whose phase
+    already decodes to the right bit with margin >= alpha are left
+    UNTOUCHED (exact-zero delta) and the rest are clamped to the nearest
+    point at margin exactly alpha in the correct half-plane; see
+    ops.phase.embed_phases for the derivation (the decode rule is a
+    half-plane test, so every soft-written bin keeps a decision margin >=
+    the hard write's while total write energy drops ~2.8x). Done in
+    cartesian form in the jitter-rotated frame: u = v * e^{-i*jd},
+    valid iff s*sigma*u_i >= mag*|sin a|, clamp target
+    u' = (sign(u_r)*mag*|cos a|, s*sigma*mag*|sin a|), rotate back.
+
     Returns (dr, di) with value 2*(nv - v) at walk bins (the Hermitian-half
     pre-doubled write; consumers take real(IFFT), ops/phase.py) and 0
     elsewhere. mag uses the same 1e-12 floor as ops.phase.embed_phases.
     """
     mag = jnp.sqrt(cr * cr + ci * ci)
     mag = jnp.maximum(jnp.float32(1e-12), mag)
+    if soft:
+        sigma = jnp.where(jnp.asarray(sin_a) < 0, -1.0, 1.0)
+        abs_sin, abs_cos = jnp.abs(jnp.asarray(sin_a)), jnp.abs(
+            jnp.asarray(cos_a))
+        if cjd is None:
+            u_r, u_i = cr, ci
+        else:
+            u_r = cr * cjd + ci * sjd
+            u_i = ci * cjd - cr * sjd
+        valid = sign * sigma * u_i >= mag * abs_sin
+        t_r = jnp.where(u_r < 0, -1.0, 1.0) * (mag * abs_cos)
+        t_i = (sign * sigma) * (mag * abs_sin)
+        if cjd is None:
+            nv_r, nv_i = t_r, t_i
+        else:
+            nv_r = t_r * cjd - t_i * sjd
+            nv_i = t_r * sjd + t_i * cjd
+        dr = (2.0 * mask) * jnp.where(valid, 0.0, nv_r - cr)
+        di = (2.0 * mask) * jnp.where(valid, 0.0, nv_i - ci)
+        return dr, di
     if cjd is None:
         cos_t = cos_a
         sin_t = sign * sin_a

@@ -546,3 +546,31 @@ def test_extract_stream_key_rotation(covers):
         iter([r1.stego, (r2.stego, mk2)]), master_key=mk1, params=p,
         clen_hint=12, depth=2))
     assert got == [secrets, secrets]
+
+
+def test_batch_soft_write_corner_and_gather_paths(covers):
+    """soft_write on the BATCH paths: the corner dense write (shared-walk
+    fast path) and the scatter path (adaptive_alpha) both round-trip, and
+    the corner path's stego beats the hard write's PSNR on every image at
+    equal payload (minimal-energy write, ops/phase.py)."""
+    secrets = [bytes([i]) * 30 for i in range(6)]
+    salts = [bytes([7 * i + 3]) * 16 for i in range(6)]
+    hard = embed_batch(covers, secrets, password="pw", params=Params(**FAST),
+                       salts=salts)
+    psoft = Params(soft_write=True, **FAST)
+    soft = embed_batch(covers, secrets, password="pw", params=psoft,
+                       salts=salts)
+    assert extract_batch(soft.stego, password="pw", params=psoft) == secrets
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2,
+                      axis=(1, 2, 3))
+        return 10 * np.log10(255.0**2 / mse)
+
+    gain = psnr(covers, soft.stego) - psnr(covers, hard.stego)
+    assert (gain > 1.0).all(), gain
+
+    # scatter path (adaptive_alpha forces the non-corner batched core)
+    pa = Params(soft_write=True, adaptive_alpha=True, **FAST)
+    res = embed_batch(covers, secrets, password="pw", params=pa, salts=salts)
+    assert extract_batch(res.stego, password="pw", params=pa) == secrets

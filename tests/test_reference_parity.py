@@ -298,3 +298,20 @@ def test_experimental_modes_oracle_parity(reference_bin, host_png, tmp_path,
     ref_dec = rx2.stdout.strip() if rx2.returncode == 0 else None
     assert ref_dec == self_dec, (
         f"oracle divergence on our stego: ref={ref_dec!r} ours={self_dec!r}")
+
+
+def test_soft_write_reference_extract(reference_bin, host_png, tmp_path):
+    """The minimal-energy soft write (params.soft_write, rebuild-only)
+    changes WHICH phase value is written but not the decode rule — the
+    reference's read_bit_from_bin (steganosaur.cpp:734-746) compares
+    circular distances to +-alpha, which reduces to the same half-plane
+    test, so the reference binary must extract a soft-written image
+    bit-exactly (every soft bin keeps decision margin >= alpha)."""
+    stego = tmp_path / "stego_soft.png"
+    embed(str(host_png), str(stego), "Soft write, reference decode",
+          password="pp",
+          params=Params(pbkdf2_iter=int(ITER), soft_write=True))
+    r = _run([reference_bin, "extract", "--in", stego, "--pass", "pp",
+              "--pbkdf2_iter", ITER])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "Soft write, reference decode"

@@ -177,3 +177,43 @@ def test_single_image_graphs_bucketed(small_image):
     assert embed_fn._cache_size() - e0 <= 1
     # header pass + payload pass share the bucketed read graph too
     assert read_fn._cache_size() - r0 <= 1
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse)
+
+
+def test_soft_write_roundtrip_and_psnr(host_image):
+    """Rebuild-only soft_write (minimal-energy phase write, ops/phase.py):
+    bins already decoding with margin >= alpha are left untouched, the rest
+    clamp to the margin boundary — decode is unchanged (half-plane rule).
+    Must round-trip AND measurably beat the hard write's PSNR at the same
+    payload (~2.8x energy reduction expected on uniform cover phases)."""
+    secret = bytes(range(150))
+    salt = bytes(range(16))
+    hard = embed_array(host_image, secret, password="pw",
+                       params=Params(**FAST), salt=salt)
+    psoft = Params(soft_write=True, **FAST)
+    soft = embed_array(host_image, secret, password="pw", params=psoft,
+                       salt=salt)
+    assert extract_array(soft.stego, password="pw", params=psoft) == secret
+    gain = _psnr(host_image, soft.stego) - _psnr(host_image, hard.stego)
+    assert gain > 2.0, gain
+
+
+def test_soft_write_jitter_and_adaptive(small_image):
+    """soft_write composes with the jitter rotation and with per-bin
+    adaptive alpha (margin follows the bin's own a)."""
+    _roundtrip(small_image, b"soft jit",
+               Params(soft_write=True, jitter=0.05, **FAST), password="pw")
+    _roundtrip(small_image, b"soft adaptive",
+               Params(soft_write=True, adaptive_alpha=True, **FAST),
+               password="pw")
+
+
+def test_soft_write_f64_oracle(small_image):
+    """The numpy f64 backend implements the same minimal-energy write; both
+    backends round-trip the same payload with soft_write on."""
+    p = Params(soft_write=True, fft_dtype="complex128", **FAST)
+    _roundtrip(small_image, b"soft f64", p, password="pw")
