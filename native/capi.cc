@@ -35,4 +35,22 @@ long long stego_turtle_expand(const uint8_t* walk_key, const uint8_t* key_r,
                               allow_short, out_plane, out_y, out_x, out_jitter);
 }
 
+// v-variant: visited-bitmap chaining for salt-keyed per-image payload walks
+// (init/out nullable; bitmap layout documented in native/keystream.h).
+long long stego_turtle_expand_v(const uint8_t* walk_key, const uint8_t* key_r,
+                                const uint8_t* key_g, const uint8_t* key_b,
+                                int H, int W, double rmin, double rmax,
+                                double density, double jitter_max,
+                                long long nbits, long long max_steps,
+                                int allow_short, int32_t* out_plane,
+                                int32_t* out_y, int32_t* out_x,
+                                double* out_jitter,
+                                const uint64_t* init_visited,
+                                uint64_t* out_visited) {
+  return stego::turtle_expand_v(walk_key, key_r, key_g, key_b, H, W, rmin,
+                                rmax, density, jitter_max, nbits, max_steps,
+                                allow_short, out_plane, out_y, out_x,
+                                out_jitter, init_visited, out_visited);
+}
+
 }  // extern "C"

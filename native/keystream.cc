@@ -73,6 +73,19 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
                       double jitter_max, int64_t nbits, int64_t max_steps,
                       int allow_short, int32_t* out_plane, int32_t* out_y,
                       int32_t* out_x, double* out_jitter) {
+  return turtle_expand_v(walk_key, key_r, key_g, key_b, H, W, rmin, rmax,
+                         density, jitter_max, nbits, max_steps, allow_short,
+                         out_plane, out_y, out_x, out_jitter, nullptr,
+                         nullptr);
+}
+
+int64_t turtle_expand_v(const uint8_t walk_key[32], const uint8_t key_r[32],
+                        const uint8_t key_g[32], const uint8_t key_b[32],
+                        int H, int W, double rmin, double rmax, double density,
+                        double jitter_max, int64_t nbits, int64_t max_steps,
+                        int allow_short, int32_t* out_plane, int32_t* out_y,
+                        int32_t* out_x, double* out_jitter,
+                        const uint64_t* init_visited, uint64_t* out_visited) {
   KeystreamPrg ks_walk(walk_key);
   KeystreamPrg ks_planes[3] = {KeystreamPrg(key_r), KeystreamPrg(key_g),
                                KeystreamPrg(key_b)};
@@ -97,7 +110,12 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
   // Bitset visited map: 3*H*W bits (3.1 MB at 4K vs 24.9 MB as bytes) —
   // the walk's random probes are cache-miss bound, and the 8x smaller
   // footprint keeps the hot annulus region resident in L2/LLC.
-  std::vector<uint64_t> visited((size_t(3) * H * W + 63) / 64, 0);
+  const size_t vis_words = (size_t(3) * H * W + 63) / 64;
+  std::vector<uint64_t> visited(vis_words, 0);
+  if (init_visited) std::memcpy(visited.data(), init_visited, vis_words * 8);
+  auto emit_visited = [&]() {
+    if (out_visited) std::memcpy(out_visited, visited.data(), vis_words * 8);
+  };
   auto vis = [&](int p, int yy, int xx) -> bool {
     size_t i = (size_t(p) * H + yy) * W + xx;
     return (visited[i >> 6] >> (i & 63)) & 1;
@@ -146,7 +164,12 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
   for (int64_t i = 0; i < nbits; ++i) {
     for (;;) {  // candidate loop: advance_to_valid + density Bernoulli
       for (;;) {  // advance_to_valid (reference :778-804)
-        if (++steps > max_steps) return allow_short ? pad_from(i) : -1;
+        if (++steps > max_steps) {
+          if (!allow_short) return -1;
+          int64_t n = pad_from(i);
+          emit_visited();
+          return n;
+        }
         switch (ks_walk.next_opcode3()) {
           case 0: plane = (plane + 1) % 3; break;
           case 1: x = (x + 1) % W; break;
@@ -187,6 +210,7 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
     int cx = (x == 0) ? 0 : (W - x) % W;
     mark(plane, cy, cx);
   }
+  emit_visited();
   return nbits;
 }
 

@@ -22,4 +22,19 @@ int64_t turtle_expand(const uint8_t walk_key[32], const uint8_t key_r[32],
                       int allow_short, int32_t* out_plane, int32_t* out_y,
                       int32_t* out_x, double* out_jitter);
 
+// As turtle_expand, plus visited-bitmap chaining for the per-image-walk
+// mode (steganosaurus_tpu/pipeline — salt-keyed payload walks resume from
+// the shared header walk's visited state so per-image bins never collide
+// with the header's). Bitmaps are (3*H*W + 63)/64 uint64 words, bit index
+// (plane*H + y)*W + x. init_visited (nullable) pre-seeds the visited set;
+// out_visited (nullable) receives the final visited state (also on
+// allow_short padding).
+int64_t turtle_expand_v(const uint8_t walk_key[32], const uint8_t key_r[32],
+                        const uint8_t key_g[32], const uint8_t key_b[32],
+                        int H, int W, double rmin, double rmax, double density,
+                        double jitter_max, int64_t nbits, int64_t max_steps,
+                        int allow_short, int32_t* out_plane, int32_t* out_y,
+                        int32_t* out_x, double* out_jitter,
+                        const uint64_t* init_visited, uint64_t* out_visited);
+
 }  // namespace stego

@@ -62,6 +62,16 @@ class NativeLib:
             ctypes.POINTER(ctypes.c_int32),           # out x
             ctypes.POINTER(ctypes.c_double),          # out jitter
         ]
+        # v-variant (visited-bitmap chaining, per-image-walk mode). Absent
+        # from pre-0.4 build artifacts: probe and degrade — callers get
+        # has_expand_v=False and use the pure-Python twin for the chained
+        # expansions only.
+        self.has_expand_v = hasattr(d, "stego_turtle_expand_v")
+        if self.has_expand_v:
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            d.stego_turtle_expand_v.restype = ctypes.c_longlong
+            d.stego_turtle_expand_v.argtypes = (
+                d.stego_turtle_expand.argtypes + [u64p, u64p])
 
     @staticmethod
     def _buf(b: bytes):
@@ -122,6 +132,53 @@ class NativeLib:
                 f"step budget — image too small for the requested bit count?"
             )
         return plane, y, x, jit, int(rc)
+
+    def turtle_expand_v(self, walk_key, plane_keys, H, W, rmin, rmax,
+                        density, jitter_max, nbits, max_steps,
+                        allow_short=False, init_visited=None,
+                        want_visited=False):
+        """turtle_expand with visited-bitmap chaining (per-image-walk mode).
+
+        init_visited: uint64 array of (3*H*W + 63)//64 words, or None.
+        want_visited=True appends the final visited bitmap to the return:
+        (plane, y, x, jitter, nproduced[, visited]).
+        Requires has_expand_v (rebuild native/ if a stale .so lacks it).
+        """
+        import numpy as np
+
+        assert self.has_expand_v
+        nwords = (3 * H * W + 63) // 64
+        plane = np.empty(nbits, dtype=np.int32)
+        y = np.empty(nbits, dtype=np.int32)
+        x = np.empty(nbits, dtype=np.int32)
+        jit = np.empty(nbits, dtype=np.float64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        if init_visited is not None:
+            init_visited = np.ascontiguousarray(init_visited, dtype=np.uint64)
+            assert init_visited.shape == (nwords,)
+            init_p = init_visited.ctypes.data_as(u64p)
+        else:
+            init_p = None
+        out_vis = np.zeros(nwords, dtype=np.uint64) if want_visited else None
+        rc = self._dll.stego_turtle_expand_v(
+            self._buf(walk_key), self._buf(plane_keys[0]),
+            self._buf(plane_keys[1]), self._buf(plane_keys[2]),
+            H, W, rmin, rmax, density, jitter_max, nbits, max_steps,
+            int(allow_short),
+            plane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            jit.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            init_p,
+            out_vis.ctypes.data_as(u64p) if want_visited else None,
+        )
+        if rc < 0:
+            raise RuntimeError(
+                f"native turtle_expand_v failed (rc={rc}): walk exhausted "
+                f"the step budget"
+            )
+        out = (plane, y, x, jit, int(rc))
+        return out + (out_vis,) if want_visited else out
 
 
 def get() -> NativeLib | None:

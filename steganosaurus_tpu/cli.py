@@ -48,6 +48,15 @@ USAGE = """Usage:
     --cover_dependent_path 0|1 : Cover-dependent turtlewalk (default: 0)
     --soft_write 0|1       : Minimal-energy phase write (+3-5 dB PSNR,
                              rebuild-only; reference still extracts) (0)
+    --alpha_spread S       : Keyed per-bin randomized write amplitude in
+                             [alpha, alpha(1+S)) — flattens the phase
+                             histogram, margin never below alpha
+                             (rebuild-only; extraction unchanged,
+                             reference still extracts) (0.0)
+    --per_image_walk 0|1   : Salt-keyed per-image payload walks — defeats
+                             cross-image residual averaging under one key
+                             (rebuild-only wire format, header flag 0x01;
+                             extraction auto-detects it) (0)
 """
 
 
@@ -122,6 +131,10 @@ def parse_args(argv: list[str]) -> Args | None:
             p["fft_dtype"] = need()
         elif k == "--soft_write":  # rebuild-only: minimal-energy write
             p["soft_write"] = need() in ("1", "true")
+        elif k == "--alpha_spread":  # rebuild-only: randomized amplitude
+            p["alpha_spread"] = float(need())
+        elif k == "--per_image_walk":  # rebuild-only: salt-keyed walks
+            p["per_image_walk"] = need() in ("1", "true")
         elif k == "--in-dir":  # batch modes (rebuild-only)
             a.in_dir = need()
         elif k == "--out-dir":

@@ -39,6 +39,33 @@ class Params:
     # pixels diverge from the reference's write. See ops/phase.py,
     # doc/ATTACKS.md §1a.
     soft_write: bool = False
+    # Salt-keyed per-image payload walks: the 38-byte header embeds on the
+    # shared salt-independent walk prefix (it must stay locatable before the
+    # salt is known), then the
+    # payload walk re-keys from SHA256(path_key || salt) and resumes from the
+    # header walk's visited state. Defeats the shared-walk correlation
+    # attack for bulk collections under one key (doc/ATTACKS.md §4): payload
+    # bin sets become independent per image (overlap falls from 100% to the
+    # random-coincidence rate), so residual averaging at common bins gains
+    # nothing past the 912 header bins. Wire-format: header FLAGS bit 0x01
+    # (pipeline/header.py) — extraction auto-detects it, no param needed;
+    # the reference binary fails closed (AEAD) on flagged stegos. Costs a
+    # per-image sequential host walk (threaded across the batch) and
+    # per-image device index arrays. Default off for reference parity.
+    per_image_walk: bool = False
+    # Keyed per-bin randomized write amplitude: bin i is written at
+    # alpha_i = alpha * (1 + alpha_spread * v_i) with v_i in [0, 1) drawn
+    # from an independent keystream keyed by the path key — one-sided so
+    # every bin's decode margin stays >= the hard write's alpha
+    # (pipeline/spread.py explains the measured TPU failure that rules out
+    # a symmetric spread). Kills the phase-residual histogram spikes at
+    # +-alpha (the reference's own doc/TODO.md "per-bin randomized alpha"
+    # item) at zero extraction cost: the decode rule is a half-plane test
+    # that never uses the written amplitude, so extraction — INCLUDING by
+    # the stock reference binary — is unchanged and needs no knowledge of
+    # the spread. Requires alpha*(1+alpha_spread) < pi. Default off for
+    # pixel-level reference parity. See doc/ATTACKS.md §2a.
+    alpha_spread: float = 0.0
 
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)

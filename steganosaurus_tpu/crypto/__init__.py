@@ -167,6 +167,26 @@ def derive_turtle_keys(path_key: bytes) -> tuple[bytes, bytes, bytes, bytes]:
     return sub[0:32], sub[32:64], sub[64:96], sub[96:128]
 
 
+def derive_salt_path_key(path_key: bytes, salt: bytes) -> bytes:
+    """Per-image payload-walk path key (per-image-walk mode, rebuild-only):
+    SHA256(path_key || "per_image_walk" || salt). The header stays on the
+    shared salt-independent walk (it must be locatable before the salt is
+    known — the same constraint the reference documents,
+    steganosaur.cpp:1134-1143); the payload walk re-keys per image from the
+    header's salt, so payload bin sets are independent per image — bulk
+    collections under one key share only coincidental bins
+    (doc/ATTACKS.md §4)."""
+    return sha256(path_key + b"per_image_walk" + salt)
+
+
+def derive_alpha_spread_key(path_key: bytes) -> bytes:
+    """32B key for the randomized-alpha keystream (rebuild-only; no reference
+    equivalent — Params.alpha_spread). An independent HKDF info label keeps
+    the draw stream fully decoupled from the walk/plane keystreams, so the
+    walk replay stays byte-exact vs the reference whatever the spread."""
+    return hkdf_expand(path_key, b"alpha_spread", 32)
+
+
 # ---------------------------------------------------------------------------
 # Encoding helpers / CSPRNG / fingerprint
 # ---------------------------------------------------------------------------

@@ -36,6 +36,102 @@ def _step_budget(target: int, H: int, W: int) -> int:
     return max(10_000_000, 64 * target * 8 + 4 * H * W)
 
 
+def ks_stream_bytes(key: bytes, n: int) -> bytes:
+    """First `n` bytes of the KS counter-mode SHA-256 PRG (the reference's
+    struct KS block layout, steganosaur.cpp:665-683: block i =
+    SHA256(key || 0xAA || LE32(i))), produced without the per-byte state
+    machine — used by consumers that only need a flat byte stream (e.g. the
+    alpha-spread draw), not opcode/density/jitter sequencing."""
+    import hashlib
+    import struct
+
+    assert len(key) == 32
+    out = bytearray()
+    for ctr in range(-(-n // 32)):
+        out += hashlib.sha256(key + b"\xaa" + struct.pack("<I", ctr)).digest()
+    return bytes(out[:n])
+
+
+def _expand_v_raw(walk_key, plane_keys, H, W, rmin, rmax, density,
+                  jitter_max, nbits, max_steps, allow_short,
+                  init_visited, want_visited):
+    """Visited-chaining expansion: native turtle_expand_v when the built
+    library has it, pure twin otherwise (identical streams — tested)."""
+    lib = _native_loader.get()
+    if lib is not None and getattr(lib, "has_expand_v", False):
+        return lib.turtle_expand_v(walk_key, plane_keys, H, W, rmin, rmax,
+                                   density, jitter_max, nbits, max_steps,
+                                   allow_short=allow_short,
+                                   init_visited=init_visited,
+                                   want_visited=want_visited)
+    return _pure.turtle_expand(walk_key, plane_keys, H, W, rmin, rmax,
+                               density, jitter_max, nbits, max_steps,
+                               allow_short=allow_short,
+                               init_visited=init_visited,
+                               want_visited=want_visited)
+
+
+# Header-prefix cache for the per-image-walk mode: the shared walk's first
+# `nbits` (the 912 header stream bits) and its FINAL VISITED BITMAP are a
+# pure function of (keys, dims, walk params) — one sequential run serves
+# every batch under the key. Payload walks are salt-keyed (unique per image)
+# and deliberately uncached.
+_HDR_CACHE: OrderedDict[tuple, tuple] = OrderedDict()
+_HDR_CACHE_LOCK = threading.Lock()
+
+
+def header_walk_with_visited(walk_key, plane_keys, H: int, W: int,
+                             rmin: float, rmax: float, density: float,
+                             jitter_max: float, nbits: int) -> tuple:
+    """(plane, y, x, jitter, visited_bitmap) for the shared walk's first
+    `nbits` bits — the header prefix of the per-image-walk mode
+    (pipeline/batch.py). visited_bitmap (uint64 words, native layout)
+    captures accepted bins, their conjugates AND density-skipped marks, so
+    a chained payload expansion never collides with the header's bins."""
+    key = (walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
+           nbits)
+    with _HDR_CACHE_LOCK:
+        ent = _HDR_CACHE.get(key)
+        if ent is None:
+            p, y, x, j, n, vis = _expand_v_raw(
+                walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
+                nbits, _step_budget(nbits, H, W), False, None, True)
+            for a in (p, y, x, j, vis):
+                a.setflags(write=False)
+            ent = (p, y, x, j, vis)
+            _HDR_CACHE[key] = ent
+        _HDR_CACHE.move_to_end(key)
+        while len(_HDR_CACHE) > _CACHE_MAX_ENTRIES:
+            _HDR_CACHE.popitem(last=False)
+    return ent
+
+
+def turtle_expand_chained(walk_key, plane_keys, H: int, W: int, rmin: float,
+                          rmax: float, density: float, jitter_max: float,
+                          nbits: int, init_visited,
+                          allow_short: bool = False) -> tuple:
+    """Payload expansion resuming from `init_visited` (per-image-walk mode:
+    fresh salt-keyed PRGs and seed position, header bins pre-marked).
+    Returns (plane, y, x, jitter, nproduced) under allow_short, else the
+    4-tuple. Uncached — every (key, salt) pair is unique."""
+    out = _expand_v_raw(walk_key, plane_keys, H, W, rmin, rmax, density,
+                        jitter_max, nbits, _step_budget(nbits, H, W),
+                        allow_short, init_visited, False)
+    # normalize backend return arity (native always appends nproduced)
+    return out[:5] if allow_short else out[:4]
+
+
+def signed_unit_offsets(key: bytes, n: int) -> np.ndarray:
+    """(n,) f32 keyed draws u_i in [-1, 1): consecutive byte pairs of the KS
+    stream as big-endian int16 / 32768 — the same two-byte mapping KS.jitter
+    uses (keystream/_pure.py KS.jitter; reference steganosaur.cpp:690-694),
+    fed from an independent key. Used for Params.alpha_spread."""
+    raw = np.frombuffer(ks_stream_bytes(key, 2 * n), dtype=np.uint8)
+    r = (raw[0::2].astype(np.int32) << 8) | raw[1::2].astype(np.int32)
+    r = np.where(r >= 0x8000, r - 0x10000, r)
+    return (r / 32768.0).astype(np.float32)
+
+
 def _expand_raw(walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
                 nbits, max_steps):
     """Uncached expansion, always allow_short (5-tuple)."""

@@ -105,6 +105,8 @@ def turtle_expand(
     nbits: int,
     max_steps: int | None = None,
     allow_short: bool = False,
+    init_visited: np.ndarray | None = None,
+    want_visited: bool = False,
 ) -> tuple:
     """Expand the keyed walk into per-bit (plane, y, x, jitter) arrays.
 
@@ -118,11 +120,33 @@ def turtle_expand(
     RuntimeError, unless allow_short=True — then the remaining slots are padded
     with the last produced bin and a 5-tuple (plane, y, x, jitter, nproduced)
     is returned. With allow_short the return is always the 5-tuple.
+
+    Visited chaining (per-image-walk mode; native twin turtle_expand_v):
+    init_visited pre-seeds the visited set from a prior expansion — the
+    salt-keyed payload walk resumes from the shared header walk's state so
+    its bins never collide with the header's. want_visited=True appends the
+    final visited bitmap to the return tuple. Bitmaps are uint64 word arrays
+    of (3*H*W + 63)//64 words, bit index (plane*H + y)*W + x (matching the
+    native layout).
     """
     ks_walk = KS(walk_key)
     ks_planes = (KS(plane_keys[0]), KS(plane_keys[1]), KS(plane_keys[2]))
     y, x, plane = turtle_seed(walk_key, H, W)
-    visited = np.zeros((3, H, W), dtype=bool)
+    if init_visited is not None:
+        nwords = (3 * H * W + 63) // 64
+        assert init_visited.shape == (nwords,)
+        bits = np.unpackbits(
+            init_visited.astype("<u8").view(np.uint8), bitorder="little")
+        visited = bits[: 3 * H * W].astype(bool).reshape(3, H, W)
+    else:
+        visited = np.zeros((3, H, W), dtype=bool)
+
+    def _pack_visited() -> np.ndarray:
+        nwords = (3 * H * W + 63) // 64
+        flat = np.packbits(visited.reshape(-1), bitorder="little")
+        out = np.zeros(nwords * 8, dtype=np.uint8)
+        out[: flat.size] = flat
+        return out.view("<u8").astype(np.uint64)
     rlo = rmin * min(H, W)
     rhi = rmax * min(H, W)
     if max_steps is None:
@@ -156,7 +180,8 @@ def turtle_expand(
                     out_y[i:] = ly
                     out_x[i:] = lx
                     out_j[i:] = 0.0
-                    return out_plane, out_y, out_x, out_j, i
+                    ret = (out_plane, out_y, out_x, out_j, i)
+                    return ret + (_pack_visited(),) if want_visited else ret
                 op = ks_walk.next_opcode3()
                 if op == 0:
                     plane = (plane + 1) % 3
@@ -204,6 +229,10 @@ def turtle_expand(
         cy, cx = conj_idx(y, x, H, W)
         visited[plane, cy, cx] = True
 
+    if want_visited:
+        # with want_visited the produced count is always included (native
+        # turtle_expand_v return contract): (p, y, x, j, nprod, visited)
+        return out_plane, out_y, out_x, out_j, nbits, _pack_visited()
     if allow_short:
         return out_plane, out_y, out_x, out_j, nbits
     return out_plane, out_y, out_x, out_j

@@ -219,7 +219,8 @@ def _pack_bits_words(bits):
 
 @functools.lru_cache(maxsize=32)
 def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
-                               hdr_stream_bits: int = 0):
+                               hdr_stream_bits: int = 0,
+                               shared_idx: bool = True):
     """Jitted: gather walk bins AND ECC-decode on device, returning packed
     bytes as i32 words — (B, 10 + ceil(payload_bytes/4)) instead of (B, n)
     raw bits, a ~250x smaller pull (ECC 3x/7x + bit->word 32x).
@@ -228,7 +229,8 @@ def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
     first hdr_stream_bits are Rep-3 decoded (-> 10 words = 38 header bytes +
     2 pad), the rest Rep-7 decoded (reference frame layout,
     steganosaur.cpp:986-995). hdr_stream_bits=0 skips the header section
-    (payload-only second pass).
+    (payload-only second pass). shared_idx=False takes per-image (B, n)
+    bin/jitter arrays (per-image-walk mode).
     """
     inner = functools.partial(_read_core, adaptive=adaptive)
 
@@ -242,13 +244,17 @@ def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
             ecc.rep_decode(raw[hdr_stream_bits:], 7)))
         return jnp.concatenate(outs)
 
-    fn = jax.vmap(core, in_axes=(0, 0, None, None, None, None, None))
+    if shared_idx:
+        fn = jax.vmap(core, in_axes=(0, 0, None, None, None, None, None))
+    else:
+        fn = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
     if mesh is None:
         return jax.jit(fn)
     shard = NamedSharding(mesh, P("batch"))
     rep = NamedSharding(mesh, P())
-    return jax.jit(fn, in_shardings=(shard, shard) + (rep,) * 5,
-                   out_shardings=shard)
+    in_sh = ((shard, shard) + (rep,) * 5 if shared_idx
+             else (shard,) * 6 + (rep,))
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=shard)
 
 
 # ---------------------------------------------------------------------------
@@ -275,35 +281,47 @@ def _shardB(mesh, ndim: int, axis: int = 0):
 
 @functools.lru_cache(maxsize=32)
 def corner_statics_core(Ky: int, Kx: int, bucket: int, has_jitter: bool,
-                        mesh: Mesh | None = None):
+                        mesh: Mesh | None = None, has_spread: bool = False):
     """Jitted one-time-per-walk builder of the static corner maps.
 
     (plane, y, x, jitters — the cached device walk arrays, length `bucket`,
-    tail-padded by repeating the last REAL bin and ITS jitter) ->
+    tail-padded by repeating the last REAL bin and ITS jitter
+    [, alphas (bucket,) f32 per-slot write amplitudes when has_spread]) ->
       pos (3,Ky,Kx) i32: walk position owning each bin, `bucket` elsewhere
       [cjd, sjd (3,Ky,Kx) f32: cos/sin of the bin's jitter, when has_jitter]
+      [cad, sad (3,Ky,Kx) f32: cos/sin of the bin's write amplitude
+       alpha_i, when has_spread (Params.alpha_spread; pipeline/spread.py)]
 
     Padding duplicates scatter identical values (same bin, same bit slot
-    value, same jitter), so duplicate-write order is irrelevant.
+    value, same jitter/amplitude), so duplicate-write order is irrelevant.
     """
 
-    def build(plane, y, x, jit):
+    def build(plane, y, x, jit, *alphas):
         idx = (plane, y, x)
         pos = jnp.full((3, Ky, Kx), bucket, jnp.int32).at[idx].set(
             jnp.arange(bucket, dtype=jnp.int32), mode="promise_in_bounds")
-        if not has_jitter:
-            return (pos,)
-        cjd = jnp.ones((3, Ky, Kx), jnp.float32).at[idx].set(
-            jnp.cos(jit), mode="promise_in_bounds")
-        sjd = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
-            jnp.sin(jit), mode="promise_in_bounds")
-        return pos, cjd, sjd
+        out = (pos,)
+        if has_jitter:
+            cjd = jnp.ones((3, Ky, Kx), jnp.float32).at[idx].set(
+                jnp.cos(jit), mode="promise_in_bounds")
+            sjd = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
+                jnp.sin(jit), mode="promise_in_bounds")
+            out = out + (cjd, sjd)
+        if has_spread:
+            (al,) = alphas
+            cad = jnp.ones((3, Ky, Kx), jnp.float32).at[idx].set(
+                jnp.cos(al), mode="promise_in_bounds")
+            sad = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
+                jnp.sin(al), mode="promise_in_bounds")
+            out = out + (cad, sad)
+        return out
 
+    n_in = 5 if has_spread else 4
+    n_out = 1 + 2 * has_jitter + 2 * has_spread
     if mesh is None:
         return jax.jit(build)
     rep = _rep(mesh)
-    n_out = 3 if has_jitter else 1
-    return jax.jit(build, in_shardings=(rep,) * 4,
+    return jax.jit(build, in_shardings=(rep,) * n_in,
                    out_shardings=(rep,) * n_out)
 
 
@@ -419,9 +437,14 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                       mesh: Mesh | None = None, has_jitter: bool = False,
                       pack: bool = False, layout: str = "nhwc",
                       stream_bytes: int = 0, bucket: int = 0,
-                      soft: bool = False):
+                      soft: bool = False, has_spread: bool = False):
     """Jitted corner embed: (imgs u8, table, pos (3,Ky,Kx) i32, [cjd, sjd],
-    alpha () f32) -> u8 stego.
+    [cad, sad], alpha () f32) -> u8 stego.
+
+    has_spread: the statics carry per-bin write-amplitude maps cad/sad
+    (cos/sin(alpha_i), Params.alpha_spread) which replace the scalar
+    cos/sin(alpha) in the write; map argument order follows
+    corner_statics_core ((pos, [cjd, sjd], [cad, sad])).
 
     Full embed data path with zero scatters and no full-grid FFT: corner
     forward matmuls -> dense bit-sign map via the static pos gather -> dense
@@ -456,7 +479,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         return jnp.concatenate(
             [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
 
-    def fn(imgs, table, pos, cjd, sjd, alpha, *tabs):
+    def fn(imgs, table, pos, cjd, sjd, cad, sad, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
@@ -478,8 +501,10 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                 bit.reshape(3, Ky, Kx, -1), (3, 0, 1, 2)
             ).astype(jnp.float32) * 2.0 - 1.0            # (B,3,Ky,Kx)
         mask = (pos < tbucket).astype(jnp.float32)
-        dr, di = corner.write_delta(cr, ci, sign, mask, jnp.cos(alpha),
-                                    jnp.sin(alpha), cjd, sjd, soft=soft)
+        ca = jnp.cos(alpha) if cad is None else cad
+        sa = jnp.sin(alpha) if sad is None else sad
+        dr, di = corner.write_delta(cr, ci, sign, mask, ca, sa, cjd, sjd,
+                                    soft=soft)
         t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
@@ -488,10 +513,20 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             out = jnp.transpose(out, (0, 2, 3, 1))
         return transfer.pack_u8(out) if pack else out
 
-    if not has_jitter:
-        base = fn
+    # Positional maps arrive in corner_statics_core order:
+    # (pos, [cjd, sjd], [cad, sad]); absent maps become None.
+    base = fn
+    if has_jitter and has_spread:
+        pass
+    elif has_jitter:
+        fn = lambda imgs, table, pos, cjd, sjd, alpha, *tabs: base(  # noqa: E731
+            imgs, table, pos, cjd, sjd, None, None, alpha, *tabs)
+    elif has_spread:
+        fn = lambda imgs, table, pos, cad, sad, alpha, *tabs: base(  # noqa: E731
+            imgs, table, pos, None, None, cad, sad, alpha, *tabs)
+    else:
         fn = lambda imgs, table, pos, alpha, *tabs: base(  # noqa: E731
-            imgs, table, pos, None, None, alpha, *tabs)
+            imgs, table, pos, None, None, None, None, alpha, *tabs)
     # DFT tables are runtime ARGUMENTS (uploaded once, shared by every
     # module), never closure constants — capturing a device array bakes it
     # into each compiled module via a host pull (spectral/corner.py).
@@ -501,7 +536,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         return lambda *args: jfn(*args, *tabs)
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4), _shardB(mesh, 2, axis=1), rep)
-    in_sh += (rep, rep, rep) if has_jitter else (rep,)
+    in_sh += (rep, rep) * (has_jitter + has_spread) + (rep,)
     in_sh += (rep,) * len(tabs)
     # P("batch") with no trailing dims is rank-agnostic (pack=True -> rank 2)
     jfn = jax.jit(fn, in_shardings=in_sh,
@@ -612,6 +647,164 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             imgs, None, None, alpha, plane, y, x, *tabs)
     tabs = corner.dft_tables_device(H, Ky, W, Kx, None)
     jfn = jax.jit(fn)
+    return lambda *args: jfn(*args, *tabs)
+
+
+def _piw_write_vals(vr, vi, s, cj, sj, ca, sa, soft: bool):
+    """Per-bin write values for the PER-IMAGE-WALK corner scatter embed:
+    the 1-D (gathered-bin) twin of spectral.corner.write_delta's dense math.
+    vr/vi: gathered corner values (n,). s: bit signs +-1. cj/sj: cos/sin of
+    the per-bit jitter. ca/sa: cos/sin of the per-bit write amplitude
+    (scalar or (n,) under alpha_spread). Returns the pre-doubled
+    Hermitian-half deltas (2*(nv - v), ops/phase.py)."""
+    mag = jnp.maximum(jnp.float32(1e-12), jnp.sqrt(vr * vr + vi * vi))
+    if soft:
+        sigma = jnp.where(jnp.asarray(sa) < 0, -1.0, 1.0)
+        abs_sin, abs_cos = jnp.abs(jnp.asarray(sa)), jnp.abs(jnp.asarray(ca))
+        u_r = vr * cj + vi * sj
+        u_i = vi * cj - vr * sj
+        valid = s * sigma * u_i >= mag * abs_sin
+        t_r = jnp.where(u_r < 0, -1.0, 1.0) * (mag * abs_cos)
+        t_i = (s * sigma) * (mag * abs_sin)
+        nv_r = t_r * cj - t_i * sj
+        nv_i = t_r * sj + t_i * cj
+        dr = 2.0 * jnp.where(valid, 0.0, nv_r - vr)
+        di = 2.0 * jnp.where(valid, 0.0, nv_i - vi)
+        return dr, di
+    cos_t = cj * ca - s * (sj * sa)
+    sin_t = sj * ca + s * (cj * sa)
+    return 2.0 * (mag * cos_t - vr), 2.0 * (mag * sin_t - vi)
+
+
+@functools.lru_cache(maxsize=32)
+def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
+                          mesh: Mesh | None = None, pack: bool = False,
+                          layout: str = "nhwc", soft: bool = False,
+                          spread: bool = False):
+    """Per-image-walk corner embed (ONE dispatched module): (imgs u8,
+    plane/y/x (B, n) i32, bits_words (B, n/32) i32, jitters (B, n) f32,
+    [nbits_per (B,) i32 when spread,] alpha () f32 — or (n,) when spread)
+    -> u8 stego.
+
+    The shared-walk fast path's dense write needs per-WALK static maps;
+    with per-image walks those would be (B, 3, Ky, Kx) per batch (~12 MB x B
+    at 4K) — instead each image gathers its own bins from the corner
+    spectrum, computes the write values per bit, and scatters the
+    pre-doubled delta into a zero corner. Keeps the pruned-DFT
+    forward/inverse matmuls — no full-grid FFT (pipeline/batch.py
+    per_image_walk).
+
+    Tail-pad slots repeat each image's LAST real bin/bit/jitter, so
+    duplicate scatters carry identical values; under spread the per-slot
+    amplitude is clamped to the image's last real slot (alphas[min(i,
+    nbits_per-1)]) to keep that invariant."""
+    from steganosaurus_tpu.spectral import corner
+
+    prec = corner.precision()
+
+    def per_image(crb, cib, pl, yy, xx, btw, jt, nb, alpha):
+        n = jt.shape[0]
+        bt = _unpack_bits_words(btw, n=n)
+        s = bt.astype(jnp.float32) * 2.0 - 1.0
+        vr = crb[pl, yy, xx]
+        vi = cib[pl, yy, xx]
+        if spread:
+            a = alpha[jnp.minimum(jnp.arange(n), nb - 1)]
+        else:
+            a = alpha
+        dr_v, di_v = _piw_write_vals(vr, vi, s, jnp.cos(jt), jnp.sin(jt),
+                                     jnp.cos(a), jnp.sin(a), soft)
+        idx = (pl, yy, xx)
+        dr = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
+            dr_v, mode="promise_in_bounds")
+        di = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
+            di_v, mode="promise_in_bounds")
+        return dr, di
+
+    def fn(imgs, plane, y, x, bits_w, jit, nbits_per, alpha, *tabs):
+        if layout == "nchw":
+            planes = imgs.astype(jnp.float32)
+        else:
+            planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        pin = spectral.apply_center(planes, center)
+        cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
+        dr, di = jax.vmap(per_image, in_axes=(0,) * 8 + (None,))(
+            cr, ci, plane, y, x, bits_w, jit, nbits_per, alpha)
+        t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
+        t = spectral.apply_center(t, center)
+        out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
+        out = out.astype(jnp.uint8)
+        if layout != "nchw":
+            out = jnp.transpose(out, (0, 2, 3, 1))
+        return transfer.pack_u8(out) if pack else out
+
+    if not spread:
+        base = fn
+        fn = lambda imgs, plane, y, x, bits_w, jit, alpha, *tabs: base(  # noqa: E731
+            imgs, plane, y, x, bits_w, jit,
+            jnp.zeros(plane.shape[0], jnp.int32), alpha, *tabs)
+    tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
+    if mesh is None:
+        jfn = jax.jit(fn)
+        return lambda *args: jfn(*args, *tabs)
+    rep = _rep(mesh)
+    in_sh = (_shardB(mesh, 4),) + (_shardB(mesh, 2),) * 5
+    if spread:
+        in_sh += (_shardB(mesh, 1),)
+    in_sh += (rep,) + (rep,) * len(tabs)
+    jfn = jax.jit(fn, in_shardings=in_sh,
+                  out_shardings=NamedSharding(mesh, P("batch")))
+    return lambda *args: jfn(*args, *tabs)
+
+
+@functools.lru_cache(maxsize=32)
+def corner_piw_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
+                            layout: str, hdr_stream_bits: int,
+                            mesh: Mesh | None = None):
+    """Per-image-walk corner extract (ONE dispatched module): (imgs u8,
+    plane/y/x (B, n) i32, jitters (B, n) f32, alpha () f32) -> (B, words)
+    decoded i32 words (same contract as corner_extract_fused_core).
+
+    Per-image bins rule out the dense static-map read; instead each image
+    gathers its own (re, im) corner values and decodes with the per-bit
+    jitter angles directly — sign(sin a) * (Im*cos(jd) - Re*sin(jd)) >= 0
+    (spectral/corner.py module docstring) — so jitter needs no maps."""
+    from steganosaurus_tpu.spectral import corner
+
+    prec = corner.precision()
+
+    def per_image(crb, cib, pl, yy, xx, jt, ssa):
+        vr = crb[pl, yy, xx]
+        vi = cib[pl, yy, xx]
+        d = vi * jnp.cos(jt) - vr * jnp.sin(jt)
+        raw = (d * ssa >= 0).astype(jnp.uint8)
+        outs = []
+        if hdr_stream_bits:
+            outs.append(_pack_bits_words(
+                ecc.rep_decode(raw[:hdr_stream_bits], 3)))
+        outs.append(_pack_bits_words(
+            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+        return jnp.concatenate(outs)
+
+    def fn(imgs, plane, y, x, jit, alpha, *tabs):
+        if layout == "nchw":
+            planes = imgs.astype(jnp.float32)
+        else:
+            planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        pin = spectral.apply_center(planes, center)
+        cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
+        ssa = jnp.sign(jnp.sin(alpha))
+        return jax.vmap(per_image, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            cr, ci, plane, y, x, jit, ssa)
+
+    tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
+    if mesh is None:
+        jfn = jax.jit(fn)
+        return lambda *args: jfn(*args, *tabs)
+    rep = _rep(mesh)
+    in_sh = (_shardB(mesh, 4),) + (_shardB(mesh, 2),) * 4 + (rep,)
+    in_sh += (rep,) * len(tabs)
+    jfn = jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 2))
     return lambda *args: jfn(*args, *tabs)
 
 

@@ -36,6 +36,7 @@ from steganosaurus_tpu.ops import ecc
 from steganosaurus_tpu.parallel import batch as pbatch
 from steganosaurus_tpu.parallel import transfer
 from steganosaurus_tpu.pipeline import header as header_mod
+from steganosaurus_tpu.pipeline import spread as spread_mod
 from steganosaurus_tpu.pipeline.errors import StegoError
 from steganosaurus_tpu.pipeline.header import Header
 
@@ -125,25 +126,103 @@ _CORNER_STATICS_CACHE: "OrderedDict[tuple, tuple]" = __import__(
 
 def _corner_statics_device(password, master_key, params, PH, PW, nbits,
                            bucket, Ky, Kx, mesh):
-    """((pos, [cjd, sjd]) device maps, nprod) for the walk's first `bucket`
-    slots (see parallel.batch.corner_statics_core)."""
+    """((pos, [cjd, sjd], [cad, sad]) device maps, nprod) for the walk's
+    first `bucket` slots (see parallel.batch.corner_statics_core). The
+    amplitude maps cad/sad appear when params.alpha_spread != 0
+    (pipeline/spread.py); read-side consumers index cjd/sjd positionally —
+    the order is fixed as (pos, [cjd, sjd], [cad, sad])."""
     path_key = crypto.derive_path_key(password, master_key, None)
     has_jitter = params.jitter != 0.0
+    has_spread = params.alpha_spread != 0.0
     # nbits is part of the key: the walk arrays' tail padding in
-    # [nbits, bucket) depends on it (repeats bin nbits-1).
+    # [nbits, bucket) depends on it (repeats bin nbits-1). alpha joins the
+    # key only under spread (the amplitude maps bake cos/sin(alpha_i)).
     key = (path_key, PH, PW, params.rmin, params.rmax, params.density,
-           params.jitter, nbits, bucket, Ky, Kx, mesh)
+           params.jitter, nbits, bucket, Ky, Kx, mesh,
+           (params.alpha, params.alpha_spread) if has_spread else None)
     ent = _CORNER_STATICS_CACHE.get(key)
     if ent is None:
+        import jax
+
         (plane, y, x, jit), nprod = _walk_indices_device(
             password, master_key, params, PH, PW, nbits, 0, bucket, mesh)
-        build = pbatch.corner_statics_core(Ky, Kx, bucket, has_jitter, mesh)
-        ent = (build(plane, y, x, jit), nprod)
+        build = pbatch.corner_statics_core(Ky, Kx, bucket, has_jitter, mesh,
+                                           has_spread=has_spread)
+        args = (plane, y, x, jit)
+        if has_spread:
+            al = spread_mod.spread_alphas(path_key, params, nbits)
+            al = np.concatenate(
+                [al, np.repeat(al[nbits - 1], bucket - nbits)]).astype(
+                np.float32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                al_d = jax.device_put(al, NamedSharding(mesh, P()))
+            else:
+                al_d = jax.device_put(al)
+            args = args + (al_d,)
+        ent = (build(*args), nprod)
         _CORNER_STATICS_CACHE[key] = ent
     _CORNER_STATICS_CACHE.move_to_end(key)
     while len(_CORNER_STATICS_CACHE) > _DEV_IDX_MAX:
         _CORNER_STATICS_CACHE.popitem(last=False)
     return ent
+
+
+def _piw_walk_arrays(password, master_key, params, PH, PW, salts,
+                     need_lens, bucket):
+    """Per-image-walk (B, bucket) plane/y/x i32 + jitter f32 arrays.
+
+    Row i = shared header prefix (912 bits, cached with its visited bitmap)
+    followed by the salt-keyed payload walk for salts[i] resuming from that
+    visited state (keystream.turtle_expand_chained), expanded to
+    need_lens[i] - 912 bits and tail-padded to `bucket` by repeating the
+    last real bin (duplicate scatters carry identical values — the batch
+    padding contract). Payload expansions are independent per image and the
+    C++ walker releases the GIL, so they run on a thread pool — the only
+    sequential cost left is max over images, not the sum.
+
+    Raises StegoError if any image's walk exhausts before its frame fits.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    path_key = crypto.derive_path_key(password, master_key, None)
+    kw, kr, kg, kb = crypto.derive_turtle_keys(path_key)
+    hdr_n = _HEADER_STREAM_BITS
+    hp, hy, hx, hj, vis = keystream.header_walk_with_visited(
+        kw, (kr, kg, kb), PH, PW, params.rmin, params.rmax, params.density,
+        params.jitter, hdr_n)
+
+    def expand(i):
+        need = need_lens[i] - hdr_n
+        sk = crypto.derive_turtle_keys(
+            crypto.derive_salt_path_key(path_key, salts[i]))
+        return keystream.turtle_expand_chained(
+            sk[0], sk[1:], PH, PW, params.rmin, params.rmax, params.density,
+            params.jitter, need, vis, allow_short=True)
+
+    B = len(salts)
+    with ThreadPoolExecutor(max_workers=min(8, B)) as ex:
+        outs = list(ex.map(expand, range(B)))
+
+    plane = np.empty((B, bucket), np.int32)
+    yarr = np.empty((B, bucket), np.int32)
+    xarr = np.empty((B, bucket), np.int32)
+    jarr = np.empty((B, bucket), np.float32)
+    for i, (pp, py, px, pj, n) in enumerate(outs):
+        need = need_lens[i] - hdr_n
+        if n < need:
+            raise StegoError(
+                f"Message too large. Image {i}: salt-keyed payload walk "
+                f"exhausted after {n}/{need} bits."
+            )
+        for dst, pre, pay in ((plane, hp, pp), (yarr, hy, py),
+                              (xarr, hx, px), (jarr, hj, pj)):
+            row = dst[i]
+            row[:hdr_n] = pre
+            row[hdr_n:hdr_n + need] = pay[:need]
+            row[hdr_n + need:] = row[hdr_n + need - 1]
+    return plane, yarr, xarr, jarr
 
 
 def prefetch_walk(password, master_key, params: Params, H: int, W: int,
@@ -158,6 +237,16 @@ def prefetch_walk(password, master_key, params: Params, H: int, W: int,
     embed surfaces them with full context."""
     try:
         PH, PW = spectral.fft_dims(H, W)
+        if params.per_image_walk:
+            # only the shared header prefix is prefetchable — the payload
+            # walks are salt-keyed and the salts don't exist yet (pre-drawn
+            # salt prefetch is a possible future stream optimization)
+            path_key = crypto.derive_path_key(password, master_key, None)
+            kw, kr, kg, kb = crypto.derive_turtle_keys(path_key)
+            keystream.header_walk_with_visited(
+                kw, (kr, kg, kb), PH, PW, params.rmin, params.rmax,
+                params.density, params.jitter, _HEADER_STREAM_BITS)
+            return
         nmax = max(_HEADER_STREAM_BITS + (n + 16) * 8 * 7
                    for n in secret_lens)
         _walk_indices(password, master_key, params, PH, PW, nmax,
@@ -222,13 +311,15 @@ def embed_batch(
 
     # Host crypto per image -> header||ct||tag streams (ECC expansion happens
     # on device on the corner path; host-side only on the legacy path)
+    flags = header_mod.FLAG_PER_IMAGE_WALK if params.per_image_walk else 0
     streams = []
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
         else:
             km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
-        hdr_bytes = Header(salt=km.salt, nonce=km.nonce, clen=len(secret)).to_bytes()
+        hdr_bytes = Header(salt=km.salt, nonce=km.nonce, clen=len(secret),
+                           flags=flags).to_bytes()
         ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
         streams.append(hdr_bytes + ct + tag)
 
@@ -241,13 +332,16 @@ def embed_batch(
     # and one index upload. Surplus bins repeat the last (bin, bit) pair:
     # duplicate writes of an identical value are benign and never read back.
     bucket = -(-nmax // 4096) * 4096
-    (plane, y, x, jit), nprod = _walk_indices_device(
-        password, master_key, params, PH, PW, nmax, 0, bucket, mesh)
-    if nprod < nmax:
-        raise StegoError(
-            f"Message too large. Need {nmax} bits (after ECC), walk "
-            f"exhausted after {nprod}."
-        )
+    if params.per_image_walk:
+        plane = y = x = jit = None  # per-image arrays built in the branch
+    else:
+        (plane, y, x, jit), nprod = _walk_indices_device(
+            password, master_key, params, PH, PW, nmax, 0, bucket, mesh)
+        if nprod < nmax:
+            raise StegoError(
+                f"Message too large. Need {nmax} bits (after ECC), walk "
+                f"exhausted after {nprod}."
+            )
 
     def _host_frames():
         """ECC-expanded bit frames, padded to `bucket` with each image's
@@ -268,8 +362,47 @@ def embed_batch(
     else:
         imgs_d = imgs if isinstance(imgs, jnp.ndarray) else np.ascontiguousarray(imgs)
     alpha = jnp.float32(params.alpha)
+    has_spread = params.alpha_spread != 0.0
+    if has_spread:
+        spread_mod.validate(params)
 
-    if not params.adaptive_alpha:
+    if params.per_image_walk:
+        from steganosaurus_tpu.spectral import corner as corner_mod
+
+        plane, y, x, jit = _piw_walk_arrays(
+            password, master_key, params, PH, PW, salts, frame_lens, bucket)
+        bits_w = pbatch.pack_bits_words_host(_host_frames())
+        if mesh is not None:
+            plane, y, x, jit, bits_w = (pbatch.shard_batch(a, mesh) for a in
+                                        (plane, y, x, jit, bits_w))
+        if params.adaptive_alpha:
+            # adaptive needs the full-spectrum median: legacy per-image
+            # scatter core (shared_idx=False)
+            fn = pbatch.batched_embed_core(H, W, params.center, True, mesh,
+                                           shared_idx=False,
+                                           pack=not device_resident,
+                                           bits_packed=True,
+                                           soft=params.soft_write)
+            out = fn(imgs_d, plane, y, x, bits_w, jit, alpha)
+        else:
+            Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
+            fn = pbatch.corner_piw_embed_core(H, W, Ky, Kx, params.center,
+                                              mesh,
+                                              pack=not device_resident,
+                                              layout=layout,
+                                              soft=params.soft_write,
+                                              spread=has_spread)
+            if has_spread:
+                path_key = crypto.derive_path_key(password, master_key, None)
+                al = jnp.asarray(
+                    spread_mod.spread_alphas(path_key, params, bucket))
+                nb_per = np.asarray(frame_lens, np.int32)
+                if mesh is not None:
+                    nb_per = pbatch.shard_batch(nb_per, mesh)
+                out = fn(imgs_d, plane, y, x, bits_w, jit, nb_per, al)
+            else:
+                out = fn(imgs_d, plane, y, x, bits_w, jit, alpha)
+    elif not params.adaptive_alpha:
         # Corner fast path: pruned-DFT matmuls + dense phase write, no
         # scatter, no full-grid FFT (spectral/corner.py). Adaptive alpha
         # needs the full-spectrum median and stays on the legacy path.
@@ -291,7 +424,8 @@ def embed_batch(
                                           layout=layout,
                                           stream_bytes=len(streams[0]),
                                           bucket=bucket,
-                                          soft=params.soft_write)
+                                          soft=params.soft_write,
+                                          has_spread=has_spread)
             out = fn(imgs_d, words, *maps, alpha)
         else:
             if len(set(frame_lens)) == 1:
@@ -311,9 +445,20 @@ def embed_batch(
                                           has_jitter,
                                           pack=not device_resident,
                                           layout=layout,
-                                          soft=params.soft_write)
+                                          soft=params.soft_write,
+                                          has_spread=has_spread)
             out = fn(imgs_d, table, *maps, alpha)
     else:
+        if has_spread:
+            # Per-slot amplitude array rides the (already per-bin) alpha
+            # argument of the legacy scatter core (ops/phase.embed_phases
+            # broadcasts it; spread composes multiplicatively with the
+            # reference's adaptive magnitude scaling).
+            path_key = crypto.derive_path_key(password, master_key, None)
+            al = spread_mod.spread_alphas(path_key, params, nmax)
+            alpha = jnp.asarray(np.concatenate(
+                [al, np.repeat(al[nmax - 1], bucket - nmax)]).astype(
+                np.float32))
         bits_w = pbatch.pack_bits_words_host(_host_frames())
         bits_d = (pbatch.shard_batch(bits_w, mesh) if mesh is not None
                   and not isinstance(imgs, jnp.ndarray) else bits_w)
@@ -404,7 +549,8 @@ def channel_report(
     """
     if (password is None) == (master_key is None):
         raise ValueError("exactly one of password/master_key required")
-    if params.adaptive_alpha or params.cover_dependent_path:
+    if params.adaptive_alpha or params.cover_dependent_path \
+            or params.per_image_walk:
         raise StegoError("channel_report supports the shared-walk corner "
                          "path only")
     from steganosaurus_tpu.spectral import corner as corner_mod
@@ -621,6 +767,78 @@ class _ExtractJob:
         words = np.asarray(words_d)  # the blocking device pull
         return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
 
+    def _dispatch_piw_pass(self, idxs: list[int],
+                           headers: list) -> list[bytes]:
+        """Per-image-walk payload pass for the header-flagged images
+        (pipeline/header.py FLAG_PER_IMAGE_WALK, auto-detected in
+        finalize): salt-keyed chained walks expanded on a thread pool from
+        each image's decoded header salt, then ONE fused
+        corner-FFT + per-image gather + ECC-decode module
+        (parallel.batch.corner_piw_extract_core). Returns payload byte
+        buffers aligned with `idxs`."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        password, master_key = self._key
+        PH, PW = self._dims
+        params = self._params
+        path_key = crypto.derive_path_key(password, master_key, None)
+        kw, kr, kg, kb = crypto.derive_turtle_keys(path_key)
+        *_, vis = keystream.header_walk_with_visited(
+            kw, (kr, kg, kb), PH, PW, params.rmin, params.rmax,
+            params.density, params.jitter, _HEADER_STREAM_BITS)
+
+        needs = [min((headers[i].clen + 16) * 8 * 7, self._cap_bits)
+                 for i in idxs]
+        n = -(-max(needs) // 4096) * 4096
+
+        def expand(k):
+            sk = crypto.derive_turtle_keys(crypto.derive_salt_path_key(
+                path_key, headers[idxs[k]].salt))
+            # allow_short: a corrupted clen degrades to garbage trailing
+            # bits (AEAD rejects) instead of aborting the batch
+            return keystream.turtle_expand_chained(
+                sk[0], sk[1:], PH, PW, params.rmin, params.rmax,
+                params.density, params.jitter, needs[k], vis,
+                allow_short=True)
+
+        with ThreadPoolExecutor(max_workers=min(8, len(idxs))) as ex:
+            outs = list(ex.map(expand, range(len(idxs))))
+
+        Bs = len(idxs)
+        plane = np.empty((Bs, n), np.int32)
+        yarr = np.empty((Bs, n), np.int32)
+        xarr = np.empty((Bs, n), np.int32)
+        jarr = np.empty((Bs, n), np.float32)
+        for k, (pp, py, px, pj, _np_) in enumerate(outs):
+            m = needs[k]
+            for dst, src in ((plane, pp), (yarr, py), (xarr, px),
+                             (jarr, pj)):
+                dst[k, :m] = src[:m]
+                dst[k, m:] = dst[k, m - 1]
+        sel = np.asarray(idxs)
+        imgs_sub = (self._imgs_d[sel] if len(idxs) != self.B
+                    else self._imgs_d)
+        H, W = self._HW
+        if self._use_corner:
+            from steganosaurus_tpu.spectral import corner as corner_mod
+
+            Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
+            # subset batches rarely divide the mesh; jit without shardings
+            # accepts whatever placement the inputs carry
+            core_mesh = (self._mesh if self._mesh is not None
+                         and len(idxs) == self.B
+                         and self.B % self._mesh.size == 0 else None)
+            core = pbatch.corner_piw_extract_core(
+                H, W, Ky, Kx, params.center, self._layout, 0, core_mesh)
+            words = core(imgs_sub, plane, yarr, xarr, jarr, self._alpha)
+        else:
+            core = pbatch.batched_gather_decode_core(
+                params.adaptive_alpha, None, hdr_stream_bits=0,
+                shared_idx=False)
+            words = core(self._spec[sel], self._med[sel], plane, yarr,
+                         xarr, jarr, self._alpha)
+        return self._to_bufs(words)
+
     def finalize(self) -> list[bytes | None]:
         """Pull the fused pass, parse headers, run the payload second pass if
         the hint was too small, AEAD-open everything. Idempotent: repeat
@@ -639,16 +857,32 @@ class _ExtractJob:
                 headers.append(None)
             else:
                 headers.append(Header.from_bytes(hb))
-        clens = [h.clen for h in headers if h is not None]
-        if not clens:
+        piw_idx = [i for i, h in enumerate(headers) if h is not None
+                   and (h.flags & header_mod.FLAG_PER_IMAGE_WALK)]
+        shared_clens = [h.clen for i, h in enumerate(headers)
+                        if h is not None and i not in set(piw_idx)]
+        if not shared_clens and not piw_idx:
             self._result = [None] * self.B
             return self._result
-        need = min((max(clens) + 16) * 8 * 7, self._cap_bits)
-        if need <= self._covered_payload_bits:
-            # payload bytes follow the 40-byte header block in the fused bufs
-            payloads = [buf[40:] for buf in bufs]
-        else:  # hint too small (or absent): payload-only second pass
-            payloads = self._to_bufs(self._dispatch_pass(need, False))
+        payloads: list[bytes | None] = [None] * self.B
+        if shared_clens:
+            need = min((max(shared_clens) + 16) * 8 * 7, self._cap_bits)
+            if need <= self._covered_payload_bits:
+                # payload bytes follow the 40-byte header block in the
+                # fused bufs
+                shared_payloads = [buf[40:] for buf in bufs]
+            else:  # hint too small (or absent): payload-only second pass
+                shared_payloads = self._to_bufs(
+                    self._dispatch_pass(need, False))
+            for i in range(self.B):
+                payloads[i] = shared_payloads[i]
+        if piw_idx:
+            # header-flagged images: salt-keyed per-image payload walks
+            # (auto-detected; the fused pass's shared-walk payload section
+            # does not apply to them)
+            for i, buf in zip(piw_idx,
+                              self._dispatch_piw_pass(piw_idx, headers)):
+                payloads[i] = buf
 
         out: list[bytes | None] = []
         for i, hdr in enumerate(headers):

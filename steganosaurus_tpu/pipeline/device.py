@@ -117,15 +117,18 @@ class JaxBackend:
         return spec, med, int(cap), np.asarray(feat).astype(np.uint8)
 
     def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
+        nbits = len(bits)
         plane, y, x = _bucket_pad(idx, len(idx[0]))
-        bits, jitters = _bucket_pad((bits, jitters), len(bits))
+        bits, jitters = _bucket_pad((bits, jitters), nbits)
+        if np.ndim(alpha):  # per-bit array (Params.alpha_spread)
+            (alpha,) = _bucket_pad((alpha,), nbits)
         fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha,
                               params.soft_write)
         out = fn(
             spec, med,
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
             jnp.asarray(bits, jnp.uint8), jnp.asarray(jitters, jnp.float32),
-            jnp.float32(alpha),
+            jnp.asarray(alpha, jnp.float32),
         )
         return transfer.unpack_u8(np.asarray(out), (H, W, 3))
 
@@ -224,8 +227,9 @@ class NumpyBackend:
 
     @staticmethod
     def _alpha(base, mag, med, adaptive):
+        base = np.broadcast_to(np.asarray(base, mag.dtype), mag.shape)
         if not adaptive:
-            return np.full_like(mag, base)
+            return base
         return base * np.clip(mag / np.maximum(1e-12, med), 0.5, 2.0)
 
     def read_bits(self, spec, med, idx, jitters, alpha, params):

@@ -21,7 +21,8 @@ from steganosaurus_tpu.config import Params
 from steganosaurus_tpu.io import image as image_io
 from steganosaurus_tpu.ops import bits as bit_ops
 from steganosaurus_tpu.ops import ecc
-from steganosaurus_tpu.pipeline import device
+from steganosaurus_tpu.pipeline import device, spread
+from steganosaurus_tpu.pipeline import header as header_mod
 from steganosaurus_tpu.pipeline.errors import StegoError
 from steganosaurus_tpu.pipeline.header import Header
 from steganosaurus_tpu.utils import debug
@@ -73,7 +74,14 @@ def embed_array(
         km = crypto.derive_keys_from_raw(master_key, salt)
     else:
         km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
-    hdr = Header(salt=km.salt, nonce=km.nonce, clen=len(secret))
+    flags = 0
+    if params.per_image_walk:
+        if params.cover_dependent_path:
+            raise StegoError(
+                "per_image_walk and cover_dependent_path are mutually "
+                "exclusive (both re-key the walk per image)")
+        flags = header_mod.FLAG_PER_IMAGE_WALK
+    hdr = Header(salt=km.salt, nonce=km.nonce, clen=len(secret), flags=flags)
     header_bytes = hdr.to_bytes()
     ct, tag = crypto.aead_seal(km.aead_key, km.nonce, header_bytes, secret)
 
@@ -91,18 +99,47 @@ def embed_array(
     path_key = crypto.derive_path_key(password, master_key, cover_hash)
     key_walk, key_r, key_g, key_b = crypto.derive_turtle_keys(path_key)
 
-    plane, y, x, jit = keystream.turtle_expand(
-        key_walk, (key_r, key_g, key_b), PH, PW,
-        params.rmin, params.rmax, params.density, params.jitter, len(bits),
-    )
+    if params.per_image_walk:
+        # Header on the shared walk prefix; payload on the salt-keyed walk
+        # resuming from the header walk's visited state (pipeline/header.py
+        # FLAG_PER_IMAGE_WALK; doc/ATTACKS.md §4).
+        hdr_n = header_mod.FIXED_LEN * 8 * 3
+        hp, hy, hx, hj, vis = keystream.header_walk_with_visited(
+            key_walk, (key_r, key_g, key_b), PH, PW,
+            params.rmin, params.rmax, params.density, params.jitter, hdr_n)
+        skeys = crypto.derive_turtle_keys(
+            crypto.derive_salt_path_key(path_key, salt))
+        try:
+            pp, py, px, pj = keystream.turtle_expand_chained(
+                skeys[0], skeys[1:], PH, PW,
+                params.rmin, params.rmax, params.density, params.jitter,
+                len(bits) - hdr_n, vis)
+        except RuntimeError as e:
+            raise StegoError(
+                f"Message too large. Salt-keyed payload walk exhausted: {e}"
+            ) from e
+        plane = np.concatenate([hp, pp])
+        y = np.concatenate([hy, py])
+        x = np.concatenate([hx, px])
+        jit = np.concatenate([hj, pj])
+    else:
+        plane, y, x, jit = keystream.turtle_expand(
+            key_walk, (key_r, key_g, key_b), PH, PW,
+            params.rmin, params.rmax, params.density, params.jitter,
+            len(bits),
+        )
     if debug.enabled():  # reference -DDEBUG=1 dumps (steganosaur.cpp:1082-1094)
         debug.dump_dims("embed", H, W, PH, PW)
         debug.dump_key_prefix("embed path_key", path_key)
         debug.dump_walk("embed", plane, y, x)
         debug.dump_header("embed header", header_bytes)
 
+    # Randomized write amplitude (rebuild-only, embed-side only: the decode
+    # rule never uses the written magnitude — pipeline/spread.py).
+    alphas = spread.spread_alphas(path_key, params, len(bits))
     stego = backend.embed_apply(
-        spec, med, (plane, y, x), bits, jit, params.alpha, params, H, W
+        spec, med, (plane, y, x), bits, jit,
+        params.alpha if alphas is None else alphas, params, H, W
     )
     return EmbedResult(
         stego=stego,

@@ -79,19 +79,47 @@ def extract_array(
     hdr = Header.from_bytes(hdr_bytes)
 
     # --- pass 2: payload ((clen+16) bytes under Rep-7) ---
-    payload_stream_bits = (hdr.clen + 16) * 8 * 7
+    # Walk-capacity bound: each accepted bit marks a bin + its conjugate, so
+    # no image carries more than 3*PH*PW/2 bits. A corrupted clen (u32 up to
+    # 4G) must degrade to "Payload truncated", not allocate 100s of GB of
+    # index arrays (the batch path applies the same bound, pipeline/batch.py
+    # _ExtractJob._cap_bits).
+    cap_bits = 3 * PH * PW // 2
+    payload_stream_bits = min((hdr.clen + 16) * 8 * 7, cap_bits)
     total_bits = _HEADER_STREAM_BITS + payload_stream_bits
-    # Re-expand from scratch: the walk is deterministic, the prefix replays
-    # identically; expansion is a few ms on the C++ path. The step budget in
-    # turtle_expand bounds a corrupted clen (fixes doc/TESTING.md:151-156).
-    idx_p, idx_y, idx_x, jit = keystream.turtle_expand(
-        key_walk, plane_keys, PH, PW,
-        params.rmin, params.rmax, params.density, params.jitter, total_bits,
-    )
-    sl = slice(_HEADER_STREAM_BITS, total_bits)
-    payload_stream = backend.read_bits(
-        spec, med, (idx_p[sl], idx_y[sl], idx_x[sl]), jit[sl], params.alpha, params
-    )
+    if hdr.flags & header_mod.FLAG_PER_IMAGE_WALK:
+        # Auto-detected from the header: the payload walk is salt-keyed and
+        # resumes from the header walk's visited state (embed side:
+        # pipeline/embed.py; params.per_image_walk is embed-side only).
+        *_, vis = keystream.header_walk_with_visited(
+            key_walk, plane_keys, PH, PW, params.rmin, params.rmax,
+            params.density, params.jitter, _HEADER_STREAM_BITS)
+        skeys = crypto.derive_turtle_keys(
+            crypto.derive_salt_path_key(path_key, hdr.salt))
+        # allow_short: a corrupted clen must degrade to garbage trailing
+        # bits (AEAD rejects), never hang or abort (doc/TESTING.md:151-156)
+        pp, py, px, pj, _n = keystream.turtle_expand_chained(
+            skeys[0], skeys[1:], PH, PW, params.rmin, params.rmax,
+            params.density, params.jitter, payload_stream_bits, vis,
+            allow_short=True)
+        payload_stream = backend.read_bits(
+            spec, med, (pp, py, px), pj, params.alpha, params
+        )
+    else:
+        # Re-expand from scratch: the walk is deterministic, the prefix
+        # replays identically; expansion is a few ms on the C++ path. The
+        # step budget in turtle_expand bounds a corrupted clen (fixes
+        # doc/TESTING.md:151-156).
+        idx_p, idx_y, idx_x, jit = keystream.turtle_expand(
+            key_walk, plane_keys, PH, PW,
+            params.rmin, params.rmax, params.density, params.jitter,
+            total_bits,
+        )
+        sl = slice(_HEADER_STREAM_BITS, total_bits)
+        payload_stream = backend.read_bits(
+            spec, med, (idx_p[sl], idx_y[sl], idx_x[sl]), jit[sl],
+            params.alpha, params
+        )
     payload_bits = np.asarray(ecc.rep7_decode(payload_stream))
     rest = bit_ops.bytes_from_bits(payload_bits)
     if len(rest) < hdr.clen + 16:

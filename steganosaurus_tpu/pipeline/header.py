@@ -15,6 +15,12 @@ MAGIC = b"FTTG"
 VERSION = 2
 FIXED_LEN = 4 + 1 + 1 + 16 + 12 + 4  # 38
 
+# FLAGS bits. The reference writes FLAGS=0 and never reads it
+# (steganosaur.cpp:884,897), so flag bits are a forward-compatible channel:
+# a flagged stego still header-parses everywhere, and the reference binary
+# fails closed (payload walk diverges -> AEAD auth failure).
+FLAG_PER_IMAGE_WALK = 0x01  # payload walk is salt-keyed (pipeline/batch.py)
+
 
 @dataclass
 class Header:

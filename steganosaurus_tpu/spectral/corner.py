@@ -544,8 +544,11 @@ def write_delta(cr, ci, sign, mask, cos_a, sin_a, cjd=None, sjd=None,
 
     cr/ci: (..., Ky, Kx) corner spectrum. sign: per-image bit sign (+1/-1)
     f32, same shape. mask: (3, Ky, Kx) f32 1.0 where a walk bin lives.
-    cos_a/sin_a: scalars cos(alpha), sin(alpha). cjd/sjd: static per-walk
-    cos/sin jitter maps (3, Ky, Kx), or None when jitter == 0.
+    cos_a/sin_a: scalars cos(alpha), sin(alpha) — or (3, Ky, Kx) static maps
+    of cos/sin(alpha_i) when the write amplitude is per-bin
+    (Params.alpha_spread; pipeline/spread.py): every use below is
+    elementwise, so maps broadcast exactly like the scalars. cjd/sjd: static
+    per-walk cos/sin jitter maps (3, Ky, Kx), or None when jitter == 0.
 
     soft=True (params.soft_write): minimal-energy write — bins whose phase
     already decodes to the right bit with margin >= alpha are left

@@ -574,3 +574,96 @@ def test_batch_soft_write_corner_and_gather_paths(covers):
     pa = Params(soft_write=True, adaptive_alpha=True, **FAST)
     res = embed_batch(covers, secrets, password="pw", params=pa, salts=salts)
     assert extract_batch(res.stego, password="pw", params=pa) == secrets
+
+
+def test_batch_alpha_spread_corner_paths(covers):
+    """alpha_spread on the BATCH corner path: the statics carry per-bin
+    amplitude maps (cad/sad) and the dense write uses them in place of the
+    scalar cos/sin(alpha). Round-trips on every corner variant (equal-length
+    fused, jitter compose) and the stego must agree with the single-image
+    scatter pipeline's decode."""
+    psp = Params(alpha_spread=0.5, **FAST)
+    secrets = [b"spread-batch-%d" % i for i in range(4)]
+    salts = [bytes([7 * i + 3]) * 16 for i in range(4)]
+    res = embed_batch(covers[:4], secrets, password="pw", params=psp,
+                      salts=salts)
+    assert extract_batch(res.stego, password="pw", params=psp) == secrets
+    # spread-free extractor params also decode (amplitude never read back)
+    assert extract_batch(res.stego, password="pw",
+                         params=Params(**FAST)) == secrets
+    # single-image extractor agrees
+    assert extract_array(res.stego[0], password="pw", params=psp) == secrets[0]
+    # pixels actually differ from the unspread write
+    res0 = embed_batch(covers[:4], secrets, password="pw",
+                       params=Params(**FAST), salts=salts)
+    assert np.any(np.asarray(res.stego) != np.asarray(res0.stego))
+
+    # jitter + spread: both map pairs live in the statics, order fixed
+    pj = Params(alpha_spread=0.4, jitter=0.05, **FAST)
+    resj = embed_batch(covers[:4], secrets, password="pw", params=pj,
+                       salts=salts)
+    assert extract_batch(resj.stego, password="pw", params=pj) == secrets
+
+    # ragged (unequal-length) corner path + soft compose
+    prs = Params(alpha_spread=0.4, soft_write=True, **FAST)
+    rag = [b"a", b"bb" * 8, b"c" * 30, b"d"]
+    resr = embed_batch(covers[:4], rag, password="pw", params=prs,
+                       salts=salts)
+    assert extract_batch(resr.stego, password="pw", params=prs) == rag
+
+
+def test_batch_per_image_walk(covers):
+    """per_image_walk on the BATCH path: salt-keyed payload walks expanded
+    on a thread pool, one fused per-image corner embed module, extraction
+    AUTO-DETECTING the mode from header flags (plain default params)."""
+    p = Params(per_image_walk=True, **FAST)
+    secrets = [b"piw-%d" % i for i in range(4)]
+    salts = [bytes([13 * i + 5]) * 16 for i in range(4)]
+    res = embed_batch(covers[:4], secrets, password="pw", params=p,
+                      salts=salts)
+    got = extract_batch(res.stego, password="pw", params=Params(**FAST))
+    assert got == secrets
+    # single-image extractor agrees (flag-driven there too)
+    assert extract_array(res.stego[1], password="pw",
+                         params=Params(**FAST)) == secrets[1]
+
+    # ragged + jitter + spread + soft compose; clen_hint path
+    pj = Params(per_image_walk=True, jitter=0.05, alpha_spread=0.5,
+                soft_write=True, **FAST)
+    rag = [b"a" * 40, b"b", b"c" * 17, b"d" * 8]
+    resj = embed_batch(covers[:4], rag, password="pw", params=pj,
+                       salts=salts)
+    assert extract_batch(resj.stego, password="pw", params=pj,
+                         clen_hint=40) == rag
+
+    # verify mode (re-salt loop) composes — extraction auto-detects
+    resv = embed_batch(covers[:4], secrets, password="pw", params=p,
+                       verify=True)
+    assert resv.verified == [True] * 4
+
+
+def test_batch_mixed_shared_and_piw_extract(covers):
+    """One extract batch holding BOTH shared-walk and per-image-walk stegos:
+    finalize routes each image down its own payload path by header flag."""
+    p0, p1 = Params(**FAST), Params(per_image_walk=True, **FAST)
+    salts = [bytes([31 * i + 7]) * 16 for i in range(4)]
+    r0 = embed_batch(covers[:2], [b"shared-0", b"shared-1"], password="pw",
+                     params=p0, salts=salts[:2])
+    r1 = embed_batch(covers[2:4], [b"piw-2", b"piw-3"], password="pw",
+                     params=p1, salts=salts[2:])
+    mixed = np.concatenate([np.asarray(r0.stego), np.asarray(r1.stego)])
+    got = extract_batch(mixed, password="pw", params=Params(**FAST))
+    assert got == [b"shared-0", b"shared-1", b"piw-2", b"piw-3"]
+
+
+def test_batch_piw_over_mesh(covers):
+    """per_image_walk shards over the batch mesh axis (full-batch flagged)."""
+    mesh = pbatch.make_mesh(2)
+    p = Params(per_image_walk=True, **FAST)
+    secrets = [b"piw-mesh-%d" % i for i in range(4)]
+    salts = [bytes([17 * i + 3]) * 16 for i in range(4)]
+    res = embed_batch(covers[:4], secrets, password="pw", params=p,
+                      salts=salts, mesh=mesh)
+    got = extract_batch(np.asarray(res.stego), password="pw",
+                        params=Params(**FAST), mesh=mesh)
+    assert got == secrets

@@ -166,3 +166,56 @@ def test_expansion_cache_prefix_property():
     assert nprod < 50_000
     with pytest.raises(RuntimeError):
         ks.turtle_expand(*args2, 50_000)  # same entry, strict mode raises
+
+
+def test_signed_unit_offsets_match_ks_jitter():
+    """keystream.signed_unit_offsets must replay the KS two-byte jitter
+    mapping exactly (same PRG blocks, big-endian int16 / 32768) so the
+    alpha-spread draw is a documented, testable function of its key."""
+    from steganosaurus_tpu.keystream import KS, signed_unit_offsets
+
+    key = bytes(range(32))
+    n = 1000
+    got = signed_unit_offsets(key, n)
+    ks = KS(key)
+    want = np.array([ks.jitter(1.0) for _ in range(n)], dtype=np.float32)
+    np.testing.assert_array_equal(got, want)
+    assert got.min() >= -1.0 and got.max() < 1.0
+
+
+def test_visited_chaining_native_pure_equality():
+    """turtle_expand_v (native) and the pure twin must agree on chained
+    expansions: header prefix with visited capture, then a re-keyed payload
+    walk resuming from that visited state (per-image-walk mode). The chained
+    walk must never touch a header bin or its conjugate."""
+    lib = _native_loader.get()
+    if lib is None or not getattr(lib, "has_expand_v", False):
+        pytest.skip("native turtle_expand_v unavailable")
+
+    wk = bytes(range(32))
+    pk = (b"\x01" * 32, b"\x02" * 32, b"\x03" * 32)
+    H = W = 128
+    hn = _native = lib.turtle_expand_v(wk, pk, H, W, 0.05, 0.45, 0.7, 0.0,
+                                       912, 10**7, want_visited=True)
+    hp = _pure.turtle_expand(wk, pk, H, W, 0.05, 0.45, 0.7, 0.0, 912, 10**7,
+                             want_visited=True)
+    for a, b in zip(hn[:4], hp[:4]):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(hn[5], hp[5])
+
+    wk2 = bytes(range(31, -1, -1))
+    cn = lib.turtle_expand_v(wk2, pk, H, W, 0.05, 0.45, 0.7, 0.0, 1500,
+                             10**7, init_visited=hn[5])
+    cp = _pure.turtle_expand(wk2, pk, H, W, 0.05, 0.45, 0.7, 0.0, 1500,
+                             10**7, init_visited=hp[5])
+    for a, b in zip(cn[:4], cp[:4]):
+        np.testing.assert_array_equal(a, b)
+
+    hdr = set(zip(hn[0].tolist(), hn[1].tolist(), hn[2].tolist()))
+    hdr |= {(p, (H - y) % H, (W - x) % W) for p, y, x in hdr}
+    pay = set(zip(cn[0].tolist(), cn[1].tolist(), cn[2].tolist()))
+    assert not (hdr & pay)
+    # sanity: WITHOUT chaining the same payload walk collides with the header
+    un = lib.turtle_expand_v(wk2, pk, H, W, 0.05, 0.45, 0.7, 0.0, 1500, 10**7)
+    upay = set(zip(un[0].tolist(), un[1].tolist(), un[2].tolist()))
+    assert hdr & upay

@@ -315,3 +315,37 @@ def test_soft_write_reference_extract(reference_bin, host_png, tmp_path):
               "--pbkdf2_iter", ITER])
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == "Soft write, reference decode"
+
+
+def test_alpha_spread_reference_extract(reference_bin, host_png, tmp_path):
+    """Randomized write amplitude (params.alpha_spread, rebuild-only,
+    pipeline/spread.py) varies WHICH amplitude is written per bin but every
+    alpha_i keeps sin(alpha_i) > 0, so the reference's circular-distance
+    read (steganosaur.cpp:734-746 — the same half-plane test) must extract
+    the image bit-exactly with stock default flags and no knowledge of the
+    spread."""
+    stego = tmp_path / "stego_spread.png"
+    embed(str(host_png), str(stego), "Spread amplitude, reference decode",
+          password="pp",
+          params=Params(pbkdf2_iter=int(ITER), alpha_spread=0.5))
+    r = _run([reference_bin, "extract", "--in", stego, "--pass", "pp",
+              "--pbkdf2_iter", ITER])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "Spread amplitude, reference decode"
+
+
+def test_per_image_walk_reference_fails_closed(reference_bin, host_png,
+                                               tmp_path):
+    """per_image_walk stegos carry header FLAGS bit 0x01. The reference
+    ignores FLAGS (steganosaur.cpp:884,897): it parses the header fine,
+    then reads the payload along the SHARED walk — which this mode does not
+    use — so it must fail AEAD auth ("Auth failed"), never crash or
+    mis-extract."""
+    stego = tmp_path / "stego_piw.png"
+    embed(str(host_png), str(stego), "per-image walk payload",
+          password="pp",
+          params=Params(pbkdf2_iter=int(ITER), per_image_walk=True))
+    r = _run([reference_bin, "extract", "--in", stego, "--pass", "pp",
+              "--pbkdf2_iter", ITER])
+    assert r.returncode != 0
+    assert "Auth failed" in (r.stderr + r.stdout)

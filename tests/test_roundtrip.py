@@ -217,3 +217,150 @@ def test_soft_write_f64_oracle(small_image):
     backends round-trip the same payload with soft_write on."""
     p = Params(soft_write=True, fft_dtype="complex128", **FAST)
     _roundtrip(small_image, b"soft f64", p, password="pw")
+
+
+def test_alpha_spread_roundtrip_and_amplitudes(host_image):
+    """Keyed randomized write amplitude (params.alpha_spread,
+    pipeline/spread.py): embeds at alpha_i in [alpha, alpha(1+s)) per bin
+    (one-sided — margin never below the hard write's). Must round-trip —
+    including when the EXTRACT params carry a different spread value,
+    because the decode half-plane rule never uses the written amplitude —
+    and the measured per-bin write phases must match the keyed alpha_i draw
+    (not concentrate at +-alpha)."""
+    from steganosaurus_tpu import crypto, keystream, spectral
+    from steganosaurus_tpu.pipeline import spread as spread_mod
+
+    secret = bytes(range(120))
+    salt = bytes(range(16))
+    p = Params(alpha_spread=0.5, **FAST)
+    res = embed_array(host_image, secret, password="pw", params=p, salt=salt)
+    # extraction is spread-independent (reads never use the amplitude)
+    assert extract_array(res.stego, password="pw", params=p) == secret
+    assert extract_array(res.stego, password="pw",
+                         params=Params(**FAST)) == secret
+
+    # measured write phases at the walk bins == the keyed alpha_i draw
+    path_key = crypto.derive_path_key("pw", None, None)
+    kw, kr, kg, kb = crypto.derive_turtle_keys(path_key)
+    H, W = host_image.shape[:2]
+    PH, PW = spectral.fft_dims(H, W)
+    nbits = res.written_bits
+    plane, y, x, _ = keystream.turtle_expand(
+        kw, (kr, kg, kb), PH, PW, p.rmin, p.rmax, p.density, p.jitter, nbits)
+    alphas = spread_mod.spread_alphas(path_key, p, nbits)
+    assert alphas is not None and alphas.min() >= 0.5 - 1e-6  # one-sided
+    assert alphas.max() < 0.5 * 1.5
+    planes = host_image.astype(np.float64).transpose(2, 0, 1)
+    stego_p = res.stego.astype(np.float64).transpose(2, 0, 1)
+    # reference forward convention = conj of numpy's: |angle| is unaffected
+    spec = np.conj(np.fft.fft2(stego_p))
+    v = spec[plane, y, x]
+    th = np.abs(np.angle(v))
+    # u8 quantization perturbs phases of weak bins; judge the keyed-amplitude
+    # match on the strong half, where the angular noise is small
+    strong = np.abs(v) > np.median(np.abs(v))
+    close = np.abs(th - alphas) < 0.08
+    assert np.mean(close[strong]) > 0.9, np.mean(close[strong])
+    # and the amplitudes genuinely spread (kills the +-alpha histogram spike)
+    assert alphas.max() - alphas.min() > 0.2
+    del planes
+
+
+def test_alpha_spread_validation():
+    from steganosaurus_tpu.pipeline import spread as spread_mod
+    from steganosaurus_tpu.pipeline.errors import StegoError
+
+    with pytest.raises(StegoError, match="alpha_spread"):
+        spread_mod.validate(Params(alpha_spread=-0.1))
+    with pytest.raises(StegoError, match="sin-sign"):
+        spread_mod.validate(Params(alpha=2.5, alpha_spread=0.5))
+    spread_mod.validate(Params(alpha_spread=1.2))  # one-sided: 1.1 < pi, ok
+    spread_mod.validate(Params(alpha_spread=0.9))  # in-band: ok
+
+
+def test_alpha_spread_composes(small_image):
+    """spread composes with soft_write (margin follows alpha_i) and with
+    jitter (amplitude rides on top of the keyed offset)."""
+    _roundtrip(small_image, b"spread soft",
+               Params(alpha_spread=0.4, soft_write=True, **FAST),
+               password="pw")
+    _roundtrip(small_image, b"spread jit",
+               Params(alpha_spread=0.4, jitter=0.05, **FAST), password="pw")
+    _roundtrip(small_image, b"spread adaptive",
+               Params(alpha_spread=0.4, adaptive_alpha=True, **FAST),
+               password="pw")
+
+
+def test_per_image_walk_roundtrip_and_decorrelated_bins(host_image):
+    """Salt-keyed per-image payload walks (params.per_image_walk,
+    doc/ATTACKS.md §4): round-trips with EXTRACTION AUTO-DETECTING the mode
+    from the header flag (no param needed), and two embeds under the same
+    key with different salts select INDEPENDENT payload bin sets — overlap
+    drops from 100% (shared walk: identical bins every image, the
+    correlation attack's precondition) to the random-coincidence rate."""
+    from steganosaurus_tpu import crypto, keystream, spectral
+    from steganosaurus_tpu.pipeline import header as header_mod
+
+    p = Params(per_image_walk=True, **FAST)
+    secret = bytes(range(100))
+    s1, s2 = bytes(range(16)), bytes(range(16, 32))
+    r1 = embed_array(host_image, secret, password="pw", params=p, salt=s1)
+    r2 = embed_array(host_image, secret, password="pw", params=p, salt=s2)
+    # plain default params on extraction: flag-driven
+    assert extract_array(r1.stego, password="pw",
+                         params=Params(**FAST)) == secret
+    assert extract_array(r2.stego, password="pw",
+                         params=Params(**FAST)) == secret
+
+    # exact bin-level disjointness of the two payload walks
+    path_key = crypto.derive_path_key("pw", None, None)
+    kw, kr, kg, kb = crypto.derive_turtle_keys(path_key)
+    H, W = host_image.shape[:2]
+    PH, PW = spectral.fft_dims(H, W)
+    hdr_n = header_mod.FIXED_LEN * 8 * 3
+    *_, vis = keystream.header_walk_with_visited(
+        kw, (kr, kg, kb), PH, PW, p.rmin, p.rmax, p.density, p.jitter, hdr_n)
+    npay = r1.written_bits - hdr_n
+    bins = []
+    for s in (s1, s2):
+        sk = crypto.derive_turtle_keys(crypto.derive_salt_path_key(path_key, s))
+        pp, py, px, _ = keystream.turtle_expand_chained(
+            sk[0], sk[1:], PH, PW, p.rmin, p.rmax, p.density, p.jitter,
+            npay, vis)
+        full = set(zip(pp.tolist(), py.tolist(), px.tolist()))
+        full |= {(pl, (PH - y) % PH, (PW - x) % PW) for pl, y, x in full}
+        bins.append(full)
+    # independent draws over the annulus: overlap ~= coincidence rate
+    # (|bins| / annulus size, ~10% here), nothing like the shared walk's
+    # 100%. The averaging attack needs bins common to MANY images; pairwise
+    # random overlap decays geometrically with collection size.
+    overlap = len(bins[0] & bins[1]) / len(bins[0])
+    assert overlap < 0.3, overlap
+    # contrast: header bins (shared prefix) ARE identical across salts —
+    # that part is the locate-before-salt constraint, common to all modes
+    hdr_bins = set(zip(*(a.tolist() for a in
+                         keystream.header_walk_with_visited(
+                             kw, (kr, kg, kb), PH, PW, p.rmin, p.rmax,
+                             p.density, p.jitter, hdr_n)[:3])))
+    assert hdr_bins  # non-empty, deterministic
+
+
+def test_per_image_walk_excludes_cover_dependent_path(small_image):
+    from steganosaurus_tpu.pipeline.errors import StegoError
+
+    p = Params(per_image_walk=True, cover_dependent_path=True, **FAST)
+    with pytest.raises(StegoError, match="mutually exclusive"):
+        embed_array(small_image, b"x", password="pw", params=p)
+
+
+def test_per_image_walk_composes(small_image):
+    """per_image_walk composes with jitter (salt-keyed plane PRGs draw the
+    payload jitters on both sides) and with alpha_spread / soft_write."""
+    p = Params(per_image_walk=True, jitter=0.05, **FAST)
+    res = embed_array(small_image, b"piw jit", password="pw", params=p)
+    assert extract_array(res.stego, password="pw", params=p) == b"piw jit"
+    p2 = Params(per_image_walk=True, alpha_spread=0.4, soft_write=True,
+                **FAST)
+    res2 = embed_array(small_image, b"piw sp", password="pw", params=p2)
+    assert extract_array(res2.stego, password="pw",
+                         params=Params(**FAST)) == b"piw sp"
