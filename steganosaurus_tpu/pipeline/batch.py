@@ -169,6 +169,81 @@ def _corner_statics_device(password, master_key, params, PH, PW, nbits,
     return ent
 
 
+# Prefetched per-image payload walks (per-image-walk streams): keyed by
+# (path_key, salt, dims, walk params, need). Unlike the shared-walk cache
+# (keystream module), entries are single-use — salts rotate per batch — so
+# consumers POP them; the prefetcher (prefetch_piw_walks, driven by
+# pipeline.stream) fills them while earlier batches hold the device.
+_PIW_CACHE: "OrderedDict[tuple, tuple]" = __import__(
+    "collections").OrderedDict()
+_PIW_CACHE_MAX = 256
+_PIW_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _piw_key(path_key, salt, params, PH, PW, need):
+    return (path_key, salt, PH, PW, params.rmin, params.rmax, params.density,
+            params.jitter, need)
+
+
+def _piw_expand_one(path_key, salt, params, PH, PW, need, vis):
+    """One salt-keyed payload expansion (turtle_expand_chained), consulting
+    and maintaining the prefetch cache."""
+    key = _piw_key(path_key, salt, params, PH, PW, need)
+    with _PIW_CACHE_LOCK:
+        ent = _PIW_CACHE.pop(key, None)
+    if ent is not None:
+        return ent
+    sk = crypto.derive_turtle_keys(crypto.derive_salt_path_key(path_key,
+                                                               salt))
+    return keystream.turtle_expand_chained(
+        sk[0], sk[1:], PH, PW, params.rmin, params.rmax, params.density,
+        params.jitter, need, vis, allow_short=True)
+
+
+def prefetch_piw_walks(password, master_key, params: Params, H: int, W: int,
+                       salts: list[bytes], secret_lens: list[int]) -> None:
+    """Warm the per-image payload-walk cache for an upcoming batch.
+
+    The per-image-walk mode's dominant host cost is the B salt-keyed
+    sequential expansions (doc/SUMMARY.md: ~2.3x the shared-walk batch at
+    1080p); pipeline.stream submits this to a worker thread so they run
+    while the in-flight device batches execute, exactly like prefetch_walk
+    does for the shared walk. Needs the batch's salts, so streams draw
+    salts up front for flagged params. Errors are swallowed — the
+    subsequent embed surfaces them with full context."""
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        PH, PW = spectral.fft_dims(H, W)
+        path_key = crypto.derive_path_key(password, master_key, None)
+        kw, kr, kg, kb = crypto.derive_turtle_keys(path_key)
+        *_, vis = keystream.header_walk_with_visited(
+            kw, (kr, kg, kb), PH, PW, params.rmin, params.rmax,
+            params.density, params.jitter, _HEADER_STREAM_BITS)
+        needs = [(n + 16) * 8 * 7 for n in secret_lens]
+
+        def one(i):
+            key = _piw_key(path_key, salts[i], params, PH, PW, needs[i])
+            with _PIW_CACHE_LOCK:
+                if key in _PIW_CACHE:
+                    return
+            sk = crypto.derive_turtle_keys(
+                crypto.derive_salt_path_key(path_key, salts[i]))
+            ent = keystream.turtle_expand_chained(
+                sk[0], sk[1:], PH, PW, params.rmin, params.rmax,
+                params.density, params.jitter, needs[i], vis,
+                allow_short=True)
+            with _PIW_CACHE_LOCK:
+                _PIW_CACHE[key] = ent
+                while len(_PIW_CACHE) > _PIW_CACHE_MAX:
+                    _PIW_CACHE.popitem(last=False)
+
+        with ThreadPoolExecutor(max_workers=min(8, len(salts))) as ex:
+            list(ex.map(one, range(len(salts))))
+    except Exception:  # noqa: BLE001 — deliberately quiet (see docstring)
+        pass
+
+
 def _piw_walk_arrays(password, master_key, params, PH, PW, salts,
                      need_lens, bucket):
     """Per-image-walk (B, bucket) plane/y/x i32 + jitter f32 arrays.
@@ -194,12 +269,8 @@ def _piw_walk_arrays(password, master_key, params, PH, PW, salts,
         params.jitter, hdr_n)
 
     def expand(i):
-        need = need_lens[i] - hdr_n
-        sk = crypto.derive_turtle_keys(
-            crypto.derive_salt_path_key(path_key, salts[i]))
-        return keystream.turtle_expand_chained(
-            sk[0], sk[1:], PH, PW, params.rmin, params.rmax, params.density,
-            params.jitter, need, vis, allow_short=True)
+        return _piw_expand_one(path_key, salts[i], params, PH, PW,
+                               need_lens[i] - hdr_n, vis)
 
     B = len(salts)
     with ThreadPoolExecutor(max_workers=min(8, B)) as ex:
@@ -792,14 +863,12 @@ class _ExtractJob:
         n = -(-max(needs) // 4096) * 4096
 
         def expand(k):
-            sk = crypto.derive_turtle_keys(crypto.derive_salt_path_key(
-                path_key, headers[idxs[k]].salt))
-            # allow_short: a corrupted clen degrades to garbage trailing
-            # bits (AEAD rejects) instead of aborting the batch
-            return keystream.turtle_expand_chained(
-                sk[0], sk[1:], PH, PW, params.rmin, params.rmax,
-                params.density, params.jitter, needs[k], vis,
-                allow_short=True)
+            # allow_short inside: a corrupted clen degrades to garbage
+            # trailing bits (AEAD rejects) instead of aborting the batch;
+            # consults the stream prefetch cache (same key as embed's when
+            # clen is below the capacity bound)
+            return _piw_expand_one(path_key, headers[idxs[k]].salt, params,
+                                   PH, PW, needs[k], vis)
 
         with ThreadPoolExecutor(max_workers=min(8, len(idxs))) as ex:
             outs = list(ex.map(expand, range(len(idxs))))

@@ -57,7 +57,9 @@ def embed_stream(
     device read-back verification, which syncs per batch and shrinks — but
     does not eliminate — the overlap window).
     """
-    from steganosaurus_tpu.pipeline.batch import prefetch_walk
+    from steganosaurus_tpu import crypto
+    from steganosaurus_tpu.pipeline.batch import (prefetch_piw_walks,
+                                                  prefetch_walk)
 
     q: deque[BatchEmbedResult] = deque()
     pool: ThreadPoolExecutor | None = None
@@ -79,17 +81,29 @@ def embed_stream(
             mk = (item[3] if len(item) > 3 and item[3] is not None
                   else master_key)
             pw = password if mk is None else None
+            if layout == "nchw":
+                H, W = imgs.shape[2], imgs.shape[3]
+            else:
+                H, W = imgs.shape[1], imgs.shape[2]
             if mk != last_mk:
                 if pool is None:
                     pool = ThreadPoolExecutor(max_workers=1,
                                               thread_name_prefix="walk-pf")
-                if layout == "nchw":
-                    H, W = imgs.shape[2], imgs.shape[3]
-                else:
-                    H, W = imgs.shape[1], imgs.shape[2]
                 pool.submit(prefetch_walk, pw, mk, params, H, W,
                             [len(s) for s in secrets])
                 last_mk = mk
+            if params.per_image_walk:
+                # The mode's dominant host cost is the B salt-keyed payload
+                # expansions (doc/SUMMARY.md): draw the salts NOW so the
+                # expansions can run on a worker thread during the drain's
+                # device wait; embed_batch pops them from the prefetch cache.
+                if salts is None:
+                    salts = [crypto.get_random_bytes(16) for _ in secrets]
+                if pool is None:
+                    pool = ThreadPoolExecutor(max_workers=1,
+                                              thread_name_prefix="walk-pf")
+                pool.submit(prefetch_piw_walks, pw, mk, params, H, W,
+                            list(salts), [len(s) for s in secrets])
             # Drain BEFORE dispatching the new batch: the blocking device
             # wait is the window in which a just-submitted walk prefetch
             # makes progress (and the in-flight bound stays `depth`).

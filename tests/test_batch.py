@@ -667,3 +667,36 @@ def test_batch_piw_over_mesh(covers):
     got = extract_batch(np.asarray(res.stego), password="pw",
                         params=Params(**FAST), mesh=mesh)
     assert got == secrets
+
+
+def test_piw_prefetch_cache_and_stream(covers):
+    """prefetch_piw_walks warms the per-image payload-walk cache (the
+    per-image-walk mode's dominant host cost); embed_batch POPS the entries
+    (single-use — salts rotate). embed_stream draws salts up front and
+    prefetches for flagged params; results must be identical."""
+    from steganosaurus_tpu.pipeline import batch as pbatch_mod
+    from steganosaurus_tpu.pipeline.stream import embed_stream
+
+    p = Params(per_image_walk=True, **FAST)
+    secrets = [b"piw-pf-%d" % i for i in range(4)]
+    salts = [bytes([41 * i + 9]) * 16 for i in range(4)]
+
+    pbatch_mod._PIW_CACHE.clear()
+    pbatch_mod.prefetch_piw_walks(
+        "pw", None, p, 128, 128, salts, [len(s) for s in secrets])
+    assert len(pbatch_mod._PIW_CACHE) == 4
+    res = embed_batch(covers[:4], secrets, password="pw", params=p,
+                      salts=salts)
+    assert len(pbatch_mod._PIW_CACHE) == 0  # consumed
+    assert extract_batch(res.stego, password="pw",
+                         params=Params(**FAST)) == secrets
+
+    # stream: two batches, auto-drawn salts, prefetch path exercised
+    batches = [(covers[:3], secrets[:3]), (covers[3:6], secrets[1:])]
+    outs = list(embed_stream(iter(batches), password="pw", params=p))
+    assert len(outs) == 2
+    got0 = extract_batch(np.asarray(outs[0].stego), password="pw",
+                         params=Params(**FAST))
+    got1 = extract_batch(np.asarray(outs[1].stego), password="pw",
+                         params=Params(**FAST))
+    assert got0 == secrets[:3] and got1 == secrets[1:]
