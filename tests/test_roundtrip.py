@@ -364,3 +364,14 @@ def test_per_image_walk_composes(small_image):
     res2 = embed_array(small_image, b"piw sp", password="pw", params=p2)
     assert extract_array(res2.stego, password="pw",
                          params=Params(**FAST)) == b"piw sp"
+
+
+def test_stealth_modes_f64_oracle(small_image):
+    """The numpy f64 parity-arbiter backend supports both stealth modes
+    (per-bit amplitude array; per-image payload walk)."""
+    p = Params(per_image_walk=True, alpha_spread=0.5,
+               fft_dtype="complex128", **FAST)
+    res = embed_array(small_image, b"stealth f64", password="pw", params=p)
+    assert extract_array(res.stego, password="pw",
+                         params=Params(fft_dtype="complex128",
+                                       **FAST)) == b"stealth f64"
