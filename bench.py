@@ -485,6 +485,31 @@ def main():
     ref = reference_baselines(key_b64, allow_measure=fits(600))
     ref_4096_ips = (1.0 / ref["spi_4096"]) if ref["measured"] else None
 
+    # ---- provisional insurance record ----
+    # A tiny measured workload BEFORE the 1.6 GB UHD upload: in a bad
+    # tunnel window (measured 570-688 s for the UHD build+upload alone,
+    # 2026-08-17) the driver budget can expire before the headline exists,
+    # and a value:null record certifies nothing (round 2's failure mode).
+    # This stage costs seconds and guarantees the round record carries a
+    # real measured throughput; the certified UHD headline overwrites it.
+    if not FULL:
+        try:
+            note("provisional 512px insurance record")
+            prov = Workload(SMALL, SMALL, 8, SMALL_SECRET, master_key)
+            prov.step()  # compile (persistent-cache warm) + recovery assert
+            t0p = time.perf_counter()
+            prov.step()
+            prov_ips = 8.0 / (time.perf_counter() - t0p)
+            RESULT.update({
+                "metric": "provisional_512px_loop_images_per_sec",
+                "value": round(prov_ips, 3),
+                "provisional": True,
+                "provisional_512px_loop_images_per_sec": round(prov_ips, 3),
+            })
+            emit()
+        except Exception as e:  # noqa: BLE001 — insurance must never kill
+            note(f"provisional record failed: {e}")
+
     # ---- HEADLINE: 4K UHD pipelined stream, fixed known-verified salts ----
     note("building UHD workload (covers + upload)")
     uhd = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
@@ -497,7 +522,9 @@ def main():
     note("warmup done; measuring headline stream")
     uhd_ips, rec = uhd.stream_ips(UHD_ITERS)
     assert rec == 1.0, "headline recovery failed"
+    RESULT.pop("provisional", None)
     RESULT.update({
+        "metric": "embed_extract_4k_uhd_images_per_sec",
         "value": round(uhd_ips, 3),
         "vs_baseline": (round(uhd_ips / ref_4096_ips, 1)
                         if ref_4096_ips else None),
