@@ -1,0 +1,89 @@
+"""Warden-side self-check: phase-residual histogram analysis.
+
+Quantifies the scheme's primary statistical signature (doc/ATTACKS.md §2)
+from a STEGO IMAGE ALONE — no cover, no key: natural-image phases over the
+walk annulus are near-uniform on (-pi, pi], while the hard write
+concentrates the footprint's mass exactly at +-alpha. This module measures
+(a) a chi-square uniformity statistic over the annulus phase histogram and
+(b) the excess mass in a narrow window around +-alpha, so users can check
+what a histogram-based warden would see for their actual covers/params —
+and verify that the mitigations (--alpha_spread, --jitter; ATTACKS §2a/§3)
+actually flatten the signature on their data.
+
+Pure numpy reporting tool (host-side, like utils.metrics).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from steganosaurus_tpu.config import Params
+
+
+def _annulus_phases(img: np.ndarray, params: Params) -> np.ndarray:
+    """Phases of the walk-eligible annulus bins (primary half), from the
+    stego alone. Uses the same eligibility predicate as the turtle walk
+    (keystream/_pure.py: axis/DC exclusion + radius band on raw indices) so
+    the measured population is exactly the attackable one."""
+    H, W = img.shape[:2]
+    planes = img.astype(np.float64).transpose(2, 0, 1)
+    spec = np.conj(np.fft.fft2(planes))  # reference forward convention
+    rlo = params.rmin * min(H, W)
+    rhi = params.rmax * min(H, W)
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    r = np.hypot(yy, xx)
+    mask = (r >= rlo) & (r <= rhi) & (yy > 0) & (xx > 0)
+    if H % 2 == 0:
+        mask &= yy != H // 2
+    if W % 2 == 0:
+        mask &= xx != W // 2
+    return np.angle(spec[:, mask]).ravel()
+
+
+def phase_histogram_report(img: np.ndarray, params: Params = Params(),
+                           bins: int = 256, window: float = 0.05) -> dict:
+    """Histogram-warden statistics for one image.
+
+    Returns:
+      n: annulus phase population size (3 planes).
+      chi2_z: normalized chi-square uniformity statistic over `bins`
+        histogram bins — (chi2 - dof)/sqrt(2*dof), ~N(0,1) for a clean
+        natural image; values >> 3 mean the phase distribution visibly
+        deviates from uniform.
+      spike_excess: observed minus expected mass inside +-window rad of
+        +-alpha (the §2 delta-spike feature a peak detector keys on). For
+        the hard write this approaches the spectral footprint f; the
+        one-sided spread dilutes it by ~window/(s*alpha) (ATTACKS §2a).
+      band_excess: observed minus expected mass in +-[alpha - window,
+        alpha*(1 + spread) + window] — the widest feature any amplitude
+        randomization still occupies; what remains detectable after spread.
+    """
+    th = _annulus_phases(img, params)
+    n = th.size
+    hist, _ = np.histogram(th, bins=bins, range=(-math.pi, math.pi))
+    exp = n / bins
+    chi2 = float(np.sum((hist - exp) ** 2) / exp)
+    dof = bins - 1
+    chi2_z = (chi2 - dof) / math.sqrt(2.0 * dof)
+
+    a = params.alpha
+    at = np.abs(th)
+    in_spike = np.abs(at - a) <= window
+    spike_expected = 2.0 * (2.0 * window) / (2.0 * math.pi)
+    spike_excess = float(np.mean(in_spike)) - spike_expected
+
+    hi = a * (1.0 + params.alpha_spread) + window
+    lo = max(0.0, a - window)
+    in_band = (at >= lo) & (at <= hi)
+    band_expected = 2.0 * (hi - lo) / (2.0 * math.pi)
+    band_excess = float(np.mean(in_band)) - band_expected
+
+    return {
+        "n": int(n),
+        "chi2_z": float(chi2_z),
+        "spike_excess": spike_excess,
+        "band_excess": band_excess,
+    }

@@ -1,0 +1,45 @@
+"""Phase-histogram warden statistics (utils.steganalysis; doc/ATTACKS.md
+§2/§2a): the hard write's +-alpha spike must be measurable from the stego
+alone, and the alpha_spread mitigation must measurably dilute it."""
+
+import numpy as np
+import pytest
+
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.pipeline.embed import embed_array
+from steganosaurus_tpu.utils.steganalysis import phase_histogram_report
+
+FAST = dict(pbkdf2_iter=500)
+
+
+@pytest.fixture(scope="module")
+def cover():
+    rng = np.random.default_rng(99)
+    base = np.linspace(170, 220, 256)
+    img = base[None, :, None] + rng.integers(-12, 13, (256, 256, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_spike_detection_and_spread_dilution(cover):
+    salt = bytes(range(16))
+    secret = bytes(range(200))  # heavy payload: clear footprint at 256^2
+
+    clean = phase_histogram_report(cover)
+    hard = phase_histogram_report(
+        embed_array(cover, secret, password="pw", params=Params(**FAST),
+                    salt=salt).stego)
+    spread = phase_histogram_report(
+        embed_array(cover, secret, password="pw",
+                    params=Params(alpha_spread=1.0, **FAST),
+                    salt=salt).stego)
+
+    # the clean cover reads near-uniform; the hard write does not
+    assert abs(clean["spike_excess"]) < hard["spike_excess"] / 5
+    assert hard["spike_excess"] > 0.003  # the §2 delta-spike feature
+    assert hard["chi2_z"] > clean["chi2_z"] + 3.0
+
+    # spread kills the narrow spike (the peak-detector feature)...
+    assert spread["spike_excess"] < hard["spike_excess"] / 3
+    # ...while honestly leaving band mass (ATTACKS §2a: mitigation, not
+    # invisibility): the band statistic still sees the footprint
+    assert spread["band_excess"] > 0.003
