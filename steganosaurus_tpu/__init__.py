@@ -27,7 +27,9 @@ the reference tree (steganosaurus/src/steganosaur.cpp et al.).
 
 from steganosaurus_tpu.config import Params
 
-__version__ = "0.2.0"
+# 0.3: adaptive column-split precision default; 0.4: stealth modes
+# (alpha_spread, per_image_walk) + warden-view steganalysis reporting.
+__version__ = "0.4.0"
 
 # Lazy top-level convenience API (PEP 562): `import steganosaurus_tpu as st;
 # st.embed_batch(...)`. Resolved on first touch so importing the package
@@ -42,6 +44,8 @@ _API = {
     "extract_dispatch": ("steganosaurus_tpu.pipeline.batch",
                          "extract_dispatch"),
     "channel_report": ("steganosaurus_tpu.pipeline.batch", "channel_report"),
+    "phase_histogram_report": ("steganosaurus_tpu.utils.steganalysis",
+                               "phase_histogram_report"),
     "embed_stream": ("steganosaurus_tpu.pipeline.stream", "embed_stream"),
     "extract_stream": ("steganosaurus_tpu.pipeline.stream", "extract_stream"),
     "load_rgb_batches": ("steganosaurus_tpu.pipeline.stream",
