@@ -483,6 +483,16 @@ def _fwd_y_split(ar, ai, ty, adaptive: bool = False):
     # of exact values — no rounding; lowers to one clean MXU matmul)
     ag_r = _mm("...hx,...kx->...hk", ar, onehot, jax.lax.Precision.HIGHEST)
     ag_i = _mm("...hx,...kx->...hk", ai, onehot, jax.lax.Precision.HIGHEST)
+    import os
+
+    if os.environ.get("STEGANOSAURUS_STAGE1_STORE") == "bf16":
+        # Measurement variant (doc/PAPER.md §5a): force a MATERIALIZED bf16
+        # copy of the stage-1 output before the band matmuls, halving their
+        # HBM read vs XLA's default fuse-the-convert-into-the-read. The
+        # HIGH band's f32 gather above is unaffected (reads the f32
+        # original). The barrier stops XLA from folding the copy away.
+        ar, ai = jax.lax.optimization_barrier(
+            (ar.astype(jnp.bfloat16), ai.astype(jnp.bfloat16)))
     cr = (_mm("yh,...hx->...yx", eyr, ar, "bf16")
           - _mm("yh,...hx->...yx", eyi, ai, "bf16"))
     ci = (_mm("yh,...hx->...yx", eyr, ai, "bf16")
