@@ -57,6 +57,10 @@ USAGE = """Usage:
                              cross-image residual averaging under one key
                              (rebuild-only wire format, header flag 0x01;
                              extraction auto-detects it) (0)
+    --soft_decode 0|1      : Soft-decision recovery fallback on extraction
+                             (matched-filter combining of ECC copies after
+                             an AEAD failure; recovers margin failures the
+                             reference cannot) (1)
 """
 
 
@@ -135,6 +139,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["alpha_spread"] = float(need())
         elif k == "--per_image_walk":  # rebuild-only: salt-keyed walks
             p["per_image_walk"] = need() in ("1", "true")
+        elif k == "--soft_decode":  # rebuild-only: soft-decision fallback
+            p["soft_decode_fallback"] = need() in ("1", "true")
         elif k == "--in-dir":  # batch modes (rebuild-only)
             a.in_dir = need()
         elif k == "--out-dir":

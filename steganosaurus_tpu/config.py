@@ -39,6 +39,16 @@ class Params:
     # pixels diverge from the reference's write. See ops/phase.py,
     # doc/ATTACKS.md §1a.
     soft_write: bool = False
+    # Soft-decision recovery fallback (extraction-side only, wire-format
+    # unchanged): when a batch image's AEAD fails under the reference's
+    # hard majority vote, re-decode it once with matched-filter combining —
+    # each Rep-3/Rep-7 copy weighted by its decision value mag*sin(theta -
+    # jitter), so weak quantization-flipped copies cannot outvote a strong
+    # correct one (ops/ecc.py rep_decode_soft). Strictly additive: runs
+    # only on already-failed images, recovers stegos the reference binary
+    # itself cannot extract (its own embeds included), never changes a
+    # passing result. Default on.
+    soft_decode_fallback: bool = True
     # Salt-keyed per-image payload walks: the 38-byte header embeds on the
     # shared salt-independent walk prefix (it must stay locatable before the
     # salt is known), then the

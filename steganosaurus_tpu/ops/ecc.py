@@ -41,6 +41,29 @@ def rep_decode(bits, n: int):
     return (groups.sum(axis=1) >= (n + 1) // 2).astype(xp.uint8)
 
 
+def rep_decode_soft(values, n: int):
+    """Soft-decision repetition decode: bit = 1 iff the SUM of the n copies'
+    decision values is >= 0 (ties -> 1, matching the hard rule's tie).
+
+    Rebuild-only (no reference equivalent; the reference's decode is the
+    hard majority above). The phase read's decision value for a copy is
+    d = mag * sin(theta - jitter) * sign(sin alpha) (spectral/corner.py
+    read_bits_dense without the final sign): under u8-quantization noise of
+    roughly constant ABSOLUTE size per bin, d's signal-to-noise scales with
+    the bin magnitude, so summing raw d values is the matched-filter
+    combiner — a handful of weak flipped copies cannot outvote one strong
+    correct copy, which is exactly the failure mode of the hard majority on
+    heavy payloads (doc/HARDENING.md reliability model). Used as the
+    recovery fallback: hard decode first (bit-packed gathers stay cheap),
+    soft pass only for images whose AEAD failed (pipeline/batch.py).
+    """
+    xp = _xp(values) if not isinstance(values, np.ndarray) else np
+    values = xp.asarray(values)
+    m = (values.shape[0] // n) * n
+    groups = values[:m].reshape(-1, n)
+    return (groups.sum(axis=1) >= 0).astype(xp.uint8)
+
+
 def rep3_encode(bits):
     return rep_encode(bits, 3)
 

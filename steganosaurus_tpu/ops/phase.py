@@ -128,3 +128,21 @@ def read_phases(spectrum, plane, y, x, jitters, alpha, medians, adaptive: bool):
     a = adaptive_alpha(alpha, mag, medians[plane], adaptive)
     base = th - jitters
     return (jnp.cos(base - a) >= jnp.cos(base + a)).astype(jnp.uint8)
+
+
+def read_values(spectrum, plane, y, x, jitters, alpha, medians, adaptive: bool):
+    """Per-bin DECISION VALUES d = mag * sin(theta - jitter) * sign(sin a).
+
+    sign(d) reproduces read_phases exactly (the circular-distance rule
+    reduces to this half-plane test — see read_phases), and |d| is the
+    bin's decision confidence: under ~constant-absolute quantization noise
+    per bin, d's SNR scales with magnitude. Soft-decision repetition decode
+    (ops.ecc.rep_decode_soft) sums these across each bit's copies — the
+    matched-filter combiner used by the extraction recovery fallback."""
+    v = spectrum[plane, y, x]
+    th = jnp.angle(v)
+    mag = jnp.maximum(1e-12, jnp.abs(v))
+    a = adaptive_alpha(alpha, mag, medians[plane], adaptive)
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    base = th - jitters.astype(real_dtype)
+    return mag * jnp.sin(base) * jnp.sign(jnp.sin(a))

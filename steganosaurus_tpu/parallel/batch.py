@@ -677,6 +677,78 @@ def _piw_write_vals(vr, vi, s, cj, sj, ca, sa, soft: bool):
 
 
 @functools.lru_cache(maxsize=32)
+def corner_soft_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
+                             has_jitter: bool, layout: str,
+                             hdr_stream_bits: int, per_image: bool = False):
+    """Soft-decision extract pass (the AEAD-failure recovery fallback,
+    pipeline/batch.py): ONE module computing the corner spectrum, gathering
+    per-bin DECISION VALUES d = sign(sin a)*(Im*cos(jd) - Re*sin(jd))
+    (spectral/corner.py read rule without the final sign), and
+    matched-filter combining the Rep-3/Rep-7 copies (ops.ecc
+    rep_decode_soft: bit = sum of copies' d >= 0).
+
+    per_image=False (shared walk): (imgs, [cjd, sjd maps], alpha,
+    plane/y/x (n,)) — jitter rides the static maps.
+    per_image=True (per-image-walk): (imgs, plane/y/x/jit (B, n), alpha) —
+    jitter from the per-bit angles, as in corner_piw_extract_core.
+    Returns (B, words) decoded i32 words (corner_extract_fused_core
+    contract). Single-chip only: the fallback runs on small failed
+    subsets."""
+    from steganosaurus_tpu.spectral import corner
+
+    prec = corner.precision()
+
+    def decode_soft(d):
+        outs = []
+        if hdr_stream_bits:
+            outs.append(_pack_bits_words(
+                ecc.rep_decode_soft(d[:hdr_stream_bits], 3)))
+        outs.append(_pack_bits_words(
+            ecc.rep_decode_soft(d[hdr_stream_bits:], 7)))
+        return jnp.concatenate(outs)
+
+    def shared_fn(imgs, cjd, sjd, alpha, plane, y, x, *tabs):
+        if layout == "nchw":
+            planes = imgs.astype(jnp.float32)
+        else:
+            planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        pin = spectral.apply_center(planes, center)
+        cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
+        dd = ci if cjd is None else ci * cjd - cr * sjd
+        dd = dd * jnp.sign(jnp.sin(alpha))
+        d = dd[:, plane, y, x]                      # (B, n)
+        return jax.vmap(decode_soft)(d)
+
+    def piw_fn(imgs, plane, y, x, jit, alpha, *tabs):
+        if layout == "nchw":
+            planes = imgs.astype(jnp.float32)
+        else:
+            planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
+        pin = spectral.apply_center(planes, center)
+        cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
+        ssa = jnp.sign(jnp.sin(alpha))
+
+        def per(crb, cib, pl, yy, xx, jt):
+            vr = crb[pl, yy, xx]
+            vi = cib[pl, yy, xx]
+            d = (vi * jnp.cos(jt) - vr * jnp.sin(jt)) * ssa
+            return decode_soft(d)
+
+        return jax.vmap(per)(cr, ci, plane, y, x, jit)
+
+    if per_image:
+        fn = piw_fn
+    elif has_jitter:
+        fn = shared_fn
+    else:
+        fn = lambda imgs, alpha, plane, y, x, *tabs: shared_fn(  # noqa: E731
+            imgs, None, None, alpha, plane, y, x, *tabs)
+    tabs = corner.dft_tables_device(H, Ky, W, Kx, None)
+    jfn = jax.jit(fn)
+    return lambda *args: jfn(*args, *tabs)
+
+
+@functools.lru_cache(maxsize=32)
 def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                           mesh: Mesh | None = None, pack: bool = False,
                           layout: str = "nhwc", soft: bool = False,

@@ -970,8 +970,96 @@ class _ExtractJob:
                                         self._params.pbkdf2_iter)
             out.append(crypto.aead_open(km.aead_key, km.nonce,
                                         hdr.to_bytes(), ct, tag))
+        if (self._params.soft_decode_fallback and self._use_corner
+                and any(h is not None and o is None
+                        for h, o in zip(headers, out))):
+            self._soft_retry_failed(headers, out)
         self._result = out
         return out
+
+    def _soft_retry_failed(self, headers, out) -> None:
+        """Soft-decision re-decode for images whose header parsed but AEAD
+        failed (rebuild-only recovery; ops/ecc.rep_decode_soft): ONE fused
+        module per failure class re-reads header AND payload with
+        matched-filter combining of the Rep-3/Rep-7 copies. Recovers
+        margin-failure images the hard majority loses — including stegos
+        the reference binary itself cannot extract. Mutates `out` in place;
+        images that still fail stay None."""
+        password, master_key = self._key
+        params = self._params
+        PH, PW = self._dims
+        H, W = self._HW
+        Ky, Kx = self._corner_kk
+        hdr_n = _HEADER_STREAM_BITS
+        failed = [i for i, (h, o) in enumerate(zip(headers, out))
+                  if h is not None and o is None]
+        shared = [i for i in failed
+                  if not (headers[i].flags & header_mod.FLAG_PER_IMAGE_WALK)]
+        piw = [i for i in failed
+               if headers[i].flags & header_mod.FLAG_PER_IMAGE_WALK]
+
+        def open_from(buf):
+            hb = buf[:header_mod.FIXED_LEN]
+            if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
+                return None
+            h2 = Header.from_bytes(hb)
+            rest = buf[40:][: h2.clen + 16]
+            if len(rest) < h2.clen + 16:
+                return None
+            ct, tag = rest[: h2.clen], rest[h2.clen: h2.clen + 16]
+            if master_key is not None:
+                km = crypto.derive_keys_from_raw(master_key, h2.salt)
+            else:
+                km = crypto.derive_keys(password, h2.salt,
+                                        params.pbkdf2_iter)
+            return crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag)
+
+        if shared:
+            need = min(max((headers[i].clen + 16) * 8 * 7 for i in shared),
+                       self._cap_bits)
+            total = hdr_n + need
+            bucket_total = -(-total // 4096) * 4096
+            (pl, yy, xx, _jj), _ = _walk_indices_device(
+                password, master_key, params, PH, PW, total, 0,
+                bucket_total, None)
+            sel = np.asarray(shared)
+            imgs_sub = (self._imgs_d[sel] if len(shared) != self.B
+                        else self._imgs_d)
+            core = pbatch.corner_soft_extract_core(
+                H, W, Ky, Kx, params.center, self._has_jitter, self._layout,
+                hdr_n)
+            if self._has_jitter:
+                maps, _ = _corner_statics_device(
+                    password, master_key, params, PH, PW, total,
+                    bucket_total, Ky, Kx, None)
+                words = core(imgs_sub, maps[1], maps[2], self._alpha,
+                             pl, yy, xx)
+            else:
+                words = core(imgs_sub, self._alpha, pl, yy, xx)
+            bufs = self._to_bufs(words)
+            for k, i in enumerate(shared):
+                got = open_from(bufs[k])
+                if got is not None:
+                    out[i] = got
+        if piw:
+            needs = [hdr_n + min((headers[i].clen + 16) * 8 * 7,
+                                 self._cap_bits) for i in piw]
+            bucket_total = -(-max(needs) // 4096) * 4096
+            plane, yarr, xarr, jarr = _piw_walk_arrays(
+                password, master_key, params, PH, PW,
+                [headers[i].salt for i in piw], needs, bucket_total)
+            sel = np.asarray(piw)
+            imgs_sub = (self._imgs_d[sel] if len(piw) != self.B
+                        else self._imgs_d)
+            core = pbatch.corner_soft_extract_core(
+                H, W, Ky, Kx, params.center, False, self._layout, hdr_n,
+                per_image=True)
+            words = core(imgs_sub, plane, yarr, xarr, jarr, self._alpha)
+            bufs = self._to_bufs(words)
+            for k, i in enumerate(piw):
+                got = open_from(bufs[k])
+                if got is not None:
+                    out[i] = got
 
 
 def extract_dispatch(

@@ -102,6 +102,17 @@ def _jit_read_bits(adaptive):
     return read_fn
 
 
+@functools.lru_cache(maxsize=32)
+def _jit_read_values(adaptive):
+    @jax.jit
+    def read_fn(spec, med, plane, y, x, jitters, alpha):
+        return phase_ops.read_values(
+            spec, plane, y, x, jitters, alpha, med, adaptive
+        ).astype(jnp.float32)
+
+    return read_fn
+
+
 class JaxBackend:
     name = "jax"
 
@@ -143,6 +154,20 @@ class JaxBackend:
             jnp.asarray(jitters, jnp.float32), jnp.float32(alpha),
         )
         return np.asarray(out[:nbits]).astype(np.uint8)
+
+    def read_values(self, spec, med, idx, jitters, alpha, params):
+        """Per-bin decision values (ops.phase.read_values) — the
+        soft-decision recovery fallback's input."""
+        nbits = len(jitters)
+        plane, y, x = _bucket_pad(idx, len(idx[0]))
+        (jitters,) = _bucket_pad((jitters,), nbits)
+        fn = _jit_read_values(params.adaptive_alpha)
+        out = fn(
+            spec, med,
+            jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
+            jnp.asarray(jitters, jnp.float32), jnp.float32(alpha),
+        )
+        return np.asarray(out[:nbits], dtype=np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +265,14 @@ class NumpyBackend:
         a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
         base = th - np.asarray(jitters)
         return (np.cos(base - a) >= np.cos(base + a)).astype(np.uint8)
+
+    def read_values(self, spec, med, idx, jitters, alpha, params):
+        plane, y, x = (np.asarray(a) for a in idx)
+        v = spec[plane, y, x]
+        th = np.angle(v)
+        mag = np.maximum(1e-12, np.abs(v))
+        a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
+        return mag * np.sin(th - np.asarray(jitters)) * np.sign(np.sin(a))
 
 
 def get_backend(params) -> JaxBackend | NumpyBackend:

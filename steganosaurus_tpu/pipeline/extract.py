@@ -109,11 +109,13 @@ def extract_array(
         # Re-expand from scratch: the walk is deterministic, the prefix
         # replays identically; expansion is a few ms on the C++ path. The
         # step budget in turtle_expand bounds a corrupted clen (fixes
-        # doc/TESTING.md:151-156).
-        idx_p, idx_y, idx_x, jit = keystream.turtle_expand(
+        # doc/TESTING.md:151-156); allow_short so an exhausted walk (clen
+        # decoded wrong but magic intact) degrades to garbage trailing
+        # bits -> AEAD failure, never an internal RuntimeError.
+        idx_p, idx_y, idx_x, jit, _n = keystream.turtle_expand(
             key_walk, plane_keys, PH, PW,
             params.rmin, params.rmax, params.density, params.jitter,
-            total_bits,
+            total_bits, allow_short=True,
         )
         sl = slice(_HEADER_STREAM_BITS, total_bits)
         payload_stream = backend.read_bits(
@@ -134,9 +136,65 @@ def extract_array(
     pt = crypto.aead_open(
         km.aead_key, km.nonce, hdr_bytes[: header_mod.FIXED_LEN], ct, tag
     )
+    if pt is None and params.soft_decode_fallback:
+        # Soft-decision retry (rebuild-only; ops/ecc.rep_decode_soft):
+        # re-decode header AND payload with matched-filter combining —
+        # copies weighted by their decision values — which recovers
+        # margin-failure images the hard majority loses, including stegos
+        # the reference binary itself cannot extract. Runs only after a
+        # hard AEAD failure; a pass stays bit-identical to the hard path.
+        pt = _soft_retry(backend, spec, med, password, master_key, params,
+                         path_key, key_walk, plane_keys, PH, PW, hdr,
+                         payload_stream_bits)
     if pt is None:
         raise StegoError("Auth failed (wrong pass or data corrupted).")
     return pt
+
+
+def _soft_retry(backend, spec, med, password, master_key, params, path_key,
+                key_walk, plane_keys, PH, PW, hard_hdr,
+                payload_stream_bits) -> bytes | None:
+    """One soft-decision re-decode of header + payload; None if still bad."""
+    hp, hy, hx, hj, vis = keystream.header_walk_with_visited(
+        key_walk, plane_keys, PH, PW, params.rmin, params.rmax,
+        params.density, params.jitter, _HEADER_STREAM_BITS)
+    hvals = backend.read_values(spec, med, (hp, hy, hx), hj, params.alpha,
+                                params)
+    hdr_bits = np.asarray(ecc.rep_decode_soft(hvals, 3))
+    hdr_bytes = bit_ops.bytes_from_bits(hdr_bits)
+    if hdr_bytes[:4] != header_mod.MAGIC or hdr_bytes[4] != header_mod.VERSION:
+        return None
+    hdr = Header.from_bytes(hdr_bytes)
+    if hdr.clen != hard_hdr.clen:  # soft-corrected clen: resize the read
+        payload_stream_bits = min((hdr.clen + 16) * 8 * 7,
+                                  3 * PH * PW // 2)
+    if hdr.flags & header_mod.FLAG_PER_IMAGE_WALK:
+        skeys = crypto.derive_turtle_keys(
+            crypto.derive_salt_path_key(path_key, hdr.salt))
+        pp, py, px, pj, _n = keystream.turtle_expand_chained(
+            skeys[0], skeys[1:], PH, PW, params.rmin, params.rmax,
+            params.density, params.jitter, payload_stream_bits, vis,
+            allow_short=True)
+    else:
+        total = _HEADER_STREAM_BITS + payload_stream_bits
+        pp, py, px, pj, _n = keystream.turtle_expand(
+            key_walk, plane_keys, PH, PW, params.rmin, params.rmax,
+            params.density, params.jitter, total, allow_short=True)
+        sl = slice(_HEADER_STREAM_BITS, total)
+        pp, py, px, pj = pp[sl], py[sl], px[sl], pj[sl]
+    pvals = backend.read_values(spec, med, (pp, py, px), pj, params.alpha,
+                                params)
+    payload_bits = np.asarray(ecc.rep_decode_soft(pvals, 7))
+    rest = bit_ops.bytes_from_bits(payload_bits)
+    if len(rest) < hdr.clen + 16:
+        return None
+    ct, tag = rest[: hdr.clen], rest[hdr.clen: hdr.clen + 16]
+    if master_key is not None:
+        km = crypto.derive_keys_from_raw(master_key, hdr.salt)
+    else:
+        km = crypto.derive_keys(password, hdr.salt, params.pbkdf2_iter)
+    return crypto.aead_open(km.aead_key, km.nonce,
+                            hdr_bytes[: header_mod.FIXED_LEN], ct, tag)
 
 
 def extract(

@@ -22,7 +22,21 @@ ITER = "5000"  # keep PBKDF2 fast in tests; timing tests cover the default
 
 
 def _run(args, **kw):
-    return subprocess.run([str(a) for a in args], capture_output=True, text=True, **kw)
+    """Run the reference binary, BOUNDED: its extraction loop hangs forever
+    on a corrupt header clen (doc/TESTING.md:151-156 — the bug our bounded
+    extraction fixes), and an unlucky random salt can trigger that on its
+    own stego. A timeout is reported as rc=124 — i.e. the reference FAILED."""
+    kw.setdefault("timeout", 180)
+    try:
+        return subprocess.run([str(a) for a in args], capture_output=True,
+                              text=True, **kw)
+    except subprocess.TimeoutExpired as e:
+        return subprocess.CompletedProcess(
+            e.cmd, 124,
+            (e.stdout or b"").decode(errors="replace") if isinstance(
+                e.stdout, bytes) else (e.stdout or ""),
+            "timeout: reference extraction hung (its documented "
+            "unbounded-loop bug)")
 
 
 @pytest.fixture(scope="module")
