@@ -541,6 +541,10 @@ def main():
         # real serving under one key); host AEAD still runs per image. The
         # rotating-salt variant below pays fresh AEAD bits per batch.
         "steady_state_caches": True,
+        # extraction ran with the default soft-decision fallback available
+        # (it only engages on AEAD failures; headline recovery is verified
+        # either way)
+        "soft_decode_fallback": True,
         "device": str(jax.devices()[0]).split(":")[0],
         "bench_budget_s": BUDGET,
     })

@@ -61,6 +61,11 @@ USAGE = """Usage:
                              (matched-filter combining of ECC copies after
                              an AEAD failure; recovers margin failures the
                              reference cannot) (1)
+    --stealth 0|1          : Recommended stealth preset — jitter pi/8 +
+                             one-sided amplitude spread + soft write +
+                             per-image walks (Params.stealth; explicit
+                             flags override; extract needs the same
+                             --jitter or --stealth) (0)
 """
 
 
@@ -88,6 +93,7 @@ def parse_args(argv: list[str]) -> Args | None:
     a = Args()
     a.mode = argv[1]
     p = {}
+    stealth = False
     i = 2
     while i < len(argv):
         k = argv[i]
@@ -141,6 +147,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["per_image_walk"] = need() in ("1", "true")
         elif k == "--soft_decode":  # rebuild-only: soft-decision fallback
             p["soft_decode_fallback"] = need() in ("1", "true")
+        elif k == "--stealth":  # rebuild-only: Params.stealth() preset
+            stealth = need() in ("1", "true")
         elif k == "--in-dir":  # batch modes (rebuild-only)
             a.in_dir = need()
         elif k == "--out-dir":
@@ -153,7 +161,11 @@ def parse_args(argv: list[str]) -> Args | None:
             print(f"Unknown arg: {k}", file=sys.stderr)
             return None
         i += 1
-    a.params = Params(**p)
+    if stealth:
+        # preset seeds the defaults; explicit flags override it
+        a.params = Params.stealth(**p)
+    else:
+        a.params = Params(**p)
     if a.mode == "gen-key":
         return a
     if a.mode in ("batch-embed", "batch-extract"):

@@ -80,5 +80,26 @@ class Params:
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def stealth(cls, **kw) -> "Params":
+        """The recommended stealth-sensitive profile (doc/ATTACKS.md):
+        keyed phase jitter (the reference's own mitigation, ~pi/8),
+        one-sided amplitude spread (kills the +-alpha spike, §2a),
+        minimal-energy soft write (~2.8x less write energy, §1a), and
+        per-image payload walks (defeats cross-image averaging, §4).
+
+        Measured warden view at a heavy 256^2 footprint: chi^2 z-score
+        3602 (defaults) -> 418 (this profile's jitter+spread), spike
+        excess 0.209 -> ~0.02 (utils/steganalysis.py). Extraction needs
+        the SAME jitter value (as in the reference); everything else is
+        auto-detected or embed-side-only. The stock reference binary
+        cannot extract these images (per_image_walk fails it closed) —
+        use stealth(per_image_walk=False) if reference interop matters
+        more than bulk-collection resistance. Keyword overrides win."""
+        base = dict(jitter=0.39, alpha_spread=1.0, soft_write=True,
+                    per_image_walk=True)
+        base.update(kw)
+        return cls(**base)
+
 
 DEFAULTS = Params()

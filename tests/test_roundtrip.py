@@ -375,3 +375,28 @@ def test_stealth_modes_f64_oracle(small_image):
     assert extract_array(res.stego, password="pw",
                          params=Params(fft_dtype="complex128",
                                        **FAST)) == b"stealth f64"
+
+
+def test_stealth_profile(host_image):
+    """Params.stealth(): the recommended full stealth stack (jitter +
+    one-sided spread + soft write + per-image walks) round-trips; the
+    extractor needs only the jitter value (everything else auto-detected
+    or embed-side-only); and the warden-view spike statistic measurably
+    collapses vs the default write."""
+    from steganosaurus_tpu.utils.steganalysis import phase_histogram_report
+
+    p = Params.stealth(**FAST)
+    secret = bytes(range(160))
+    salt = bytes(range(16))
+    res = embed_array(host_image, secret, password="pw", params=p, salt=salt)
+    assert extract_array(res.stego, password="pw",
+                         params=Params(jitter=p.jitter, **FAST)) == secret
+    hard = embed_array(host_image, secret, password="pw",
+                       params=Params(**FAST), salt=salt)
+    r_stealth = phase_histogram_report(res.stego)
+    r_hard = phase_histogram_report(hard.stego)
+    assert r_stealth["spike_excess"] < r_hard["spike_excess"] / 4
+    assert r_stealth["chi2_z"] < r_hard["chi2_z"] / 3
+    # reference-interop variant keeps everything but the flagged walk
+    p2 = Params.stealth(per_image_walk=False, **FAST)
+    assert not p2.per_image_walk and p2.soft_write
