@@ -245,7 +245,7 @@ def prefetch_piw_walks(password, master_key, params: Params, H: int, W: int,
 
 
 def _piw_walk_arrays(password, master_key, params, PH, PW, salts,
-                     need_lens, bucket):
+                     need_lens, bucket, strict=True):
     """Per-image-walk (B, bucket) plane/y/x i32 + jitter f32 arrays.
 
     Row i = shared header prefix (912 bits, cached with its visited bitmap)
@@ -257,7 +257,12 @@ def _piw_walk_arrays(password, master_key, params, PH, PW, salts,
     C++ walker releases the GIL, so they run on a thread pool — the only
     sequential cost left is max over images, not the sum.
 
-    Raises StegoError if any image's walk exhausts before its frame fits.
+    strict=True (embed): raises StegoError if any image's walk exhausts
+    before its frame fits. strict=False (extraction — need_lens come from
+    DECODED, possibly corrupt, header clens): an exhausted walk pads with
+    the last real bin so downstream gathers read garbage the AEAD rejects —
+    one bad image must never abort the batch (reference hang class,
+    doc/TESTING.md:151-156).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -282,7 +287,7 @@ def _piw_walk_arrays(password, master_key, params, PH, PW, salts,
     jarr = np.empty((B, bucket), np.float32)
     for i, (pp, py, px, pj, n) in enumerate(outs):
         need = need_lens[i] - hdr_n
-        if n < need:
+        if n < need and strict:
             raise StegoError(
                 f"Message too large. Image {i}: salt-keyed payload walk "
                 f"exhausted after {n}/{need} bits."
@@ -1047,7 +1052,8 @@ class _ExtractJob:
             bucket_total = -(-max(needs) // 4096) * 4096
             plane, yarr, xarr, jarr = _piw_walk_arrays(
                 password, master_key, params, PH, PW,
-                [headers[i].salt for i in piw], needs, bucket_total)
+                [headers[i].salt for i in piw], needs, bucket_total,
+                strict=False)
             sel = np.asarray(piw)
             imgs_sub = (self._imgs_d[sel] if len(piw) != self.B
                         else self._imgs_d)

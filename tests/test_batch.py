@@ -700,3 +700,25 @@ def test_piw_prefetch_cache_and_stream(covers):
     got1 = extract_batch(np.asarray(outs[1].stego), password="pw",
                          params=Params(**FAST))
     assert got0 == secrets[:3] and got1 == secrets[1:]
+
+
+def test_piw_walk_arrays_strict_vs_tolerant():
+    """_piw_walk_arrays strict=True (embed) raises on walk exhaustion;
+    strict=False (extraction, where need_lens come from DECODED — possibly
+    corrupt — header clens) pads with the last real bin instead, so one
+    corrupt-clen image degrades to an AEAD failure rather than aborting
+    the whole batch (the reference hang class, doc/TESTING.md:151-156)."""
+    from steganosaurus_tpu.pipeline.batch import (_HEADER_STREAM_BITS,
+                                                  _piw_walk_arrays)
+    from steganosaurus_tpu.pipeline.errors import StegoError
+
+    salts = [bytes([1]) * 16]
+    # 64x64 grid cannot carry ~6k payload bits after the header
+    need = [_HEADER_STREAM_BITS + 6000]
+    bucket = -(-need[0] // 4096) * 4096
+    with pytest.raises(StegoError, match="Message too large"):
+        _piw_walk_arrays("pw", None, Params(**FAST), 64, 64, salts, need,
+                         bucket, strict=True)
+    pl, yy, xx, jj = _piw_walk_arrays("pw", None, Params(**FAST), 64, 64,
+                                      salts, need, bucket, strict=False)
+    assert pl.shape == (1, bucket) and np.all(yy >= 0) and np.all(yy < 64)
