@@ -694,6 +694,25 @@ def channel_report(
     return out
 
 
+def _bucket_sel(idxs: list[int], B: int) -> tuple[np.ndarray, int]:
+    """(padded index array, real count): pad a failed-image subset to the
+    next power-of-2 size (capped at B) by repeating the first index.
+
+    jax.jit compiles per input SHAPE, and rotating-salt serving draws a
+    different failure count every batch — without bucketing, the recovery
+    passes paid one fresh 4K module compile per distinct count (measured:
+    the soft fallback cut the bench's rotating-salt stage from ~220 to
+    9 img/s before this fix). Power-of-2 buckets bound the variants at
+    log2(B), all persistent-compile-cached; duplicate rows' results are
+    ignored by the caller (rows [0, real count) map to idxs)."""
+    n = len(idxs)
+    size = 1
+    while size < n:
+        size *= 2
+    size = min(size, B)
+    return np.asarray(idxs + [idxs[0]] * (size - n)), n
+
+
 class _ExtractJob:
     """An in-flight batch extraction: the fused header+payload device pass is
     DISPATCHED at construction (JAX async dispatch — no host block) and only
@@ -863,6 +882,8 @@ class _ExtractJob:
             kw, (kr, kg, kb), PH, PW, params.rmin, params.rmax,
             params.density, params.jitter, _HEADER_STREAM_BITS)
 
+        sel, _nreal = _bucket_sel(list(idxs), self.B)
+        idxs = [int(i) for i in sel]  # padded; rows [0, nreal) map to input
         needs = [min((headers[i].clen + 16) * 8 * 7, self._cap_bits)
                  for i in idxs]
         n = -(-max(needs) // 4096) * 4096
@@ -889,8 +910,7 @@ class _ExtractJob:
                              (jarr, pj)):
                 dst[k, :m] = src[:m]
                 dst[k, m:] = dst[k, m - 1]
-        sel = np.asarray(idxs)
-        imgs_sub = (self._imgs_d[sel] if len(idxs) != self.B
+        imgs_sub = (self._imgs_d[sel] if sel.size != self.B
                     else self._imgs_d)
         H, W = self._HW
         if self._use_corner:
@@ -1027,8 +1047,8 @@ class _ExtractJob:
             (pl, yy, xx, _jj), _ = _walk_indices_device(
                 password, master_key, params, PH, PW, total, 0,
                 bucket_total, None)
-            sel = np.asarray(shared)
-            imgs_sub = (self._imgs_d[sel] if len(shared) != self.B
+            sel, _nreal = _bucket_sel(shared, self.B)
+            imgs_sub = (self._imgs_d[sel] if sel.size != self.B
                         else self._imgs_d)
             core = pbatch.corner_soft_extract_core(
                 H, W, Ky, Kx, params.center, self._has_jitter, self._layout,
@@ -1047,15 +1067,16 @@ class _ExtractJob:
                 if got is not None:
                     out[i] = got
         if piw:
+            sel, _nreal = _bucket_sel(piw, self.B)
+            padded = [int(i) for i in sel]
             needs = [hdr_n + min((headers[i].clen + 16) * 8 * 7,
-                                 self._cap_bits) for i in piw]
+                                 self._cap_bits) for i in padded]
             bucket_total = -(-max(needs) // 4096) * 4096
             plane, yarr, xarr, jarr = _piw_walk_arrays(
                 password, master_key, params, PH, PW,
-                [headers[i].salt for i in piw], needs, bucket_total,
+                [headers[i].salt for i in padded], needs, bucket_total,
                 strict=False)
-            sel = np.asarray(piw)
-            imgs_sub = (self._imgs_d[sel] if len(piw) != self.B
+            imgs_sub = (self._imgs_d[sel] if sel.size != self.B
                         else self._imgs_d)
             core = pbatch.corner_soft_extract_core(
                 H, W, Ky, Kx, params.center, False, self._layout, hdr_n,

@@ -112,3 +112,18 @@ def test_soft_fallback_piw(noise_cover, heavy_secret):
     assert n_soft <= n_hard
     for s in soft:
         assert s is None or s == heavy_secret[:200]
+
+
+def test_bucket_sel_shapes():
+    """Failure subsets pad to power-of-2 sizes (capped at B) so jax.jit
+    compiles at most log2(B) recovery-module variants instead of one per
+    distinct failure count (measured: per-count compiles cut the bench's
+    rotating-salt stage from ~220 to 9 img/s)."""
+    from steganosaurus_tpu.pipeline.batch import _bucket_sel
+
+    for idxs, B, want in (([3], 64, 1), ([3, 5], 64, 2), ([1, 2, 3], 64, 4),
+                          ([0, 1, 2, 3, 4], 64, 8), ([0, 1, 2, 3, 4], 6, 6),
+                          (list(range(6)), 6, 6)):
+        sel, n = _bucket_sel(idxs, B)
+        assert n == len(idxs) and sel.size == want
+        assert list(sel[:n]) == idxs and all(s == idxs[0] for s in sel[n:])
