@@ -722,3 +722,18 @@ def test_piw_walk_arrays_strict_vs_tolerant():
     pl, yy, xx, jj = _piw_walk_arrays("pw", None, Params(**FAST), 64, 64,
                                       salts, need, bucket, strict=False)
     assert pl.shape == (1, bucket) and np.all(yy >= 0) and np.all(yy < 64)
+
+
+def test_extract_stream_piw(covers):
+    """extract_stream handles per-image-walk stegos (the flag-driven payload
+    pass lives in the dispatch/finalize seam the stream drives)."""
+    from steganosaurus_tpu.pipeline.stream import extract_stream
+
+    p = Params(per_image_walk=True, **FAST)
+    secrets = [b"s-piw-%d" % i for i in range(3)]
+    salts = [bytes([23 * i + 11]) * 16 for i in range(3)]
+    res = embed_batch(covers[:3], secrets, password="pw", params=p,
+                      salts=salts)
+    outs = list(extract_stream(iter([np.asarray(res.stego)] * 2),
+                               password="pw", params=Params(**FAST)))
+    assert outs == [secrets, secrets]
