@@ -360,7 +360,7 @@ class Workload:
 
 
 def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
-                  soft: bool = False) -> dict | None:
+                  soft: bool = False, alpha: float = 0.5) -> dict | None:
     """Binary-search the LARGEST 4K-UHD payload meeting the BASELINE
     imperceptibility bar (PSNR > 50 dB, SSIM > 0.995) with AEAD-verified
     recovery (verify mode re-salts failures, so recovery is deterministic
@@ -383,7 +383,7 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
     from steganosaurus_tpu.utils import metrics
 
     rng = np.random.default_rng(13)
-    B, STEP, ALPHA = 4, 512, 0.5
+    B, STEP, ALPHA = 4, 512, alpha
     # first 4 of the cached base cover set (same seed/order as the headline)
     covers = np.ascontiguousarray(make_covers(UHD_BASE_BATCH, UHD_H,
                                               UHD_W)[:B])
@@ -427,9 +427,15 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
     # passing record on the very first probe, before the budget gate can
     # fire (round 2's first-probe-at-2KB ordering burned the whole budget
     # on failing sizes and recorded null). The gallop then expands upward.
+    # low-alpha soft: the SOFT write's energy scales with alpha (only
+    # boundary-violating bins move, by ~alpha), unlike the hard write —
+    # measured 2 KB at 50.5 dB / 0.9980 with alpha=0.15 (4x the hard
+    # frontier). First probe starts there.
+    first = STEP
+    if soft:
+        first = 4 * STEP if ALPHA < 0.25 else 2 * STEP
     return _frontier_search(timed_probe, lambda: fits(cost[0]),
-                            lo=STEP, hi=UHD_SECRET, step=STEP,
-                            first=2 * STEP if soft else STEP)
+                            lo=STEP, hi=UHD_SECRET, step=STEP, first=first)
 
 
 def _frontier_search(probe, may_continue, lo: int, hi: int, step: int,
@@ -619,6 +625,17 @@ def main():
             RESULT["psnr_soft_config"] = psnr_frontier(master_key, soft=True)
         except Exception as e:  # noqa: BLE001
             RESULT["psnr_soft_error"] = f"{type(e).__name__}: {e}"
+        emit()
+
+    # ---- low-alpha soft frontier (soft write energy ~ alpha: doc/ATTACKS
+    # §1a; soft-decision fallback covers the reduced noise margin) ----
+    if fits(90):
+        try:
+            note("low-alpha soft psnr frontier search")
+            RESULT["psnr_soft_low_alpha_config"] = psnr_frontier(
+                master_key, soft=True, alpha=0.15)
+        except Exception as e:  # noqa: BLE001
+            RESULT["psnr_soft_low_alpha_error"] = f"{type(e).__name__}: {e}"
         emit()
 
     # ---- identical workload to the reference baseline (4096^2, 2 KB) ----
