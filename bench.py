@@ -360,7 +360,8 @@ class Workload:
 
 
 def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
-                  soft: bool = False, alpha: float = 0.5) -> dict | None:
+                  soft: bool = False, alpha: float = 0.5,
+                  qim: int = 0) -> dict | None:
     """Binary-search the LARGEST 4K-UHD payload meeting the BASELINE
     imperceptibility bar (PSNR > 50 dB, SSIM > 0.995) with AEAD-verified
     recovery (verify mode re-salts failures, so recovery is deterministic
@@ -390,7 +391,7 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
     covers_d = jax.device_put(covers)
 
     def probe(nbytes: int):
-        p = Params(alpha=ALPHA, soft_write=soft)
+        p = Params(alpha=ALPHA, soft_write=soft, qim=qim)
         secrets = [bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
                    for _ in range(B)]
         res = embed_batch(covers_d, secrets, master_key=master_key, params=p,
@@ -418,6 +419,8 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
                    "recovery_verified": True, "search_exhausted": False}
             if soft:
                 out["soft_write"] = True
+            if qim:
+                out["qim"] = qim
             return out
         return None
 
@@ -434,6 +437,11 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
     first = STEP
     if soft:
         first = 4 * STEP if ALPHA < 0.25 else 2 * STEP
+    if qim:
+        # QIM energy is Delta^2/12 per bin vs the hard write's ~pi^2/3
+        # (doc/ATTACKS.md §1b): at L=6 that is ~15 dB, worth ~2^5 payload
+        # steps over the 512 B hard frontier — start the gallop at 4 KB.
+        first = 8 * STEP
     return _frontier_search(timed_probe, lambda: fits(cost[0]),
                             lo=STEP, hi=UHD_SECRET, step=STEP, first=first)
 
@@ -636,6 +644,17 @@ def main():
                 master_key, soft=True, alpha=0.15)
         except Exception as e:  # noqa: BLE001
             RESULT["psnr_soft_low_alpha_error"] = f"{type(e).__name__}: {e}"
+        emit()
+
+    # ---- QIM frontier (params.qim: dithered phase QIM payload write,
+    # energy Delta^2/12 per bin at margin pi/(2L) — doc/ATTACKS.md §1b;
+    # also the histogram-uniform stealth mode, §2b) ----
+    if fits(90):
+        try:
+            note("qim psnr frontier search")
+            RESULT["psnr_qim_config"] = psnr_frontier(master_key, qim=6)
+        except Exception as e:  # noqa: BLE001
+            RESULT["psnr_qim_error"] = f"{type(e).__name__}: {e}"
         emit()
 
     # ---- identical workload to the reference baseline (4096^2, 2 KB) ----

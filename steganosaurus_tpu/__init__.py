@@ -27,9 +27,11 @@ the reference tree (steganosaurus/src/steganosaur.cpp et al.).
 
 from steganosaurus_tpu.config import Params
 
-# 0.3: adaptive column-split precision default; 0.4: stealth modes
+# 0.3: adaptive column-split precision default; 0.4: stealth modes;
+# 0.5: dithered phase QIM (Params.qim — uniform written-bin phases,
+# ~9-36x less write energy; header FLAGS bits 4-7, auto-detected)
 # (alpha_spread, per_image_walk) + warden-view steganalysis reporting.
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 # Lazy top-level convenience API (PEP 562): `import steganosaurus_tpu as st;
 # st.embed_batch(...)`. Resolved on first touch so importing the package

@@ -57,6 +57,14 @@ USAGE = """Usage:
                              cross-image residual averaging under one key
                              (rebuild-only wire format, header flag 0x01;
                              extraction auto-detects it) (0)
+    --qim L                : Dithered phase QIM for the payload at level L
+                             (step 2*pi/L; margin pi/(2L), L=3 ~ alpha=0.5)
+                             — written-bin phases become marginally UNIFORM
+                             (no histogram signature) at ~9x less write
+                             energy than the hard write (rebuild-only wire
+                             format, header FLAGS bits 4-7; extraction
+                             auto-detects; the reference binary fails
+                             closed) (0 = off)
     --soft_decode 0|1      : Soft-decision recovery fallback on extraction
                              (matched-filter combining of ECC copies after
                              an AEAD failure; recovers margin failures the
@@ -145,6 +153,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["alpha_spread"] = float(need())
         elif k == "--per_image_walk":  # rebuild-only: salt-keyed walks
             p["per_image_walk"] = need() in ("1", "true")
+        elif k == "--qim":  # rebuild-only: dithered phase QIM payload write
+            p["qim"] = int(need())
         elif k == "--soft_decode":  # rebuild-only: soft-decision fallback
             p["soft_decode_fallback"] = need() in ("1", "true")
         elif k == "--stealth":  # rebuild-only: Params.stealth() preset

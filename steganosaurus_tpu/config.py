@@ -76,6 +76,24 @@ class Params:
     # the spread. Requires alpha*(1+alpha_spread) < pi. Default off for
     # pixel-level reference parity. See doc/ATTACKS.md §2a.
     alpha_spread: float = 0.0
+    # Dithered phase QIM for the PAYLOAD bits (rebuild-only; the reference's
+    # own doc/TODO.md lists "quantization index modulation (QIM/STDM)" as
+    # future work). qim = L >= 2 quantizes each payload bin's phase to a
+    # keyed-dithered lattice of step 2*pi/L: bit-0 centroids at d_i + k*Delta,
+    # bit-1 at d_i + (k+1/2)*Delta, with d_i uniform in [0, Delta) drawn from
+    # an independent keystream keyed by the path key (pipeline/qim.py). The
+    # header stays on the reference's hard +-alpha write (it must be
+    # locatable and decodable before any mode is known); header FLAGS bits
+    # 4-7 carry L so extraction auto-detects it — no param needed. Decode
+    # margin is Delta/4 = pi/(2L) (L=3 ~ the hard write's alpha=0.5);
+    # write energy is E[dtheta^2] = Delta^2/12 — ~9x below the hard write
+    # and ~3x below soft_write at L=3, and shrinks as L grows (the
+    # payload/PSNR frontier lever, doc/ATTACKS.md §1b). Stealth: the keyed
+    # dither makes written-bin phases marginally UNIFORM — no +-alpha spike,
+    # no soft-write notch (§2b). The stock reference binary fails closed on
+    # QIM stegos (payload decodes garbage -> AEAD failure). 0 = off
+    # (reference parity). Valid range 2..15 (4-bit header field).
+    qim: int = 0
 
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)
@@ -83,21 +101,27 @@ class Params:
     @classmethod
     def stealth(cls, **kw) -> "Params":
         """The recommended stealth-sensitive profile (doc/ATTACKS.md):
-        keyed phase jitter (the reference's own mitigation, ~pi/8),
-        one-sided amplitude spread (kills the +-alpha spike, §2a),
-        minimal-energy soft write (~2.8x less write energy, §1a), and
-        per-image payload walks (defeats cross-image averaging, §4).
+        dithered phase QIM for the payload at L=3 (uniform written-bin
+        phases at the hard write's decode margin, §2b), keyed phase
+        jitter (the reference's own mitigation, ~pi/8) + one-sided
+        amplitude spread + minimal-energy soft write for the 912
+        hard-written HEADER bins (§2a/§1a), and per-image payload walks
+        (defeats cross-image averaging, §4).
 
-        Measured warden view at a heavy 256^2 footprint: chi^2 z-score
-        3602 (defaults) -> 418 (this profile's jitter+spread), spike
-        excess 0.209 -> ~0.02 (utils/steganalysis.py). Extraction needs
-        the SAME jitter value (as in the reference); everything else is
+        Measured warden view at a heavy 256^2 footprint (f ~ 0.43,
+        utils/steganalysis.py): chi^2 z-score 3602 (defaults) -> 418
+        (the 0.4 jitter+spread profile) -> 1.3 with QIM — EQUAL to the
+        clean cover's 1.3, i.e. statistically indistinguishable from
+        unmodified at a footprint every other mode fails; spike excess
+        0.209 -> -0.0005; PSNR +6.7 dB on top. Extraction needs the SAME
+        jitter value (as in the reference); everything else is
         auto-detected or embed-side-only. The stock reference binary
-        cannot extract these images (per_image_walk fails it closed) —
-        use stealth(per_image_walk=False) if reference interop matters
-        more than bulk-collection resistance. Keyword overrides win."""
+        cannot extract these images (per_image_walk and qim both fail it
+        closed) — use stealth(per_image_walk=False, qim=0) if reference
+        interop matters more than warden resistance. Keyword overrides
+        win."""
         base = dict(jitter=0.39, alpha_spread=1.0, soft_write=True,
-                    per_image_walk=True)
+                    per_image_walk=True, qim=3)
         base.update(kw)
         return cls(**base)
 

@@ -187,6 +187,14 @@ def derive_alpha_spread_key(path_key: bytes) -> bytes:
     return hkdf_expand(path_key, b"alpha_spread", 32)
 
 
+def derive_qim_key(path_key: bytes) -> bytes:
+    """32B key for the QIM dither keystream (rebuild-only; Params.qim,
+    pipeline/qim.py). Independent HKDF info label for the same reason as
+    derive_alpha_spread_key: the walk/plane keystream replay stays byte-exact
+    vs the reference whatever the dither draws."""
+    return hkdf_expand(path_key, b"qim_dither", 32)
+
+
 # ---------------------------------------------------------------------------
 # Encoding helpers / CSPRNG / fingerprint
 # ---------------------------------------------------------------------------

@@ -130,6 +130,60 @@ def read_phases(spectrum, plane, y, x, jitters, alpha, medians, adaptive: bool):
     return (jnp.cos(base - a) >= jnp.cos(base + a)).astype(jnp.uint8)
 
 
+def embed_phases_qim(spectrum, plane, y, x, bits, dithers, L: int,
+                     gain: float = 1.0, hermitian_half: bool = False):
+    """Dithered phase-QIM write (Params.qim; pipeline/qim.py).
+
+    Per bin: keep magnitude, set phase to the nearest point of the keyed
+    lattice coset for `bits` — theta' = d + (round((theta-d)/Delta - b/2)
+    + b/2) * Delta with Delta = 2*pi/L. Conjugate mirroring, `gain`
+    pre-compensation, and the Hermitian-half pre-doubled scatter follow
+    embed_phases exactly (same consumers). Payload-only: callers write the
+    header with embed_phases.
+    """
+    H, W = spectrum.shape[-2:]
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    v = spectrum[plane, y, x]
+    mag = jnp.maximum(1e-12, jnp.abs(v)).astype(real_dtype)
+    d = dithers.astype(real_dtype)
+    delta = jnp.asarray(2.0 * jnp.pi / L, real_dtype)
+    half_b = bits.astype(real_dtype) * 0.5
+    q = (jnp.angle(v).astype(real_dtype) - d) / delta - half_b
+    theta = d + (jnp.round(q) + half_b) * delta
+    nv = (mag * jnp.exp(1j * theta.astype(real_dtype))).astype(spectrum.dtype)
+    if gain != 1.0:
+        nv = v + (nv - v) / jnp.asarray(gain, real_dtype)
+    if hermitian_half:
+        return spectrum.at[plane, y, x].set(
+            2.0 * nv - v, mode="promise_in_bounds")
+    cy, cx = conj_indices(y, x, H, W)
+    out = spectrum.at[plane, y, x].set(nv)
+    out = out.at[plane, cy, cx].set(jnp.conj(nv))
+    return out
+
+
+def read_values_qim(spectrum, plane, y, x, dithers, L: int):
+    """Per-bin QIM DECISION VALUES d = -cos(L*(theta - dither)) * mag.
+
+    cos(L*(theta-d)) is +1 exactly at bit-0 centroids and -1 at bit-1
+    centroids (pipeline/qim.py), so sign(d) is the nearest-coset decode and
+    |d| scales with both the coset confidence and the bin magnitude — the
+    matched-filter weight for ops.ecc.rep_decode_soft, mirroring
+    read_values' mag * sin(...) weighting on the hard path."""
+    v = spectrum[plane, y, x]
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    mag = jnp.maximum(1e-12, jnp.abs(v)).astype(real_dtype)
+    th = jnp.angle(v).astype(real_dtype)
+    return -jnp.cos(L * (th - dithers.astype(real_dtype))) * mag
+
+
+def read_phases_qim(spectrum, plane, y, x, dithers, L: int):
+    """QIM nearest-coset bit read: bit = 1 iff -cos(L*(theta - d)) >= 0
+    (ties -> 1, matching the hard read's tie rule)."""
+    return (read_values_qim(spectrum, plane, y, x, dithers, L) >= 0).astype(
+        jnp.uint8)
+
+
 def read_values(spectrum, plane, y, x, jitters, alpha, medians, adaptive: bool):
     """Per-bin DECISION VALUES d = mag * sin(theta - jitter) * sign(sin a).
 

@@ -281,22 +281,29 @@ def _shardB(mesh, ndim: int, axis: int = 0):
 
 @functools.lru_cache(maxsize=32)
 def corner_statics_core(Ky: int, Kx: int, bucket: int, has_jitter: bool,
-                        mesh: Mesh | None = None, has_spread: bool = False):
+                        mesh: Mesh | None = None, has_spread: bool = False,
+                        qim_hdr: int = 0):
     """Jitted one-time-per-walk builder of the static corner maps.
 
     (plane, y, x, jitters — the cached device walk arrays, length `bucket`,
     tail-padded by repeating the last REAL bin and ITS jitter
-    [, alphas (bucket,) f32 per-slot write amplitudes when has_spread]) ->
+    [, alphas (bucket,) f32 per-slot write amplitudes when has_spread]
+    [, dithers (bucket,) f32 per-slot QIM dither angles when qim_hdr]) ->
       pos (3,Ky,Kx) i32: walk position owning each bin, `bucket` elsewhere
       [cjd, sjd (3,Ky,Kx) f32: cos/sin of the bin's jitter, when has_jitter]
       [cad, sad (3,Ky,Kx) f32: cos/sin of the bin's write amplitude
        alpha_i, when has_spread (Params.alpha_spread; pipeline/spread.py)]
+      [dq (3,Ky,Kx) f32 dither angle + qm (3,Ky,Kx) f32 payload-slot mask
+       (1.0 where the bin's frame slot >= qim_hdr, i.e. a PAYLOAD bin),
+       when qim_hdr > 0 (Params.qim; pipeline/qim.py)]
 
     Padding duplicates scatter identical values (same bin, same bit slot
-    value, same jitter/amplitude), so duplicate-write order is irrelevant.
+    value, same jitter/amplitude/dither), so duplicate-write order is
+    irrelevant.
     """
 
-    def build(plane, y, x, jit, *alphas):
+    def build(plane, y, x, jit, *extras):
+        ei = 0
         idx = (plane, y, x)
         pos = jnp.full((3, Ky, Kx), bucket, jnp.int32).at[idx].set(
             jnp.arange(bucket, dtype=jnp.int32), mode="promise_in_bounds")
@@ -308,16 +315,27 @@ def corner_statics_core(Ky: int, Kx: int, bucket: int, has_jitter: bool,
                 jnp.sin(jit), mode="promise_in_bounds")
             out = out + (cjd, sjd)
         if has_spread:
-            (al,) = alphas
+            al = extras[ei]
+            ei += 1
             cad = jnp.ones((3, Ky, Kx), jnp.float32).at[idx].set(
                 jnp.cos(al), mode="promise_in_bounds")
             sad = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
                 jnp.sin(al), mode="promise_in_bounds")
             out = out + (cad, sad)
+        if qim_hdr:
+            dith = extras[ei]
+            ei += 1
+            dq = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
+                dith, mode="promise_in_bounds")
+            pay = (jnp.arange(bucket) >= qim_hdr).astype(jnp.float32)
+            qm = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
+                pay, mode="promise_in_bounds")
+            out = out + (dq, qm)
         return out
 
-    n_in = 5 if has_spread else 4
-    n_out = 1 + 2 * has_jitter + 2 * has_spread
+    has_qim = qim_hdr > 0
+    n_in = 4 + has_spread + has_qim
+    n_out = 1 + 2 * (has_jitter + has_spread + has_qim)
     if mesh is None:
         return jax.jit(build)
     rep = _rep(mesh)
@@ -432,12 +450,33 @@ def bits_table_packed_core(bucket: int, B: int):
     return jax.jit(fn)
 
 
+def _maps_adapter(base, n_lead: int, pair_flags: tuple[bool, ...]):
+    """Adapt a base fn taking the FULL static-map signature
+    (lead args..., m1a, m1b, m2a, m2b, ..., trailing...) to the compact
+    call signature where absent map pairs are omitted: pair_flags[i] says
+    whether pair i is present in the call; absent pairs become (None, None).
+    """
+
+    def adapted(*args):
+        lead, rest = list(args[:n_lead]), list(args[n_lead:])
+        maps = []
+        for flag in pair_flags:
+            if flag:
+                maps += [rest.pop(0), rest.pop(0)]
+            else:
+                maps += [None, None]
+        return base(*lead, *maps, *rest)
+
+    return adapted
+
+
 @functools.lru_cache(maxsize=32)
 def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                       mesh: Mesh | None = None, has_jitter: bool = False,
                       pack: bool = False, layout: str = "nhwc",
                       stream_bytes: int = 0, bucket: int = 0,
-                      soft: bool = False, has_spread: bool = False):
+                      soft: bool = False, has_spread: bool = False,
+                      qim_levels: int = 0):
     """Jitted corner embed: (imgs u8, table, pos (3,Ky,Kx) i32, [cjd, sjd],
     [cad, sad], alpha () f32) -> u8 stego.
 
@@ -479,7 +518,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         return jnp.concatenate(
             [packed.T, jnp.zeros((1, packed.shape[0]), jnp.int32)])
 
-    def fn(imgs, table, pos, cjd, sjd, cad, sad, alpha, *tabs):
+    def fn(imgs, table, pos, cjd, sjd, cad, sad, dq, qm, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
@@ -503,8 +542,13 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         mask = (pos < tbucket).astype(jnp.float32)
         ca = jnp.cos(alpha) if cad is None else cad
         sa = jnp.sin(alpha) if sad is None else sad
-        dr, di = corner.write_delta(cr, ci, sign, mask, ca, sa, cjd, sjd,
-                                    soft=soft)
+        if qim_levels:
+            dr, di = corner.write_delta_qim(cr, ci, sign, mask, qm, ca, sa,
+                                            dq, qim_levels, cjd, sjd,
+                                            soft=soft)
+        else:
+            dr, di = corner.write_delta(cr, ci, sign, mask, ca, sa, cjd, sjd,
+                                        soft=soft)
         t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
@@ -514,19 +558,9 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         return transfer.pack_u8(out) if pack else out
 
     # Positional maps arrive in corner_statics_core order:
-    # (pos, [cjd, sjd], [cad, sad]); absent maps become None.
-    base = fn
-    if has_jitter and has_spread:
-        pass
-    elif has_jitter:
-        fn = lambda imgs, table, pos, cjd, sjd, alpha, *tabs: base(  # noqa: E731
-            imgs, table, pos, cjd, sjd, None, None, alpha, *tabs)
-    elif has_spread:
-        fn = lambda imgs, table, pos, cad, sad, alpha, *tabs: base(  # noqa: E731
-            imgs, table, pos, None, None, cad, sad, alpha, *tabs)
-    else:
-        fn = lambda imgs, table, pos, alpha, *tabs: base(  # noqa: E731
-            imgs, table, pos, None, None, None, None, alpha, *tabs)
+    # (pos, [cjd, sjd], [cad, sad], [dq, qm]); absent maps become None.
+    pair_flags = (has_jitter, has_spread, qim_levels > 0)
+    fn = _maps_adapter(fn, 3, pair_flags)
     # DFT tables are runtime ARGUMENTS (uploaded once, shared by every
     # module), never closure constants — capturing a device array bakes it
     # into each compiled module via a host pull (spectral/corner.py).
@@ -536,7 +570,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         return lambda *args: jfn(*args, *tabs)
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4), _shardB(mesh, 2, axis=1), rep)
-    in_sh += (rep, rep) * (has_jitter + has_spread) + (rep,)
+    in_sh += (rep, rep) * sum(pair_flags) + (rep,)
     in_sh += (rep,) * len(tabs)
     # P("batch") with no trailing dims is rank-agnostic (pack=True -> rank 2)
     jfn = jax.jit(fn, in_shardings=in_sh,
@@ -547,10 +581,12 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 @functools.lru_cache(maxsize=32)
 def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                      mesh: Mesh | None = None, has_jitter: bool = False,
-                     layout: str = "nhwc"):
-    """Jitted corner analyze+read: (imgs u8, [cjd, sjd], alpha) -> dense
-    decoded bits (device-resident between the header and payload gather
-    passes — replaces the full c64 spectrum).
+                     layout: str = "nhwc", qim_levels: int = 0):
+    """Jitted corner analyze+read: (imgs u8, [cjd, sjd], [dq, qm], alpha) ->
+    dense decoded bits (device-resident between the header and payload
+    gather passes — replaces the full c64 spectrum). qim_levels > 0: payload
+    bins (qm mask) decode by the QIM nearest-coset rule
+    (spectral/corner.read_bits_dense_qim; Params.qim).
 
     Single-chip (mesh=None): output is BATCH-PACKED (ceil(B/32),3,Ky,Kx) i32
     — bit b%32 of word row b//32 is image b's decoded bit — so the slot
@@ -562,28 +598,30 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     prec = corner.precision()
     packed = mesh is None
 
-    def fn(imgs, cjd, sjd, alpha, *tabs):
+    def fn(imgs, cjd, sjd, dq, qm, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
             planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
-        bd = corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
-                                    cjd, sjd)
+        ssa = jnp.sign(jnp.sin(alpha))
+        if qim_levels:
+            bd = corner.read_bits_dense_qim(cr, ci, ssa, qm, dq, qim_levels,
+                                            cjd, sjd)
+        else:
+            bd = corner.read_bits_dense(cr, ci, ssa, cjd, sjd)
         return _pack_bd_batch(bd) if packed else bd
 
-    if not has_jitter:
-        base = fn
-        fn = lambda imgs, alpha, *tabs: base(  # noqa: E731
-            imgs, None, None, alpha, *tabs)
+    pair_flags = (has_jitter, qim_levels > 0)
+    fn = _maps_adapter(fn, 1, pair_flags)
     tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
     if mesh is None:
         jfn = jax.jit(fn)
         return lambda *args: jfn(*args, *tabs)
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4),)
-    in_sh += (rep, rep, rep) if has_jitter else (rep,)
+    in_sh += (rep, rep) * sum(pair_flags) + (rep,)
     in_sh += (rep,) * len(tabs)
     jfn = jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 4))
     return lambda *args: jfn(*args, *tabs)
@@ -605,7 +643,8 @@ def _pack_bd_batch(bd):
 @functools.lru_cache(maxsize=32)
 def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                               has_jitter: bool, layout: str,
-                              hdr_stream_bits: int, B: int):
+                              hdr_stream_bits: int, B: int,
+                              qim_levels: int = 0):
     """ONE-dispatch extract fast path (single chip): (imgs u8, [cjd, sjd],
     alpha, plane/y/x (n,)) -> (B, words) decoded i32 words.
 
@@ -627,24 +666,25 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             ecc.rep_decode(raw[hdr_stream_bits:], 7)))
         return jnp.concatenate(outs)
 
-    def fn(imgs, cjd, sjd, alpha, plane, y, x, *tabs):
+    def fn(imgs, cjd, sjd, dq, qm, alpha, plane, y, x, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
             planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
-        bd = corner.read_bits_dense(cr, ci, jnp.sign(jnp.sin(alpha)),
-                                    cjd, sjd)
+        ssa = jnp.sign(jnp.sin(alpha))
+        if qim_levels:
+            bd = corner.read_bits_dense_qim(cr, ci, ssa, qm, dq, qim_levels,
+                                            cjd, sjd)
+        else:
+            bd = corner.read_bits_dense(cr, ci, ssa, cjd, sjd)
         bdw = _pack_bd_batch(bd)
         raw_w = _bitcast(bdw[:, plane, y, x], jnp.uint32)   # (Bw, n)
         raw = _unpack_batch_words(raw_w, B)                 # (B, n) u8
         return jax.vmap(decode)(raw)
 
-    if not has_jitter:
-        base = fn
-        fn = lambda imgs, alpha, plane, y, x, *tabs: base(  # noqa: E731
-            imgs, None, None, alpha, plane, y, x, *tabs)
+    fn = _maps_adapter(fn, 1, (has_jitter, qim_levels > 0))
     tabs = corner.dft_tables_device(H, Ky, W, Kx, None)
     jfn = jax.jit(fn)
     return lambda *args: jfn(*args, *tabs)
@@ -676,10 +716,28 @@ def _piw_write_vals(vr, vi, s, cj, sj, ca, sa, soft: bool):
     return 2.0 * (mag * cos_t - vr), 2.0 * (mag * sin_t - vi)
 
 
+def _piw_qim_write_vals(vr, vi, s, dith, L: int):
+    """Per-bin dithered phase-QIM write values (Params.qim; pipeline/qim.py)
+    — the 1-D gathered-bin twin of spectral.corner.write_delta_qim's payload
+    branch. s: bit signs +-1. dith: per-bit dither angles. Returns the
+    pre-doubled Hermitian-half deltas."""
+    import math
+
+    mag = jnp.maximum(jnp.float32(1e-12), jnp.sqrt(vr * vr + vi * vi))
+    theta = jnp.arctan2(vi, vr)
+    delta = jnp.float32(2.0 * math.pi / L)
+    half_b = (s + 1.0) * 0.25
+    q = (theta - dith) / delta - half_b
+    th_q = dith + (jnp.round(q) + half_b) * delta
+    return (2.0 * (mag * jnp.cos(th_q) - vr),
+            2.0 * (mag * jnp.sin(th_q) - vi))
+
+
 @functools.lru_cache(maxsize=32)
 def corner_soft_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                              has_jitter: bool, layout: str,
-                             hdr_stream_bits: int, per_image: bool = False):
+                             hdr_stream_bits: int, per_image: bool = False,
+                             qim_levels: int = 0):
     """Soft-decision extract pass (the AEAD-failure recovery fallback,
     pipeline/batch.py): ONE module computing the corner spectrum, gathering
     per-bin DECISION VALUES d = sign(sin a)*(Im*cos(jd) - Re*sin(jd))
@@ -707,19 +765,24 @@ def corner_soft_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             ecc.rep_decode_soft(d[hdr_stream_bits:], 7)))
         return jnp.concatenate(outs)
 
-    def shared_fn(imgs, cjd, sjd, alpha, plane, y, x, *tabs):
+    def shared_fn(imgs, cjd, sjd, dq, qm, alpha, plane, y, x, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
             planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
-        dd = ci if cjd is None else ci * cjd - cr * sjd
-        dd = dd * jnp.sign(jnp.sin(alpha))
+        ssa = jnp.sign(jnp.sin(alpha))
+        if qim_levels:
+            dd = corner.decision_values_dense_qim(cr, ci, ssa, qm, dq,
+                                                  qim_levels, cjd, sjd)
+        else:
+            dd = ci if cjd is None else ci * cjd - cr * sjd
+            dd = dd * ssa
         d = dd[:, plane, y, x]                      # (B, n)
         return jax.vmap(decode_soft)(d)
 
-    def piw_fn(imgs, plane, y, x, jit, alpha, *tabs):
+    def piw_fn(imgs, plane, y, x, jit, dith, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
@@ -732,17 +795,27 @@ def corner_soft_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             vr = crb[pl, yy, xx]
             vi = cib[pl, yy, xx]
             d = (vi * jnp.cos(jt) - vr * jnp.sin(jt)) * ssa
+            if qim_levels:
+                # payload slots (>= hdr_stream_bits) decode by the QIM rule
+                # with the shared slot-aligned dither (pipeline/qim.py)
+                mag = jnp.maximum(jnp.float32(1e-12),
+                                  jnp.sqrt(vr * vr + vi * vi))
+                dqv = -jnp.cos(
+                    qim_levels * (jnp.arctan2(vi, vr) - dith)) * mag
+                pay = jnp.arange(d.shape[0]) >= hdr_stream_bits
+                d = jnp.where(pay, dqv, d)
             return decode_soft(d)
 
-        return jax.vmap(per)(cr, ci, plane, y, x, jit)
+        return jax.vmap(per, in_axes=(0, 0, 0, 0, 0, 0))(
+            cr, ci, plane, y, x, jit)
 
     if per_image:
         fn = piw_fn
-    elif has_jitter:
-        fn = shared_fn
+        if not qim_levels:
+            fn = lambda imgs, plane, y, x, jit, alpha, *tabs: piw_fn(  # noqa: E731
+                imgs, plane, y, x, jit, jit, alpha, *tabs)
     else:
-        fn = lambda imgs, alpha, plane, y, x, *tabs: shared_fn(  # noqa: E731
-            imgs, None, None, alpha, plane, y, x, *tabs)
+        fn = _maps_adapter(shared_fn, 1, (has_jitter, qim_levels > 0))
     tabs = corner.dft_tables_device(H, Ky, W, Kx, None)
     jfn = jax.jit(fn)
     return lambda *args: jfn(*args, *tabs)
@@ -752,7 +825,8 @@ def corner_soft_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                           mesh: Mesh | None = None, pack: bool = False,
                           layout: str = "nhwc", soft: bool = False,
-                          spread: bool = False):
+                          spread: bool = False, qim_levels: int = 0,
+                          qim_hdr: int = 0):
     """Per-image-walk corner embed (ONE dispatched module): (imgs u8,
     plane/y/x (B, n) i32, bits_words (B, n/32) i32, jitters (B, n) f32,
     [nbits_per (B,) i32 when spread,] alpha () f32 — or (n,) when spread)
@@ -774,7 +848,7 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 
     prec = corner.precision()
 
-    def per_image(crb, cib, pl, yy, xx, btw, jt, nb, alpha):
+    def per_image(crb, cib, pl, yy, xx, btw, jt, nb, dith, alpha):
         n = jt.shape[0]
         bt = _unpack_bits_words(btw, n=n)
         s = bt.astype(jnp.float32) * 2.0 - 1.0
@@ -786,6 +860,17 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             a = alpha
         dr_v, di_v = _piw_write_vals(vr, vi, s, jnp.cos(jt), jnp.sin(jt),
                                      jnp.cos(a), jnp.sin(a), soft)
+        if qim_levels:
+            # payload slots (>= qim_hdr) take the dithered QIM write with
+            # the shared slot-aligned dither (pipeline/qim.py); header slots
+            # keep the hard/soft values above. The dither is clamped to the
+            # image's last REAL slot (nb - 1) so the tail-pad duplicates
+            # scatter identical values (same invariant as `a` under spread).
+            d_i = dith[jnp.minimum(jnp.arange(n), nb - 1)]
+            dr_q, di_q = _piw_qim_write_vals(vr, vi, s, d_i, qim_levels)
+            pay = jnp.arange(n) >= qim_hdr
+            dr_v = jnp.where(pay, dr_q, dr_v)
+            di_v = jnp.where(pay, di_q, di_v)
         idx = (pl, yy, xx)
         dr = jnp.zeros((3, Ky, Kx), jnp.float32).at[idx].set(
             dr_v, mode="promise_in_bounds")
@@ -793,15 +878,15 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             di_v, mode="promise_in_bounds")
         return dr, di
 
-    def fn(imgs, plane, y, x, bits_w, jit, nbits_per, alpha, *tabs):
+    def fn(imgs, plane, y, x, bits_w, jit, nbits_per, dith, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
             planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
-        dr, di = jax.vmap(per_image, in_axes=(0,) * 8 + (None,))(
-            cr, ci, plane, y, x, bits_w, jit, nbits_per, alpha)
+        dr, di = jax.vmap(per_image, in_axes=(0,) * 8 + (None, None))(
+            cr, ci, plane, y, x, bits_w, jit, nbits_per, dith, alpha)
         t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
@@ -810,19 +895,29 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             out = jnp.transpose(out, (0, 2, 3, 1))
         return transfer.pack_u8(out) if pack else out
 
-    if not spread:
-        base = fn
+    base = fn
+    if qim_levels:
+        # qim always takes nbits_per (the dither clamp needs each image's
+        # real frame length): (imgs, plane, y, x, bits_w, jit, nbits_per,
+        # dith, alpha) — the full base signature, spread or not.
+        pass
+    elif spread:
+        fn = lambda imgs, plane, y, x, bits_w, jit, nbits_per, alpha, *tabs: base(  # noqa: E731
+            imgs, plane, y, x, bits_w, jit, nbits_per, jit[0], alpha, *tabs)
+    else:
         fn = lambda imgs, plane, y, x, bits_w, jit, alpha, *tabs: base(  # noqa: E731
             imgs, plane, y, x, bits_w, jit,
-            jnp.zeros(plane.shape[0], jnp.int32), alpha, *tabs)
+            jnp.zeros(plane.shape[0], jnp.int32), jit[0], alpha, *tabs)
     tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
     if mesh is None:
         jfn = jax.jit(fn)
         return lambda *args: jfn(*args, *tabs)
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4),) + (_shardB(mesh, 2),) * 5
-    if spread:
-        in_sh += (_shardB(mesh, 1),)
+    if spread or qim_levels:
+        in_sh += (_shardB(mesh, 1),)   # nbits_per
+    if qim_levels:
+        in_sh += (rep,)                # dith (slot-aligned, replicated)
     in_sh += (rep,) + (rep,) * len(tabs)
     jfn = jax.jit(fn, in_shardings=in_sh,
                   out_shardings=NamedSharding(mesh, P("batch")))
@@ -832,7 +927,8 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 @functools.lru_cache(maxsize=32)
 def corner_piw_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                             layout: str, hdr_stream_bits: int,
-                            mesh: Mesh | None = None):
+                            mesh: Mesh | None = None, qim_levels: int = 0,
+                            qim_hdr: int = 0):
     """Per-image-walk corner extract (ONE dispatched module): (imgs u8,
     plane/y/x (B, n) i32, jitters (B, n) f32, alpha () f32) -> (B, words)
     decoded i32 words (same contract as corner_extract_fused_core).
@@ -845,11 +941,17 @@ def corner_piw_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 
     prec = corner.precision()
 
-    def per_image(crb, cib, pl, yy, xx, jt, ssa):
+    def per_image(crb, cib, pl, yy, xx, jt, dith, ssa):
         vr = crb[pl, yy, xx]
         vi = cib[pl, yy, xx]
         d = vi * jnp.cos(jt) - vr * jnp.sin(jt)
         raw = (d * ssa >= 0).astype(jnp.uint8)
+        if qim_levels:
+            mag = jnp.maximum(jnp.float32(1e-12),
+                              jnp.sqrt(vr * vr + vi * vi))
+            dqv = -jnp.cos(qim_levels * (jnp.arctan2(vi, vr) - dith)) * mag
+            pay = jnp.arange(raw.shape[0]) >= qim_hdr
+            raw = jnp.where(pay, (dqv >= 0).astype(jnp.uint8), raw)
         outs = []
         if hdr_stream_bits:
             outs.append(_pack_bits_words(
@@ -858,7 +960,7 @@ def corner_piw_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             ecc.rep_decode(raw[hdr_stream_bits:], 7)))
         return jnp.concatenate(outs)
 
-    def fn(imgs, plane, y, x, jit, alpha, *tabs):
+    def fn(imgs, plane, y, x, jit, dith, alpha, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
         else:
@@ -866,15 +968,22 @@ def corner_piw_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
         ssa = jnp.sign(jnp.sin(alpha))
-        return jax.vmap(per_image, in_axes=(0, 0, 0, 0, 0, 0, None))(
-            cr, ci, plane, y, x, jit, ssa)
+        return jax.vmap(per_image, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            cr, ci, plane, y, x, jit, dith, ssa)
 
+    if not qim_levels:
+        base = fn
+        fn = lambda imgs, plane, y, x, jit, alpha, *tabs: base(  # noqa: E731
+            imgs, plane, y, x, jit, jit[0], alpha, *tabs)
     tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
     if mesh is None:
         jfn = jax.jit(fn)
         return lambda *args: jfn(*args, *tabs)
     rep = _rep(mesh)
-    in_sh = (_shardB(mesh, 4),) + (_shardB(mesh, 2),) * 4 + (rep,)
+    in_sh = (_shardB(mesh, 4),) + (_shardB(mesh, 2),) * 4
+    if qim_levels:
+        in_sh += (rep,)
+    in_sh += (rep,)
     in_sh += (rep,) * len(tabs)
     jfn = jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 2))
     return lambda *args: jfn(*args, *tabs)

@@ -36,6 +36,7 @@ from steganosaurus_tpu.ops import ecc
 from steganosaurus_tpu.parallel import batch as pbatch
 from steganosaurus_tpu.parallel import transfer
 from steganosaurus_tpu.pipeline import header as header_mod
+from steganosaurus_tpu.pipeline import qim as qim_mod
 from steganosaurus_tpu.pipeline import spread as spread_mod
 from steganosaurus_tpu.pipeline.errors import StegoError
 from steganosaurus_tpu.pipeline.header import Header
@@ -125,48 +126,77 @@ _CORNER_STATICS_CACHE: "OrderedDict[tuple, tuple]" = __import__(
 
 
 def _corner_statics_device(password, master_key, params, PH, PW, nbits,
-                           bucket, Ky, Kx, mesh):
-    """((pos, [cjd, sjd], [cad, sad]) device maps, nprod) for the walk's
-    first `bucket` slots (see parallel.batch.corner_statics_core). The
-    amplitude maps cad/sad appear when params.alpha_spread != 0
-    (pipeline/spread.py); read-side consumers index cjd/sjd positionally —
-    the order is fixed as (pos, [cjd, sjd], [cad, sad])."""
+                           bucket, Ky, Kx, mesh, qim_levels: int | None = None):
+    """((pos, [cjd, sjd], [cad, sad], [dq, qm]) device maps, nprod) for the
+    walk's first `bucket` slots (see parallel.batch.corner_statics_core).
+    The amplitude maps cad/sad appear when params.alpha_spread != 0
+    (pipeline/spread.py); the QIM dither/payload-mask maps dq/qm when the
+    effective QIM level is nonzero (params.qim, overridable per call via
+    `qim_levels` — extraction auto-detects L from headers and may need maps
+    for a level other than the params'). Read-side consumers select pairs
+    positionally via _read_maps — the order is fixed as
+    (pos, [cjd, sjd], [cad, sad], [dq, qm])."""
     path_key = crypto.derive_path_key(password, master_key, None)
     has_jitter = params.jitter != 0.0
     has_spread = params.alpha_spread != 0.0
+    L = params.qim if qim_levels is None else qim_levels
     # nbits is part of the key: the walk arrays' tail padding in
     # [nbits, bucket) depends on it (repeats bin nbits-1). alpha joins the
     # key only under spread (the amplitude maps bake cos/sin(alpha_i)).
     key = (path_key, PH, PW, params.rmin, params.rmax, params.density,
            params.jitter, nbits, bucket, Ky, Kx, mesh,
-           (params.alpha, params.alpha_spread) if has_spread else None)
+           (params.alpha, params.alpha_spread) if has_spread else None, L)
     ent = _CORNER_STATICS_CACHE.get(key)
     if ent is None:
         import jax
 
-        (plane, y, x, jit), nprod = _walk_indices_device(
-            password, master_key, params, PH, PW, nbits, 0, bucket, mesh)
-        build = pbatch.corner_statics_core(Ky, Kx, bucket, has_jitter, mesh,
-                                           has_spread=has_spread)
-        args = (plane, y, x, jit)
-        if has_spread:
-            al = spread_mod.spread_alphas(path_key, params, nbits)
-            al = np.concatenate(
-                [al, np.repeat(al[nbits - 1], bucket - nbits)]).astype(
+        def pad_put(a):
+            a = np.concatenate(
+                [a, np.repeat(a[nbits - 1], bucket - nbits)]).astype(
                 np.float32)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                al_d = jax.device_put(al, NamedSharding(mesh, P()))
-            else:
-                al_d = jax.device_put(al)
-            args = args + (al_d,)
+                return jax.device_put(a, NamedSharding(mesh, P()))
+            return jax.device_put(a)
+
+        (plane, y, x, jit), nprod = _walk_indices_device(
+            password, master_key, params, PH, PW, nbits, 0, bucket, mesh)
+        build = pbatch.corner_statics_core(
+            Ky, Kx, bucket, has_jitter, mesh, has_spread=has_spread,
+            qim_hdr=_HEADER_STREAM_BITS if L else 0)
+        args = (plane, y, x, jit)
+        if has_spread:
+            args = args + (pad_put(
+                spread_mod.spread_alphas(path_key, params, nbits)),)
+        if L:
+            args = args + (pad_put(
+                qim_mod.dither_angles(path_key, L, nbits)),)
         ent = (build(*args), nprod)
         _CORNER_STATICS_CACHE[key] = ent
     _CORNER_STATICS_CACHE.move_to_end(key)
     while len(_CORNER_STATICS_CACHE) > _DEV_IDX_MAX:
         _CORNER_STATICS_CACHE.popitem(last=False)
     return ent
+
+
+def _read_maps(maps, params, qim_levels: int | None = None):
+    """Select the read-side static map pairs from a _corner_statics_device
+    tuple: ([cjd, sjd] when jitter, [dq, qm] when QIM) — skipping the
+    embed-only amplitude pair. This is what corner_bits_core /
+    corner_extract_fused_core / corner_soft_extract_core(shared) take
+    between the image and alpha arguments."""
+    L = params.qim if qim_levels is None else qim_levels
+    out = ()
+    i = 1
+    if params.jitter != 0.0:
+        out += (maps[i], maps[i + 1])
+        i += 2
+    if params.alpha_spread != 0.0:
+        i += 2
+    if L:
+        out += (maps[i], maps[i + 1])
+    return out
 
 
 # Prefetched per-image payload walks (per-image-walk streams): keyed by
@@ -388,6 +418,9 @@ def embed_batch(
     # Host crypto per image -> header||ct||tag streams (ECC expansion happens
     # on device on the corner path; host-side only on the legacy path)
     flags = header_mod.FLAG_PER_IMAGE_WALK if params.per_image_walk else 0
+    if params.qim:
+        qim_mod.validate(params)
+        flags = header_mod.flags_with_qim(flags, params.qim)
     streams = []
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
@@ -467,17 +500,27 @@ def embed_batch(
                                               pack=not device_resident,
                                               layout=layout,
                                               soft=params.soft_write,
-                                              spread=has_spread)
-            if has_spread:
-                path_key = crypto.derive_path_key(password, master_key, None)
-                al = jnp.asarray(
-                    spread_mod.spread_alphas(path_key, params, bucket))
+                                              spread=has_spread,
+                                              qim_levels=params.qim,
+                                              qim_hdr=(_HEADER_STREAM_BITS
+                                                       if params.qim else 0))
+            need_nb = has_spread or params.qim
+            path_key = crypto.derive_path_key(password, master_key, None)
+            args = (imgs_d, plane, y, x, bits_w, jit)
+            if need_nb:
                 nb_per = np.asarray(frame_lens, np.int32)
                 if mesh is not None:
                     nb_per = pbatch.shard_batch(nb_per, mesh)
-                out = fn(imgs_d, plane, y, x, bits_w, jit, nb_per, al)
+                args = args + (nb_per,)
+            if params.qim:
+                args = args + (jnp.asarray(qim_mod.dither_angles(
+                    path_key, params.qim, bucket)),)
+            if has_spread:
+                al = jnp.asarray(
+                    spread_mod.spread_alphas(path_key, params, bucket))
+                out = fn(*args, al)
             else:
-                out = fn(imgs_d, plane, y, x, bits_w, jit, alpha)
+                out = fn(*args, alpha)
     elif not params.adaptive_alpha:
         # Corner fast path: pruned-DFT matmuls + dense phase write, no
         # scatter, no full-grid FFT (spectral/corner.py). Adaptive alpha
@@ -501,7 +544,8 @@ def embed_batch(
                                           stream_bytes=len(streams[0]),
                                           bucket=bucket,
                                           soft=params.soft_write,
-                                          has_spread=has_spread)
+                                          has_spread=has_spread,
+                                          qim_levels=params.qim)
             out = fn(imgs_d, words, *maps, alpha)
         else:
             if len(set(frame_lens)) == 1:
@@ -522,7 +566,8 @@ def embed_batch(
                                           pack=not device_resident,
                                           layout=layout,
                                           soft=params.soft_write,
-                                          has_spread=has_spread)
+                                          has_spread=has_spread,
+                                          qim_levels=params.qim)
             out = fn(imgs_d, table, *maps, alpha)
     else:
         if has_spread:
@@ -639,13 +684,14 @@ def channel_report(
     PH, PW = spectral.fft_dims(H, W)
 
     frames, frame_lens = [], []
+    flags = (header_mod.flags_with_qim(0, params.qim) if params.qim else 0)
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
         else:
             km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
         hdr_bytes = Header(salt=km.salt, nonce=km.nonce,
-                           clen=len(secret)).to_bytes()
+                           clen=len(secret), flags=flags).to_bytes()
         ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
         h = ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))
         p_ = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
@@ -669,15 +715,16 @@ def channel_report(
     Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
     has_jitter = params.jitter != 0.0
     bits_fn = pbatch.corner_bits_core(H, W, Ky, Kx, params.center, mesh,
-                                      has_jitter, layout=layout)
+                                      has_jitter, layout=layout,
+                                      qim_levels=params.qim)
     alpha = jnp.float32(params.alpha)
-    if has_jitter:
+    if has_jitter or params.qim:
         # (nmax, bucket) — the same statics key the embed side used, so the
         # report reuses the embed's cached maps instead of building a second
         # functionally-identical pair.
         maps, _ = _corner_statics_device(password, master_key, params, PH,
                                          PW, nmax, bucket, Ky, Kx, mesh)
-        bd = bits_fn(stego_d, maps[1], maps[2], alpha)
+        bd = bits_fn(stego_d, *_read_maps(maps, params), alpha)
     else:
         bd = bits_fn(stego_d, alpha)
     raw_fn = pbatch.corner_gather_raw_core(mesh,
@@ -750,6 +797,15 @@ class _ExtractJob:
 
         alpha = jnp.float32(params.alpha)
         self._alpha = alpha
+        # Assumed QIM level for the speculative fused pass (pipeline/qim.py):
+        # headers always decode (they are never QIM-written), and images
+        # whose header-carried L differs from the assumption get a corrected
+        # payload pass in finalize — a wrong assumption never misdecodes.
+        self._qim = params.qim
+        if params.qim:
+            from steganosaurus_tpu.pipeline import qim as _qim_mod
+
+            _qim_mod.validate(params)
         self._use_corner = not params.adaptive_alpha
         if self._use_corner:
             from steganosaurus_tpu.spectral import corner as corner_mod
@@ -757,11 +813,7 @@ class _ExtractJob:
             Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
             self._corner_kk = (Ky, Kx)
             self._has_jitter = params.jitter != 0.0
-            if mesh is not None:
-                self._bits_fn = pbatch.corner_bits_core(
-                    H, W, Ky, Kx, params.center, mesh, self._has_jitter,
-                    layout=layout)
-            self._bd_cache: dict[int, object] = {}
+            self._bd_cache: dict[object, object] = {}
         else:
             analyze = pbatch.batched_analyze_core(
                 H, W, params.center, mesh, adaptive=params.adaptive_alpha)
@@ -781,31 +833,41 @@ class _ExtractJob:
         # payload section is empty and the second pass always runs.
         self._words_d = self._dispatch_pass(self._hint_bits, True)
 
-    def _bit_dense_for(self, nbits: int, bucket: int):
-        """Dense decoded-bit corner. jitter==0: independent of read length
-        (one FFT per batch). jitter!=0: the static jd maps must cover every
-        read slot, so a longer second pass re-analyzes."""
+    def _bit_dense_for(self, nbits: int, bucket: int, L: int):
+        """Dense decoded-bit corner (mesh path) under QIM level L. With no
+        jitter and no QIM the result is independent of the read length (one
+        FFT per batch); static jd/dither maps must cover every read slot, so
+        a longer second pass re-analyzes."""
         password, master_key = self._key
         PH, PW = self._dims
-        key = 0 if not self._has_jitter else (nbits, bucket)
+        H, W = self._HW
+        Ky, Kx = self._corner_kk
+        has_maps = self._has_jitter or L
+        key = 0 if not has_maps else (nbits, bucket, L)
         bd = self._bd_cache.get(key)
         if bd is None:
-            if self._has_jitter:
-                Ky, Kx = self._corner_kk
+            bits_fn = pbatch.corner_bits_core(
+                H, W, Ky, Kx, self._params.center, self._mesh,
+                self._has_jitter, layout=self._layout, qim_levels=L)
+            if has_maps:
                 maps, _ = _corner_statics_device(
                     password, master_key, self._params, PH, PW, nbits,
-                    bucket, Ky, Kx, self._mesh)
-                bd = self._bits_fn(self._imgs_d, maps[1], maps[2], self._alpha)
+                    bucket, Ky, Kx, self._mesh, qim_levels=L)
+                bd = bits_fn(self._imgs_d,
+                             *_read_maps(maps, self._params, L), self._alpha)
             else:
-                bd = self._bits_fn(self._imgs_d, self._alpha)
+                bd = bits_fn(self._imgs_d, self._alpha)
             self._bd_cache[key] = bd
         return bd
 
-    def _dispatch_pass(self, payload_stream_bits: int, with_header: bool):
+    def _dispatch_pass(self, payload_stream_bits: int, with_header: bool,
+                       qim: int | None = None):
         """Dispatch gather + device-ECC-decode for one pass; returns the
         (B, words) DEVICE array (not pulled). Bits past walk exhaustion are
         garbage (last-bin re-reads) — consumers only use bytes their
-        authenticated clen covers, or fail AEAD.
+        authenticated clen covers, or fail AEAD. `qim` is the QIM level the
+        payload section decodes under (default: the assumed self._qim; the
+        header section always decodes by the hard rule).
 
         The TOTAL frame length (header + payload stream bits) is bucketed to
         a 4096 multiple and the walk/statics cached as (nbits=total,
@@ -816,12 +878,14 @@ class _ExtractJob:
         of building per side."""
         password, master_key = self._key
         PH, PW = self._dims
+        L = self._qim if qim is None else qim
         hdr = _HEADER_STREAM_BITS
         if payload_stream_bits:
             total = hdr + payload_stream_bits
             bucket_total = -(-total // 4096) * 4096
         else:  # header-only probe (no hint): 912 slots, no rounding
             total = bucket_total = hdr
+            L = 0  # header decoding never involves QIM
         hdr_bits = hdr if with_header else 0
         skip = 0 if with_header else hdr
         if with_header:
@@ -841,18 +905,20 @@ class _ExtractJob:
             Ky, Kx = self._corner_kk
             core = pbatch.corner_extract_fused_core(
                 H, W, Ky, Kx, self._params.center, self._has_jitter,
-                self._layout, hdr_bits, self.B)
-            if self._has_jitter:
+                self._layout, hdr_bits, self.B, qim_levels=L)
+            if self._has_jitter or L:
                 maps, _ = _corner_statics_device(
                     password, master_key, self._params, PH, PW, total,
-                    bucket_total, Ky, Kx, None)
-                return core(self._imgs_d, maps[1], maps[2], self._alpha,
-                            pl, yy, xx)
+                    bucket_total, Ky, Kx, None, qim_levels=L)
+                return core(self._imgs_d,
+                            *_read_maps(maps, self._params, L),
+                            self._alpha, pl, yy, xx)
             return core(self._imgs_d, self._alpha, pl, yy, xx)
         if self._use_corner:
             core = pbatch.corner_gather_decode_core(
                 self._mesh, hdr_stream_bits=hdr_bits)
-            return core(self._bit_dense_for(total, bucket_total), pl, yy, xx)
+            return core(self._bit_dense_for(total, bucket_total, L),
+                        pl, yy, xx)
         core = pbatch.batched_gather_decode_core(
             self._params.adaptive_alpha, self._mesh, hdr_stream_bits=hdr_bits)
         return core(self._spec, self._med, pl, yy, xx, jj, self._alpha)
@@ -862,15 +928,17 @@ class _ExtractJob:
         words = np.asarray(words_d)  # the blocking device pull
         return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
 
-    def _dispatch_piw_pass(self, idxs: list[int],
-                           headers: list) -> list[bytes]:
+    def _dispatch_piw_pass(self, idxs: list[int], headers: list,
+                           qim: int = 0) -> list[bytes]:
         """Per-image-walk payload pass for the header-flagged images
         (pipeline/header.py FLAG_PER_IMAGE_WALK, auto-detected in
         finalize): salt-keyed chained walks expanded on a thread pool from
         each image's decoded header salt, then ONE fused
         corner-FFT + per-image gather + ECC-decode module
-        (parallel.batch.corner_piw_extract_core). Returns payload byte
-        buffers aligned with `idxs`."""
+        (parallel.batch.corner_piw_extract_core). `qim` is the group's
+        header-carried QIM level (payload slots decode by the QIM rule with
+        the shared slot-aligned dither). Returns payload byte buffers
+        aligned with `idxs`."""
         from concurrent.futures import ThreadPoolExecutor
 
         password, master_key = self._key
@@ -923,8 +991,18 @@ class _ExtractJob:
                          and len(idxs) == self.B
                          and self.B % self._mesh.size == 0 else None)
             core = pbatch.corner_piw_extract_core(
-                H, W, Ky, Kx, params.center, self._layout, 0, core_mesh)
-            words = core(imgs_sub, plane, yarr, xarr, jarr, self._alpha)
+                H, W, Ky, Kx, params.center, self._layout, 0, core_mesh,
+                qim_levels=qim, qim_hdr=0)
+            if qim:
+                # payload-only slots: frame slot of payload bit k is
+                # hdr + k, so slice the slot-aligned dither (pipeline/qim.py)
+                dith = qim_mod.dither_angles(
+                    path_key, qim, _HEADER_STREAM_BITS + n)[
+                    _HEADER_STREAM_BITS:]
+                words = core(imgs_sub, plane, yarr, xarr, jarr,
+                             jnp.asarray(dith), self._alpha)
+            else:
+                words = core(imgs_sub, plane, yarr, xarr, jarr, self._alpha)
         else:
             core = pbatch.batched_gather_decode_core(
                 params.adaptive_alpha, None, hdr_stream_bits=0,
@@ -949,34 +1027,49 @@ class _ExtractJob:
             hb = buf[:header_mod.FIXED_LEN]
             if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
                 headers.append(None)
+            elif header_mod.qim_levels(hb[5]) == 1:
+                headers.append(None)   # invalid QIM level: corrupt header
             else:
                 headers.append(Header.from_bytes(hb))
         piw_idx = [i for i, h in enumerate(headers) if h is not None
                    and (h.flags & header_mod.FLAG_PER_IMAGE_WALK)]
-        shared_clens = [h.clen for i, h in enumerate(headers)
-                        if h is not None and i not in set(piw_idx)]
-        if not shared_clens and not piw_idx:
+        piw_set = set(piw_idx)
+        # Shared-walk images grouped by their header-carried QIM level
+        # (pipeline/qim.py; usually one group — homogeneous batches).
+        shared_by_L: dict[int, list[int]] = {}
+        for i, h in enumerate(headers):
+            if h is not None and i not in piw_set:
+                shared_by_L.setdefault(header_mod.qim_levels(h.flags),
+                                       []).append(i)
+        if not shared_by_L and not piw_idx:
             self._result = [None] * self.B
             return self._result
         payloads: list[bytes | None] = [None] * self.B
-        if shared_clens:
-            need = min((max(shared_clens) + 16) * 8 * 7, self._cap_bits)
-            if need <= self._covered_payload_bits:
-                # payload bytes follow the 40-byte header block in the
-                # fused bufs
-                shared_payloads = [buf[40:] for buf in bufs]
-            else:  # hint too small (or absent): payload-only second pass
-                shared_payloads = self._to_bufs(
-                    self._dispatch_pass(need, False))
-            for i in range(self.B):
-                payloads[i] = shared_payloads[i]
+        for L, idxs in shared_by_L.items():
+            need = min((max(headers[i].clen for i in idxs) + 16) * 8 * 7,
+                       self._cap_bits)
+            if L == self._qim and need <= self._covered_payload_bits:
+                # the fused pass already decoded this group's payload rule:
+                # payload bytes follow the 40-byte header block
+                for i in idxs:
+                    payloads[i] = bufs[i][40:]
+            else:  # hint too small/absent, or the assumed QIM level was
+                #    wrong for this group: payload-only corrected pass
+                grp = self._to_bufs(self._dispatch_pass(need, False, qim=L))
+                for i in idxs:
+                    payloads[i] = grp[i]
         if piw_idx:
             # header-flagged images: salt-keyed per-image payload walks
             # (auto-detected; the fused pass's shared-walk payload section
-            # does not apply to them)
-            for i, buf in zip(piw_idx,
-                              self._dispatch_piw_pass(piw_idx, headers)):
-                payloads[i] = buf
+            # does not apply to them), grouped by QIM level
+            piw_by_L: dict[int, list[int]] = {}
+            for i in piw_idx:
+                piw_by_L.setdefault(header_mod.qim_levels(headers[i].flags),
+                                    []).append(i)
+            for L, idxs in piw_by_L.items():
+                for i, buf in zip(idxs,
+                                  self._dispatch_piw_pass(idxs, headers, L)):
+                    payloads[i] = buf
 
         out: list[bytes | None] = []
         for i, hdr in enumerate(headers):
@@ -1039,35 +1132,44 @@ class _ExtractJob:
                                         params.pbkdf2_iter)
             return crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag)
 
-        if shared:
-            need = min(max((headers[i].clen + 16) * 8 * 7 for i in shared),
+        path_key = crypto.derive_path_key(password, master_key, None)
+        shared_by_L: dict[int, list[int]] = {}
+        for i in shared:
+            shared_by_L.setdefault(header_mod.qim_levels(headers[i].flags),
+                                   []).append(i)
+        for L, grp in shared_by_L.items():
+            need = min(max((headers[i].clen + 16) * 8 * 7 for i in grp),
                        self._cap_bits)
             total = hdr_n + need
             bucket_total = -(-total // 4096) * 4096
             (pl, yy, xx, _jj), _ = _walk_indices_device(
                 password, master_key, params, PH, PW, total, 0,
                 bucket_total, None)
-            sel, _nreal = _bucket_sel(shared, self.B)
+            sel, _nreal = _bucket_sel(grp, self.B)
             imgs_sub = (self._imgs_d[sel] if sel.size != self.B
                         else self._imgs_d)
             core = pbatch.corner_soft_extract_core(
                 H, W, Ky, Kx, params.center, self._has_jitter, self._layout,
-                hdr_n)
-            if self._has_jitter:
+                hdr_n, qim_levels=L)
+            if self._has_jitter or L:
                 maps, _ = _corner_statics_device(
                     password, master_key, params, PH, PW, total,
-                    bucket_total, Ky, Kx, None)
-                words = core(imgs_sub, maps[1], maps[2], self._alpha,
-                             pl, yy, xx)
+                    bucket_total, Ky, Kx, None, qim_levels=L)
+                words = core(imgs_sub, *_read_maps(maps, params, L),
+                             self._alpha, pl, yy, xx)
             else:
                 words = core(imgs_sub, self._alpha, pl, yy, xx)
             bufs = self._to_bufs(words)
-            for k, i in enumerate(shared):
+            for k, i in enumerate(grp):
                 got = open_from(bufs[k])
                 if got is not None:
                     out[i] = got
-        if piw:
-            sel, _nreal = _bucket_sel(piw, self.B)
+        piw_by_L: dict[int, list[int]] = {}
+        for i in piw:
+            piw_by_L.setdefault(header_mod.qim_levels(headers[i].flags),
+                                []).append(i)
+        for L, grp in piw_by_L.items():
+            sel, _nreal = _bucket_sel(grp, self.B)
             padded = [int(i) for i in sel]
             needs = [hdr_n + min((headers[i].clen + 16) * 8 * 7,
                                  self._cap_bits) for i in padded]
@@ -1080,10 +1182,15 @@ class _ExtractJob:
                         else self._imgs_d)
             core = pbatch.corner_soft_extract_core(
                 H, W, Ky, Kx, params.center, False, self._layout, hdr_n,
-                per_image=True)
-            words = core(imgs_sub, plane, yarr, xarr, jarr, self._alpha)
+                per_image=True, qim_levels=L)
+            if L:
+                dith = qim_mod.dither_angles(path_key, L, bucket_total)
+                words = core(imgs_sub, plane, yarr, xarr, jarr,
+                             jnp.asarray(dith), self._alpha)
+            else:
+                words = core(imgs_sub, plane, yarr, xarr, jarr, self._alpha)
             bufs = self._to_bufs(words)
-            for k, i in enumerate(piw):
+            for k, i in enumerate(grp):
                 got = open_from(bufs[k])
                 if got is not None:
                     out[i] = got

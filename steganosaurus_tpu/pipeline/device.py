@@ -72,16 +72,31 @@ def _bucket_pad(arrs, n):
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_embed_apply(H, W, center, adaptive, soft=False):
+def _jit_embed_apply(H, W, center, adaptive, soft=False, qim_levels=0,
+                     hdr_bits=0):
     PH, PW = spectral.fft_dims(H, W)
     gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
 
     @jax.jit
-    def apply_fn(spec, med, plane, y, x, bits, jitters, alpha):
-        spec2 = phase_ops.embed_phases(
-            spec, plane, y, x, bits, jitters, alpha, med, adaptive, gain=gain,
-            soft=soft
-        )
+    def apply_fn(spec, med, plane, y, x, bits, jitters, alpha, dithers=None):
+        if qim_levels:
+            # Header slots [0, hdr_bits) keep the reference hard/soft write
+            # (the header must decode before any mode is known); payload
+            # slots take the dithered QIM write (pipeline/qim.py).
+            h = slice(0, hdr_bits)
+            p = slice(hdr_bits, None)
+            a_h = alpha[h] if jnp.ndim(alpha) else alpha  # per-bit spread
+            spec2 = phase_ops.embed_phases(
+                spec, plane[h], y[h], x[h], bits[h], jitters[h], a_h, med,
+                adaptive, gain=gain, soft=soft)
+            spec2 = phase_ops.embed_phases_qim(
+                spec2, plane[p], y[p], x[p], bits[p], dithers[p], qim_levels,
+                gain=gain)
+        else:
+            spec2 = phase_ops.embed_phases(
+                spec, plane, y, x, bits, jitters, alpha, med, adaptive,
+                gain=gain, soft=soft
+            )
         planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
         planes2 = spectral.apply_center(planes2, center)
         # pack: raw u8 device->host is pathologically slow on the tunneled
@@ -113,6 +128,19 @@ def _jit_read_values(adaptive):
     return read_fn
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_read_qim(L, values: bool):
+    @jax.jit
+    def read_fn(spec, plane, y, x, dithers):
+        if values:
+            return phase_ops.read_values_qim(
+                spec, plane, y, x, dithers, L).astype(jnp.float32)
+        return phase_ops.read_phases_qim(
+            spec, plane, y, x, dithers, L).astype(jnp.int32)
+
+    return read_fn
+
+
 class JaxBackend:
     name = "jax"
 
@@ -127,21 +155,47 @@ class JaxBackend:
         # the u8 feature bytes the cover hash is defined over (:415-444).
         return spec, med, int(cap), np.asarray(feat).astype(np.uint8)
 
-    def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
+    def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W,
+                    qim_dithers=None, hdr_bits=0):
         nbits = len(bits)
         plane, y, x = _bucket_pad(idx, len(idx[0]))
         bits, jitters = _bucket_pad((bits, jitters), nbits)
         if np.ndim(alpha):  # per-bit array (Params.alpha_spread)
             (alpha,) = _bucket_pad((alpha,), nbits)
         fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha,
-                              params.soft_write)
-        out = fn(
+                              params.soft_write, params.qim,
+                              hdr_bits if params.qim else 0)
+        args = (
             spec, med,
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
             jnp.asarray(bits, jnp.uint8), jnp.asarray(jitters, jnp.float32),
             jnp.asarray(alpha, jnp.float32),
         )
+        if params.qim:
+            (qd,) = _bucket_pad((qim_dithers,), nbits)
+            args = args + (jnp.asarray(qd, jnp.float32),)
+        out = fn(*args)
         return transfer.unpack_u8(np.asarray(out), (H, W, 3))
+
+    def read_bits_qim(self, spec, idx, dithers, L):
+        """QIM payload read (ops.phase.read_phases_qim); dithers are the
+        payload slots' keyed angles (pipeline/qim.py)."""
+        nbits = len(dithers)
+        plane, y, x = _bucket_pad(idx, len(idx[0]))
+        (dithers,) = _bucket_pad((dithers,), nbits)
+        fn = _jit_read_qim(L, values=False)
+        out = fn(spec, jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
+                 jnp.asarray(dithers, jnp.float32))
+        return np.asarray(out[:nbits]).astype(np.uint8)
+
+    def read_values_qim(self, spec, idx, dithers, L):
+        nbits = len(dithers)
+        plane, y, x = _bucket_pad(idx, len(idx[0]))
+        (dithers,) = _bucket_pad((dithers,), nbits)
+        fn = _jit_read_qim(L, values=True)
+        out = fn(spec, jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
+                 jnp.asarray(dithers, jnp.float32))
+        return np.asarray(out[:nbits], dtype=np.float64)
 
     def read_bits(self, spec, med, idx, jitters, alpha, params):
         nbits = len(jitters)
@@ -214,7 +268,8 @@ class NumpyBackend:
         magok = np.abs(spec) >= thr[:, None, None]
         return int(((ok[None] & magok).sum(axis=(1, 2)) // 2).sum())
 
-    def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W):
+    def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W,
+                    qim_dithers=None, hdr_bits=0):
         plane, y, x = (np.asarray(a) for a in idx)
         PH, PW = spec.shape[-2:]
         spec = spec.copy()
@@ -222,6 +277,30 @@ class NumpyBackend:
         mag = np.maximum(1e-12, np.abs(v))
         a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
         jit_arr = np.asarray(jitters)
+        if params.qim:
+            # f64 oracle of the split write: header slots hard/soft, payload
+            # slots dithered QIM (pipeline/qim.py; ops/phase.py qim fns).
+            s_sign = np.where(np.asarray(bits, bool), 1.0, -1.0)
+            theta = np.where(np.asarray(bits, bool), a, -a) + jit_arr
+            if params.soft_write:
+                sigma = np.where(np.sin(a) < 0, -1.0, 1.0)
+                phi = np.angle(v) - jit_arr
+                valid = s_sign * sigma * np.sin(phi) >= np.abs(np.sin(a))
+                t_sin = s_sign * sigma * np.abs(np.sin(a))
+                t_cos = np.where(np.cos(phi) < 0, -1.0, 1.0) * np.abs(
+                    np.cos(a))
+                theta = np.arctan2(t_sin, t_cos) + jit_arr
+                nv_h = np.where(valid, v, mag * np.exp(1j * theta))
+            else:
+                nv_h = mag * np.exp(1j * theta)
+            delta = 2.0 * np.pi / params.qim
+            d = np.asarray(qim_dithers, np.float64)
+            half_b = np.asarray(bits, np.float64) * 0.5
+            q = (np.angle(v) - d) / delta - half_b
+            th_q = d + (np.round(q) + half_b) * delta
+            nv = np.where(np.arange(len(v)) < hdr_bits, nv_h,
+                          mag * np.exp(1j * th_q))
+            return self._finish_embed(spec, plane, y, x, v, nv, params, H, W)
         if params.soft_write:
             # f64 oracle of the minimal-energy write (ops/phase.py): keep
             # bins already decoding with margin >= a, clamp the rest to the
@@ -237,6 +316,13 @@ class NumpyBackend:
         else:
             theta = np.where(np.asarray(bits, bool), a, -a) + jit_arr
             nv = mag * np.exp(1j * theta)
+        return self._finish_embed(spec, plane, y, x, v, nv, params, H, W)
+
+    @staticmethod
+    def _finish_embed(spec, plane, y, x, v, nv, params, H, W):
+        """Common embed tail: gain pre-compensation, conjugate-mirror
+        scatter, inverse FFT, center, round-half-away-from-zero quantize."""
+        PH, PW = spec.shape[-2:]
         gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
         if gain != 1.0:
             nv = v + (nv - v) / gain
@@ -273,6 +359,17 @@ class NumpyBackend:
         mag = np.maximum(1e-12, np.abs(v))
         a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
         return mag * np.sin(th - np.asarray(jitters)) * np.sign(np.sin(a))
+
+    def read_values_qim(self, spec, idx, dithers, L):
+        """f64 oracle of ops.phase.read_values_qim."""
+        plane, y, x = (np.asarray(a) for a in idx)
+        v = spec[plane, y, x]
+        mag = np.maximum(1e-12, np.abs(v))
+        return -np.cos(L * (np.angle(v) - np.asarray(dithers))) * mag
+
+    def read_bits_qim(self, spec, idx, dithers, L):
+        return (self.read_values_qim(spec, idx, dithers, L) >= 0).astype(
+            np.uint8)
 
 
 def get_backend(params) -> JaxBackend | NumpyBackend:

@@ -21,7 +21,7 @@ from steganosaurus_tpu.config import Params
 from steganosaurus_tpu.io import image as image_io
 from steganosaurus_tpu.ops import bits as bit_ops
 from steganosaurus_tpu.ops import ecc
-from steganosaurus_tpu.pipeline import device, spread
+from steganosaurus_tpu.pipeline import device, qim as qim_mod, spread
 from steganosaurus_tpu.pipeline import header as header_mod
 from steganosaurus_tpu.pipeline.errors import StegoError
 from steganosaurus_tpu.pipeline.header import Header
@@ -81,6 +81,9 @@ def embed_array(
                 "per_image_walk and cover_dependent_path are mutually "
                 "exclusive (both re-key the walk per image)")
         flags = header_mod.FLAG_PER_IMAGE_WALK
+    if params.qim:
+        qim_mod.validate(params)
+        flags = header_mod.flags_with_qim(flags, params.qim)
     hdr = Header(salt=km.salt, nonce=km.nonce, clen=len(secret), flags=flags)
     header_bytes = hdr.to_bytes()
     ct, tag = crypto.aead_seal(km.aead_key, km.nonce, header_bytes, secret)
@@ -137,9 +140,14 @@ def embed_array(
     # Randomized write amplitude (rebuild-only, embed-side only: the decode
     # rule never uses the written magnitude — pipeline/spread.py).
     alphas = spread.spread_alphas(path_key, params, len(bits))
+    # Keyed QIM dither angles, slot-aligned with the frame (payload slots
+    # only are consumed — pipeline/qim.py).
+    dithers = (qim_mod.dither_angles(path_key, params.qim, len(bits))
+               if params.qim else None)
     stego = backend.embed_apply(
         spec, med, (plane, y, x), bits, jit,
-        params.alpha if alphas is None else alphas, params, H, W
+        params.alpha if alphas is None else alphas, params, H, W,
+        qim_dithers=dithers, hdr_bits=header_mod.FIXED_LEN * 8 * 3,
     )
     return EmbedResult(
         stego=stego,

@@ -21,6 +21,7 @@ from steganosaurus_tpu.io import image as image_io
 from steganosaurus_tpu.ops import bits as bit_ops
 from steganosaurus_tpu.ops import ecc
 from steganosaurus_tpu.pipeline import device
+from steganosaurus_tpu.pipeline import qim as qim_mod
 from steganosaurus_tpu.pipeline.errors import StegoError
 from steganosaurus_tpu.pipeline import header as header_mod
 from steganosaurus_tpu.pipeline.header import Header
@@ -87,6 +88,22 @@ def extract_array(
     cap_bits = 3 * PH * PW // 2
     payload_stream_bits = min((hdr.clen + 16) * 8 * 7, cap_bits)
     total_bits = _HEADER_STREAM_BITS + payload_stream_bits
+    # QIM auto-detect (FLAGS bits 4-7, pipeline/qim.py): the payload was
+    # written by dithered phase QIM at level L; params.qim is embed-side
+    # only. L == 1 is not a valid level — treat as corruption.
+    L = header_mod.qim_levels(hdr.flags)
+    if L == 1:
+        raise StegoError("Corrupt header (invalid QIM level).")
+
+    def read_payload(idx_pyx, jit_arr, skip):
+        """Payload stream read under the header-selected rule. `skip` is
+        the first payload slot's frame-slot index (dither alignment)."""
+        if L:
+            d = qim_mod.dither_angles(path_key, L, skip + len(jit_arr))
+            return backend.read_bits_qim(spec, idx_pyx, d[skip:], L)
+        return backend.read_bits(spec, med, idx_pyx, jit_arr, params.alpha,
+                                 params)
+
     if hdr.flags & header_mod.FLAG_PER_IMAGE_WALK:
         # Auto-detected from the header: the payload walk is salt-keyed and
         # resumes from the header walk's visited state (embed side:
@@ -102,9 +119,7 @@ def extract_array(
             skeys[0], skeys[1:], PH, PW, params.rmin, params.rmax,
             params.density, params.jitter, payload_stream_bits, vis,
             allow_short=True)
-        payload_stream = backend.read_bits(
-            spec, med, (pp, py, px), pj, params.alpha, params
-        )
+        payload_stream = read_payload((pp, py, px), pj, _HEADER_STREAM_BITS)
     else:
         # Re-expand from scratch: the walk is deterministic, the prefix
         # replays identically; expansion is a few ms on the C++ path. The
@@ -118,10 +133,8 @@ def extract_array(
             total_bits, allow_short=True,
         )
         sl = slice(_HEADER_STREAM_BITS, total_bits)
-        payload_stream = backend.read_bits(
-            spec, med, (idx_p[sl], idx_y[sl], idx_x[sl]), jit[sl],
-            params.alpha, params
-        )
+        payload_stream = read_payload(
+            (idx_p[sl], idx_y[sl], idx_x[sl]), jit[sl], _HEADER_STREAM_BITS)
     payload_bits = np.asarray(ecc.rep7_decode(payload_stream))
     rest = bit_ops.bytes_from_bits(payload_bits)
     if len(rest) < hdr.clen + 16:
@@ -168,6 +181,9 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
     if hdr.clen != hard_hdr.clen:  # soft-corrected clen: resize the read
         payload_stream_bits = min((hdr.clen + 16) * 8 * 7,
                                   3 * PH * PW // 2)
+    L = header_mod.qim_levels(hdr.flags)
+    if L == 1:
+        return None
     if hdr.flags & header_mod.FLAG_PER_IMAGE_WALK:
         skeys = crypto.derive_turtle_keys(
             crypto.derive_salt_path_key(path_key, hdr.salt))
@@ -182,8 +198,14 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
             params.density, params.jitter, total, allow_short=True)
         sl = slice(_HEADER_STREAM_BITS, total)
         pp, py, px, pj = pp[sl], py[sl], px[sl], pj[sl]
-    pvals = backend.read_values(spec, med, (pp, py, px), pj, params.alpha,
-                                params)
+    if L:
+        d = qim_mod.dither_angles(path_key, L,
+                                  _HEADER_STREAM_BITS + len(pj))
+        pvals = backend.read_values_qim(spec, (pp, py, px),
+                                        d[_HEADER_STREAM_BITS:], L)
+    else:
+        pvals = backend.read_values(spec, med, (pp, py, px), pj,
+                                    params.alpha, params)
     payload_bits = np.asarray(ecc.rep_decode_soft(pvals, 7))
     rest = bit_ops.bytes_from_bits(payload_bits)
     if len(rest) < hdr.clen + 16:

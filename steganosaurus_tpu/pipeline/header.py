@@ -21,6 +21,21 @@ FIXED_LEN = 4 + 1 + 1 + 16 + 12 + 4  # 38
 # fails closed (payload walk diverges -> AEAD auth failure).
 FLAG_PER_IMAGE_WALK = 0x01  # payload walk is salt-keyed (pipeline/batch.py)
 
+# FLAGS bits 4-7 carry the QIM quantizer level L (Params.qim; 0 = payload on
+# the reference's hard +-alpha write, 2..15 = dithered phase QIM with step
+# 2*pi/L — pipeline/qim.py). Self-describing so extraction needs no param.
+QIM_SHIFT = 4
+
+
+def qim_levels(flags: int) -> int:
+    """QIM level L from a header FLAGS byte (0 = QIM off)."""
+    return (flags >> QIM_SHIFT) & 0x0F
+
+
+def flags_with_qim(flags: int, L: int) -> int:
+    assert L == 0 or 2 <= L <= 15
+    return flags | (L << QIM_SHIFT)
+
 
 @dataclass
 class Header:

@@ -609,6 +609,43 @@ def write_delta(cr, ci, sign, mask, cos_a, sin_a, cjd=None, sjd=None,
     return dr, di
 
 
+def qim_values_dense(cr, ci, dq, L: int):
+    """Dense QIM decision values over the corner: -cos(L*(theta - d)) * mag
+    (pipeline/qim.py decode rule; sign >= 0 -> bit 1, |value| is the
+    magnitude-weighted coset confidence for ops.ecc.rep_decode_soft).
+    dq: (3, Ky, Kx) static dither-angle map (corner_statics_core)."""
+    mag = jnp.sqrt(cr * cr + ci * ci)
+    theta = jnp.arctan2(ci, cr)
+    return -jnp.cos(L * (theta - dq)) * mag
+
+
+def write_delta_qim(cr, ci, sign, mask, qm, cos_a, sin_a, dq, L: int,
+                    cjd=None, sjd=None, soft: bool = False):
+    """write_delta with the PAYLOAD bins quantized by dithered phase QIM
+    (Params.qim; pipeline/qim.py) while header bins keep the reference
+    hard/soft write.
+
+    qm: (3, Ky, Kx) f32, 1.0 at payload walk bins (frame slot >= the header
+    stream length), 0 elsewhere. dq: static dither-angle map (same shape).
+    The header part runs the unchanged write_delta over mask*(1-qm); the
+    payload part sets each bin's phase to the nearest point of its bit's
+    dithered lattice coset: theta' = d + (round((theta-d)/Delta - b/2)
+    + b/2)*Delta, Delta = 2*pi/L (ops/phase.embed_phases_qim, dense form).
+    Returns the summed pre-doubled Hermitian-half deltas."""
+    mask_hdr = mask * (1.0 - qm)
+    dr, di = write_delta(cr, ci, sign, mask_hdr, cos_a, sin_a, cjd, sjd,
+                         soft=soft)
+    mag = jnp.maximum(jnp.float32(1e-12), jnp.sqrt(cr * cr + ci * ci))
+    theta = jnp.arctan2(ci, cr)
+    delta = jnp.float32(2.0 * math.pi / L)
+    half_b = (sign + 1.0) * 0.25          # bit/2 from the +-1 sign plane
+    q = (theta - dq) / delta - half_b
+    th_q = dq + (jnp.round(q) + half_b) * delta
+    dr = dr + (2.0 * qm) * (mag * jnp.cos(th_q) - cr)
+    di = di + (2.0 * qm) * (mag * jnp.sin(th_q) - ci)
+    return dr, di
+
+
 def read_bits_dense(cr, ci, sign_sin_a, cjd=None, sjd=None):
     """Dense phase read: u8 bit plane over the corner.
 
@@ -621,3 +658,24 @@ def read_bits_dense(cr, ci, sign_sin_a, cjd=None, sjd=None):
     else:
         d = ci * cjd - cr * sjd
     return (d * sign_sin_a >= 0).astype(jnp.uint8)
+
+
+def read_bits_dense_qim(cr, ci, sign_sin_a, qm, dq, L: int,
+                        cjd=None, sjd=None):
+    """read_bits_dense with payload bins decoded by the QIM nearest-coset
+    rule (qm/dq as in write_delta_qim): bit = 1 iff -cos(L*(theta-d)) >= 0
+    at payload bins, the half-plane test elsewhere."""
+    hard = read_bits_dense(cr, ci, sign_sin_a, cjd, sjd)
+    qim = (qim_values_dense(cr, ci, dq, L) >= 0).astype(jnp.uint8)
+    return jnp.where(qm > 0, qim, hard)
+
+
+def decision_values_dense_qim(cr, ci, sign_sin_a, qm, dq, L: int,
+                              cjd=None, sjd=None):
+    """Blended soft-decision values: QIM coset confidence at payload bins,
+    the half-plane value sign(sin a)*(Im*cos(jd) - Re*sin(jd)) elsewhere.
+    Every Rep-3/Rep-7 copy group lies entirely on one side of the header/
+    payload split, so the two scales never mix inside a combiner group."""
+    hard = ci if cjd is None else ci * cjd - cr * sjd
+    hard = hard * sign_sin_a
+    return jnp.where(qm > 0, qim_values_dense(cr, ci, dq, L), hard)
