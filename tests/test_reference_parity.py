@@ -363,3 +363,19 @@ def test_per_image_walk_reference_fails_closed(reference_bin, host_png,
               "--pbkdf2_iter", ITER])
     assert r.returncode != 0
     assert "Auth failed" in (r.stderr + r.stdout)
+
+
+def test_qim_reference_fails_closed(reference_bin, host_png, tmp_path):
+    """QIM stegos carry the level in header FLAGS bits 4-7
+    (pipeline/qim.py). The reference ignores FLAGS (steganosaur.cpp:
+    884,897): it parses the header fine, then reads the QIM-quantized
+    payload with its half-plane rule — garbage bits — so it must fail
+    AEAD auth ("Auth failed"), never crash or mis-extract."""
+    stego = tmp_path / "stego_qim.png"
+    embed(str(host_png), str(stego), "qim payload",
+          password="pp",
+          params=Params(pbkdf2_iter=int(ITER), qim=3))
+    r = _run([reference_bin, "extract", "--in", stego, "--pass", "pp",
+              "--pbkdf2_iter", ITER])
+    assert r.returncode != 0
+    assert "Auth failed" in (r.stderr + r.stdout)
