@@ -87,3 +87,42 @@ def phase_histogram_report(img: np.ndarray, params: Params = Params(),
         "spike_excess": spike_excess,
         "band_excess": band_excess,
     }
+
+
+def pairwise_difference_report(img_a: np.ndarray, img_b: np.ndarray,
+                               params: Params = Params(),
+                               max_harmonic: int = 32) -> dict:
+    """SECOND-ORDER warden: circular-harmonic analysis of the PHASE
+    DIFFERENCE between two images at common annulus bins (doc/ATTACKS.md
+    §4a). This is the statistic that breaks shared-walk QIM across a
+    collection: two stegos under one key/resolution write the SAME bins
+    (shared walk) with the SAME per-slot dither, so at every common
+    payload bin the difference theta_a - theta_b is an EXACT multiple of
+    Delta/2 = pi/L — harmonic m = 2L of the difference distribution
+    carries the full footprint mass, detecting QIM and revealing L with
+    no key. The hard write leaks here too (differences in {0, +-2alpha}
+    concentrate low harmonics). per_image_walk defeats the payload-bin
+    component by construction (disjoint bin sets), leaving only the 912
+    shared header bins.
+
+    Returns z-scores z_m = |sum exp(i*m*(th_a - th_b))| / sqrt(n) for
+    m = 1..max_harmonic: ~Rayleigh(1/sqrt(2)) under the null (independent
+    uniform phases), so E[z] ~ 0.89 and z > 3 is a detection.
+      max_z / argmax_m: the strongest harmonic (argmax_m == 2L fingers
+      QIM level L); harmonics: the full array for plotting/inspection.
+    """
+    th_a = _annulus_phases(img_a, params)
+    th_b = _annulus_phases(img_b, params)
+    assert th_a.size == th_b.size, "images must share dimensions"
+    d = th_a - th_b
+    n = d.size
+    m = np.arange(1, max_harmonic + 1, dtype=np.float64)
+    z = np.abs(np.exp(1j * m[:, None] * d[None, :]).mean(axis=1)) \
+        * math.sqrt(n)
+    best = int(np.argmax(z))
+    return {
+        "n": int(n),
+        "max_z": float(z[best]),
+        "argmax_m": best + 1,
+        "harmonics": [float(v) for v in z],
+    }

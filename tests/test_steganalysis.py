@@ -43,3 +43,36 @@ def test_spike_detection_and_spread_dilution(cover):
     # ...while honestly leaving band mass (ATTACKS §2a: mitigation, not
     # invisibility): the band statistic still sees the footprint
     assert spread["band_excess"] > 0.003
+
+
+def test_pairwise_harmonic_attack_and_piw_defense(cover):
+    """Second-order warden (ATTACKS §4a): the cross-image phase-difference
+    harmonic statistic detects shared-walk embeds (hard AND QIM — where
+    harmonic 2L fingers the level), and per-image walks defeat it."""
+    from steganosaurus_tpu.utils.steganalysis import (
+        pairwise_difference_report)
+
+    rng = np.random.default_rng(7)
+    base = np.linspace(170, 220, 256)
+    cover2 = np.clip(base[None, :, None] + rng.integers(-12, 13,
+                                                        (256, 256, 3)),
+                     0, 255).astype(np.uint8)
+    secret = bytes(range(200))
+    s1, s2 = bytes([1]) * 16, bytes([2]) * 16
+
+    null = pairwise_difference_report(cover, cover2)
+    assert null["max_z"] < 5.0  # clean pair ~Rayleigh null
+
+    p = Params(qim=3, **FAST)
+    a = embed_array(cover, secret, password="pw", params=p, salt=s1).stego
+    b = embed_array(cover2, secret, password="pw", params=p, salt=s2).stego
+    r = pairwise_difference_report(a, b, p)
+    # harmonic 2L carries the shared-walk QIM lattice alignment
+    assert r["argmax_m"] == 6 and r["max_z"] > 20.0
+
+    ps = Params.stealth(**FAST)  # per_image_walk: disjoint payload bins
+    a = embed_array(cover, secret, password="pw", params=ps, salt=s1).stego
+    b = embed_array(cover2, secret, password="pw", params=ps, salt=s2).stego
+    r2 = pairwise_difference_report(a, b, ps)
+    assert r2["max_z"] < r["max_z"] / 10
+    assert r2["harmonics"][5] < 3.0  # the 2L fingerprint is gone
