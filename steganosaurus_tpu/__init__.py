@@ -48,6 +48,12 @@ _API = {
     "channel_report": ("steganosaurus_tpu.pipeline.batch", "channel_report"),
     "phase_histogram_report": ("steganosaurus_tpu.utils.steganalysis",
                                "phase_histogram_report"),
+    "pairwise_difference_report": ("steganosaurus_tpu.utils.steganalysis",
+                                   "pairwise_difference_report"),
+    "magnitude_conditioned_report": ("steganosaurus_tpu.utils.steganalysis",
+                                     "magnitude_conditioned_report"),
+    "requantization_noise_report": ("steganosaurus_tpu.utils.channel",
+                                    "requantization_noise_report"),
     "embed_stream": ("steganosaurus_tpu.pipeline.stream", "embed_stream"),
     "extract_stream": ("steganosaurus_tpu.pipeline.stream", "extract_stream"),
     "load_rgb_batches": ("steganosaurus_tpu.pipeline.stream",

@@ -269,7 +269,12 @@ class NumpyBackend:
         return int(((ok[None] & magok).sum(axis=(1, 2)) // 2).sum())
 
     def embed_apply(self, spec, med, idx, bits, jitters, alpha, params, H, W,
-                    qim_dithers=None, hdr_bits=0):
+                    qim_dithers=None, hdr_bits=0, return_targets=False):
+        """f64 oracle embed. return_targets=True additionally returns the
+        complex TARGET values written at the walk bins (pre conjugate-mirror,
+        pre IFFT/quantize) — the intended channel input that
+        utils.channel.requantization_noise_report compares the re-FFT'd
+        stego against."""
         plane, y, x = (np.asarray(a) for a in idx)
         PH, PW = spec.shape[-2:]
         spec = spec.copy()
@@ -300,7 +305,8 @@ class NumpyBackend:
             th_q = d + (np.round(q) + half_b) * delta
             nv = np.where(np.arange(len(v)) < hdr_bits, nv_h,
                           mag * np.exp(1j * th_q))
-            return self._finish_embed(spec, plane, y, x, v, nv, params, H, W)
+            out = self._finish_embed(spec, plane, y, x, v, nv, params, H, W)
+            return (out, nv) if return_targets else out
         if params.soft_write:
             # f64 oracle of the minimal-energy write (ops/phase.py): keep
             # bins already decoding with margin >= a, clamp the rest to the
@@ -316,7 +322,8 @@ class NumpyBackend:
         else:
             theta = np.where(np.asarray(bits, bool), a, -a) + jit_arr
             nv = mag * np.exp(1j * theta)
-        return self._finish_embed(spec, plane, y, x, v, nv, params, H, W)
+        out = self._finish_embed(spec, plane, y, x, v, nv, params, H, W)
+        return (out, nv) if return_targets else out
 
     @staticmethod
     def _finish_embed(spec, plane, y, x, v, nv, params, H, W):

@@ -22,11 +22,12 @@ import numpy as np
 from steganosaurus_tpu.config import Params
 
 
-def _annulus_phases(img: np.ndarray, params: Params) -> np.ndarray:
-    """Phases of the walk-eligible annulus bins (primary half), from the
-    stego alone. Uses the same eligibility predicate as the turtle walk
-    (keystream/_pure.py: axis/DC exclusion + radius band on raw indices) so
-    the measured population is exactly the attackable one."""
+def _annulus_spectrum(img: np.ndarray, params: Params
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(phases, magnitudes) of the walk-eligible annulus bins (primary
+    half), from the stego alone. Uses the same eligibility predicate as the
+    turtle walk (keystream/_pure.py: axis/DC exclusion + radius band on raw
+    indices) so the measured population is exactly the attackable one."""
     H, W = img.shape[:2]
     planes = img.astype(np.float64).transpose(2, 0, 1)
     spec = np.conj(np.fft.fft2(planes))  # reference forward convention
@@ -40,7 +41,12 @@ def _annulus_phases(img: np.ndarray, params: Params) -> np.ndarray:
         mask &= yy != H // 2
     if W % 2 == 0:
         mask &= xx != W // 2
-    return np.angle(spec[:, mask]).ravel()
+    vals = spec[:, mask].ravel()
+    return np.angle(vals), np.abs(vals)
+
+
+def _annulus_phases(img: np.ndarray, params: Params) -> np.ndarray:
+    return _annulus_spectrum(img, params)[0]
 
 
 def phase_histogram_report(img: np.ndarray, params: Params = Params(),
@@ -125,4 +131,61 @@ def pairwise_difference_report(img_a: np.ndarray, img_b: np.ndarray,
         "max_z": float(z[best]),
         "argmax_m": best + 1,
         "harmonics": [float(v) for v in z],
+    }
+
+
+def magnitude_conditioned_report(img: np.ndarray, params: Params = Params(),
+                                 bins: int = 64, n_bands: int = 8,
+                                 window: float = 0.05) -> dict:
+    """SECOND-ORDER warden: phase statistics CONDITIONED on bin magnitude
+    (the doc/TODO.md "phase-magnitude dependence" honesty item).
+
+    The walk selects bins magnitude-blind (the reference disables mag_ok,
+    steganosaur.cpp:797-799), so the write's phase signature lands uniformly
+    across magnitude bands — while a marginal histogram dilutes it over the
+    whole annulus population. Conditioning buys a warden nothing EXTRA for
+    that reason (the signature is the same in every band), but it is the
+    natural second axis to check, and for QIM it answers a sharper question:
+    dithered quantization leaves each band's phases uniform, so even a
+    magnitude-stratified warden measures nothing.
+
+    Returns per-band {mag_lo, mag_hi, n, chi2_z, spike_excess} over
+    magnitude quantiles of the annulus population (same statistics as
+    phase_histogram_report, restricted per band), plus:
+      max_chi2_z: the strongest band statistic (detection = any band >> 3;
+        a Bonferroni-minded warden compares against ~3.2 for 8 bands).
+      chi2_z_marginal: the unconditioned statistic, for comparison.
+    """
+    th, mag = _annulus_spectrum(img, params)
+    order = np.quantile(mag, np.linspace(0.0, 1.0, n_bands + 1))
+    a = params.alpha
+    spike_expected = 2.0 * (2.0 * window) / (2.0 * math.pi)
+    bands = []
+    for i in range(n_bands):
+        hi_incl = i == n_bands - 1
+        m = (mag >= order[i]) & ((mag <= order[i + 1]) if hi_incl
+                                 else (mag < order[i + 1]))
+        t = th[m]
+        n = t.size
+        if n < 4 * bins:
+            bands.append({"mag_lo": float(order[i]),
+                          "mag_hi": float(order[i + 1]), "n": int(n),
+                          "chi2_z": None, "spike_excess": None})
+            continue
+        hist, _ = np.histogram(t, bins=bins, range=(-math.pi, math.pi))
+        exp = n / bins
+        chi2 = float(np.sum((hist - exp) ** 2) / exp)
+        dof = bins - 1
+        chi2_z = (chi2 - dof) / math.sqrt(2.0 * dof)
+        spike = float(np.mean(np.abs(np.abs(t) - a) <= window)) \
+            - spike_expected
+        bands.append({"mag_lo": float(order[i]),
+                      "mag_hi": float(order[i + 1]), "n": int(n),
+                      "chi2_z": float(chi2_z), "spike_excess": spike})
+    zs = [b["chi2_z"] for b in bands if b["chi2_z"] is not None]
+    marginal = phase_histogram_report(img, params, bins=bins, window=window)
+    return {
+        "bands": bands,
+        "max_chi2_z": float(max(zs)) if zs else None,
+        "chi2_z_marginal": float(marginal["chi2_z"]),
     }

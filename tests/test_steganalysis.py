@@ -76,3 +76,63 @@ def test_pairwise_harmonic_attack_and_piw_defense(cover):
     r2 = pairwise_difference_report(a, b, ps)
     assert r2["max_z"] < r["max_z"] / 10
     assert r2["harmonics"][5] < 3.0  # the 2L fingerprint is gone
+
+
+def test_magnitude_conditioned_report(cover):
+    """Magnitude-stratified warden (doc/TODO.md honesty item): the hard
+    write's signature lands in EVERY magnitude band (the walk is
+    magnitude-blind, reference mag_ok disabled :797-799), conditioning adds
+    no power over the marginal test, and the stealth profile stays at the
+    clean cover's noise floor even when stratified."""
+    from steganosaurus_tpu.utils.steganalysis import (
+        magnitude_conditioned_report)
+
+    secret = bytes(range(200))
+    salt = bytes(range(16))
+
+    clean = magnitude_conditioned_report(cover)
+    assert clean["max_chi2_z"] < 4.0
+
+    hard = magnitude_conditioned_report(
+        embed_array(cover, secret, password="pw", params=Params(**FAST),
+                    salt=salt).stego)
+    zs = [b["chi2_z"] for b in hard["bands"] if b["chi2_z"] is not None]
+    assert min(zs) > 20.0          # signature present in every band...
+    assert hard["max_chi2_z"] < hard["chi2_z_marginal"]  # ...but diluted:
+    # conditioning splits the population without concentrating the signal
+
+    ps = Params.stealth(**FAST)
+    stealth = magnitude_conditioned_report(
+        embed_array(cover, secret, password="pw", params=ps,
+                    salt=salt).stego, ps)
+    assert stealth["max_chi2_z"] < clean["max_chi2_z"] + 3.0
+
+
+def test_requantization_noise_report(cover):
+    """Channel-noise analyzer (utils.channel): phase noise must scale
+    ~1/magnitude, raw flip rates must sit far under the ECC budget at
+    defaults, and QIM-10's tighter margin must show a higher (but still
+    ECC-absorbable) payload flip rate."""
+    from steganosaurus_tpu.utils.channel import requantization_noise_report
+
+    secret = bytes(range(200))
+    mk = bytes(range(32))
+
+    hard = requantization_noise_report(cover, secret, master_key=mk,
+                                       params=Params(**FAST))
+    # noise is 1/mag: lowest-magnitude band at least 3x noisier than highest
+    stds = [b["std_rad"] for b in hard["by_magnitude"]
+            if b["std_rad"] is not None]
+    assert stds[0] > 3.0 * stds[-1]
+    # defaults: raw BER far below the Rep-7 43% budget
+    assert hard["raw_flip_rate_payload"] < 0.05
+    assert hard["raw_flip_rate_header"] < 0.05
+    assert hard["margin_payload_rad"] == pytest.approx(0.5)
+
+    q = requantization_noise_report(cover, secret, master_key=mk,
+                                    params=Params(qim=10, **FAST))
+    assert q["margin_payload_rad"] == pytest.approx(np.pi / 20)
+    # tighter margin -> more raw flips than the hard write, still small
+    assert q["raw_flip_rate_payload"] < 0.2
+    # QIM writes far less energy, so the stego's own requant noise is lower
+    assert q["noise_std_rad"] < hard["noise_std_rad"]
