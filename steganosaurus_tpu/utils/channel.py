@@ -51,6 +51,12 @@ def requantization_noise_report(
 
     Returns a dict with:
       n_bins: written walk slots (header + payload).
+      write_rms_rad: RMS circular distance from the cover's phase to the
+        written target — the per-bin write energy the mode spends.
+      write_rms_payload_rad: same, payload slots only (the header is
+        always hard-written, so at small images its ±alpha energy
+        dominates the mixed rms; this isolates the payload mode's own
+        energy).
       noise_std_rad / mean_abs / p50 / p90 / p99 / max: circular error
         |theta_observed - theta_target| statistics over all written bins.
       margin_header_rad: the header's hard-write decision margin (the
@@ -122,6 +128,10 @@ def requantization_noise_report(
     obs = spec2[plane, y, x]
     err = _wrap(np.angle(obs) - np.angle(targets))
     abs_err = np.abs(err)
+    # The write itself: circular distance from the cover's phase to the
+    # target — per-bin write energy, the stealth/PSNR lever every mode
+    # trades on (doc/ATTACKS.md §1/§1a/§1b).
+    werr = _wrap(np.angle(targets) - np.angle(spec[plane, y, x]))
 
     # Raw pre-ECC flips via the REAL decode rules (what extraction runs).
     idx = (plane, y, x)
@@ -161,6 +171,9 @@ def requantization_noise_report(
 
     return {
         "n_bins": int(len(bits)),
+        "write_rms_rad": float(np.sqrt(np.mean(np.square(werr)))),
+        "write_rms_payload_rad": float(
+            np.sqrt(np.mean(np.square(werr[hdr_n:])))),
         "noise_std_rad": float(np.std(err)),
         "mean_abs_rad": float(np.mean(abs_err)),
         "p50_rad": float(np.quantile(abs_err, 0.50)),

@@ -134,5 +134,13 @@ def test_requantization_noise_report(cover):
     assert q["margin_payload_rad"] == pytest.approx(np.pi / 20)
     # tighter margin -> more raw flips than the hard write, still small
     assert q["raw_flip_rate_payload"] < 0.2
-    # QIM writes far less energy, so the stego's own requant noise is lower
+    # write energy: QIM-10's payload lattice rms (~Delta/sqrt(12) ~ 0.18)
+    # is far below the hard write's uniform-to-fixed-point ~pi/sqrt(3) ~
+    # 1.8 (the MIXED rms includes the always-hard header, which dominates
+    # at this small image — hence the payload-only field)
+    assert q["write_rms_payload_rad"] < hard["write_rms_payload_rad"] / 5
+    assert hard["write_rms_rad"] == pytest.approx(np.pi / np.sqrt(3),
+                                                  rel=0.05)
+    # the hard write's noise carries the clamping/large-perturbation
+    # excess over the constant rounding floor (doc/ATTACKS.md 2c)
     assert q["noise_std_rad"] < hard["noise_std_rad"]
