@@ -94,6 +94,11 @@ RESULT: dict = {
 }
 _EMITTED = False
 
+# Per-frontier-search failure evidence (cleared by psnr_frontier, attached
+# to the record by main when a search returns None): a null frontier field
+# must explain itself.
+LAST_FRONTIER_DIAG: list = []
+
 
 def emit():
     global _EMITTED
@@ -330,26 +335,14 @@ class Workload:
         return (self.batch * iters) / (time.perf_counter() - t0)
 
     def quality(self, stego_d) -> tuple[float, float]:
-        """PSNR over the WHOLE batch (computed on device — the host-side
-        f64 version materializes ~40 GB of error intermediates at 4K/B=64
-        and took minutes on this 1-core host), SSIM over 4 images (pulled
-        individually: ~100 MB instead of the full stego batch)."""
-        import jax
-        import jax.numpy as jnp
-
+        """PSNR and SSIM over the WHOLE batch, entirely on device
+        (utils.metrics.quality_device). The previous host path pulled
+        ~100 MB of stego through the tunnel for 4 SSIM images and took
+        ~80 s of the budget; the device version is one jitted reduction
+        (and covers all B images, not a 4-image sample)."""
         from steganosaurus_tpu.utils import metrics
 
-        mse = float(jax.jit(
-            lambda a, b: jnp.mean(jnp.square(
-                a.astype(jnp.float32) - b.astype(jnp.float32))))(
-                    stego_d, self.covers_d))
-        psnr = (10.0 * np.log10(255.0 * 255.0 / mse) if mse > 0
-                else float("inf"))
-        n = min(self.batch, 4)
-        stego4 = np.asarray(stego_d[:n]).transpose(0, 2, 3, 1)
-        ssim = float(np.mean([metrics.ssim(self.covers[i], stego4[i])
-                              for i in range(n)]))
-        return psnr, ssim
+        return metrics.quality_device(self.covers_d, stego_d)
 
     def ber(self, stego_d) -> dict:
         from steganosaurus_tpu.pipeline.batch import channel_report
@@ -383,6 +376,7 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
     from steganosaurus_tpu.pipeline.batch import embed_batch
     from steganosaurus_tpu.utils import metrics
 
+    LAST_FRONTIER_DIAG.clear()
     rng = np.random.default_rng(13)
     B, STEP, ALPHA = 4, 512, alpha
     # first 4 of the cached base cover set (same seed/order as the headline)
@@ -397,12 +391,19 @@ def psnr_frontier(master_key: bytes, probe_cost_s: float = 45.0,
         res = embed_batch(covers_d, secrets, master_key=master_key, params=p,
                           device_resident=True, verify=True, max_retries=4)
         if not all(res.verified):
+            # A null frontier with no explanation certified nothing in the
+            # 2026-08-18 run — record WHICH images failed verification so a
+            # failing record is still evidence (standalone re-runs of the
+            # same probe pass 3/3; see doc/TODO.md).
+            LAST_FRONTIER_DIAG.append(
+                {"secret_bytes": nbytes, "fail": "verify",
+                 "verified": list(res.verified)})
             return None
-        stego = np.asarray(res.stego)
-        err = stego.astype(np.float64) - covers.astype(np.float64)
-        psnr = 10.0 * np.log10(255.0 ** 2 / float(np.mean(np.square(err))))
-        ssim = float(np.mean([metrics.ssim(covers[i], stego[i])
-                              for i in range(B)]))
+        psnr, ssim = metrics.quality_device(covers_d, res.stego)
+        if psnr <= 50.0 or ssim <= 0.995:
+            LAST_FRONTIER_DIAG.append(
+                {"secret_bytes": nbytes, "fail": "bar",
+                 "psnr_db": round(psnr, 2), "ssim": round(ssim, 4)})
         return psnr, ssim
 
     cost = [probe_cost_s]
@@ -620,48 +621,52 @@ def main():
         note("rotating-salt measured")
         emit()
 
-    # ---- imperceptibility frontier (PSNR>50dB/SSIM>0.995 max payload) ----
-    if fits(60):
+    def frontier_stage(key: str, est: float, retries: int = 0, **kw) -> None:
+        """One budget-gated psnr_frontier stage. On a null result the probe
+        failure evidence (LAST_FRONTIER_DIAG) is attached as `<key>_diag`,
+        and verify-flake failures are retried up to `retries` times (fresh
+        salts each embed — the 2026-08-18 run recorded a bare null that
+        standalone re-runs could not reproduce; never record null without
+        either evidence or a retry)."""
+        if not fits(est):
+            return
         try:
-            note("psnr frontier search")
-            RESULT["psnr_target_config"] = psnr_frontier(master_key)
+            note(f"{key} frontier search")
+            out = psnr_frontier(master_key, **kw)
+            for _ in range(retries):
+                if out is not None or not fits(est):
+                    break
+                note(f"{key} retry; diag={LAST_FRONTIER_DIAG}")
+                out = psnr_frontier(master_key, **kw)
+            RESULT[key] = out
+            if out is None and LAST_FRONTIER_DIAG:
+                RESULT[key + "_diag"] = list(LAST_FRONTIER_DIAG)
         except Exception as e:  # noqa: BLE001
-            RESULT["psnr_target_error"] = f"{type(e).__name__}: {e}"
-        emit()
-
-    # ---- soft-write frontier (params.soft_write: minimal-energy write,
-    # ~2.8x less energy at the same decode margin — doc/ATTACKS.md §1a) ----
-    if fits(90):
-        try:
-            note("soft-write psnr frontier search")
-            RESULT["psnr_soft_config"] = psnr_frontier(master_key, soft=True)
-        except Exception as e:  # noqa: BLE001
-            RESULT["psnr_soft_error"] = f"{type(e).__name__}: {e}"
-        emit()
-
-    # ---- low-alpha soft frontier (soft write energy ~ alpha: doc/ATTACKS
-    # §1a; soft-decision fallback covers the reduced noise margin) ----
-    if fits(90):
-        try:
-            note("low-alpha soft psnr frontier search")
-            RESULT["psnr_soft_low_alpha_config"] = psnr_frontier(
-                master_key, soft=True, alpha=0.15)
-        except Exception as e:  # noqa: BLE001
-            RESULT["psnr_soft_low_alpha_error"] = f"{type(e).__name__}: {e}"
+            RESULT[key.replace("_config", "_error")] = (
+                f"{type(e).__name__}: {e}")
         emit()
 
     # ---- QIM frontier (params.qim: dithered phase QIM payload write,
     # energy Delta^2/12 per bin at margin pi/(2L) — doc/ATTACKS.md §1b;
     # also the histogram-uniform stealth mode, §2b). L=10 is the measured
     # sweet spot: the full 16 KB headline payload at 52.43 dB / 0.9987
-    # (L=8 passes at 50.90; L=6 misses at 48.79). ----
-    if fits(90):
-        try:
-            note("qim psnr frontier search")
-            RESULT["psnr_qim_config"] = psnr_frontier(master_key, qim=10)
-        except Exception as e:  # noqa: BLE001
-            RESULT["psnr_qim_error"] = f"{type(e).__name__}: {e}"
-        emit()
+    # (L=8 passes at 50.90; L=6 misses at 48.79). Runs FIRST of the
+    # frontier stages: it is the one that certifies the headline payload
+    # meeting the >50 dB bar, and its single 16 KB probe banks the record
+    # (the others' values are already certified in earlier round records
+    # and re-certify when budget allows). ----
+    frontier_stage("psnr_qim_config", 60, retries=1, qim=10)
+
+    # ---- imperceptibility frontier (PSNR>50dB/SSIM>0.995 max payload) ----
+    frontier_stage("psnr_target_config", 60)
+
+    # ---- soft-write frontier (params.soft_write: minimal-energy write,
+    # ~2.8x less energy at the same decode margin — doc/ATTACKS.md §1a) ----
+    frontier_stage("psnr_soft_config", 90, soft=True)
+
+    # ---- low-alpha soft frontier (soft write energy ~ alpha: doc/ATTACKS
+    # §1a; soft-decision fallback covers the reduced noise margin) ----
+    frontier_stage("psnr_soft_low_alpha_config", 90, soft=True, alpha=0.15)
 
     # ---- identical workload to the reference baseline (4096^2, 2 KB) ----
     if fits(90):

@@ -27,6 +27,32 @@ def test_ssim_bounds():
     assert metrics.ssim(img, other) < 0.2
 
 
+def test_quality_device_matches_host():
+    """Device batch PSNR/SSIM == host f64 versions (bench uses the device
+    path to keep 4K stego batches off the tunneled host link)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    B, H, W = 3, 64, 96
+    cover = rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8)
+    stego = np.clip(cover.astype(np.int32)
+                    + rng.integers(-3, 4, cover.shape), 0, 255).astype(
+                        np.uint8)
+    p_host = metrics.psnr(cover, stego)
+    s_host = float(np.mean([metrics.ssim(cover[i], stego[i])
+                            for i in range(B)]))
+    p_dev, s_dev = metrics.quality_device(jax.device_put(cover),
+                                          jax.device_put(stego))
+    assert abs(p_dev - p_host) < 1e-3
+    assert abs(s_dev - s_host) < 1e-5
+    # NCHW layout is auto-detected (bench serving layout)
+    p2, s2 = metrics.quality_device(
+        jax.device_put(cover.transpose(0, 3, 1, 2)),
+        jax.device_put(stego.transpose(0, 3, 1, 2)))
+    assert abs(p2 - p_host) < 1e-3
+    assert abs(s2 - s_host) < 1e-5
+
+
 def test_ber_and_ecc_report():
     rng = np.random.default_rng(6)
     data = rng.integers(0, 2, 304).astype(np.uint8)
