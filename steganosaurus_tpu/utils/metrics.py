@@ -60,13 +60,20 @@ def ssim(cover: np.ndarray, stego: np.ndarray, peak: float = 255.0,
     return float(s.mean())
 
 
-def quality_device(cover_d, stego_d, peak: float = 255.0, win: int = 8):
+def quality_device(cover_d, stego_d, peak: float = 255.0, win: int = 8,
+                   chunk: int = 8):
     """(PSNR dB, mean SSIM) computed ON DEVICE for a batch of images.
 
     Same block-SSIM as ssim() above (non-overlapping win x win windows per
-    channel) but jitted over the whole batch, so nothing rides the
-    host link — at 4K/B=4 the host version's ~100 MB stego pull through
-    the tunneled runtime dominated the bench's frontier-probe cost.
+    channel) but jitted over the batch, so nothing rides the host link —
+    at 4K/B=4 the host version's ~100 MB stego pull through the tunneled
+    runtime dominated the bench's frontier-probe cost. Two HBM
+    disciplines, both learned from OOMs at 4K/B=64 (15.75 GB HBM):
+    the per-layout kernels block H,W IN PLACE — an NCHW->NHWC transpose
+    materialized two 11.9 GB padded f32 copies — and batches are
+    processed `chunk` images per dispatch (f32 centered-moment temps are
+    ~95 MB/image).
+
     f32 throughout with CENTERED variance/covariance (E[(x-mu)(y-nu)],
     not E[xy]-mu*nu: at pixel scale ~200 the uncentered form cancels
     catastrophically in f32); agrees with the f64 host version to ~1e-6
@@ -79,46 +86,69 @@ def quality_device(cover_d, stego_d, peak: float = 255.0, win: int = 8):
     import jax
     import jax.numpy as jnp
 
-    fn = _QUALITY_JIT.get((peak, win))
-    if fn is not None:
-        mse, s = fn(cover_d, stego_d)
-        mse = float(mse)
-        p = (10.0 * float(np.log10(peak * peak / mse)) if mse > 0
-             else float("inf"))
-        return p, float(s)
+    from jax import lax
 
-    def stats(a, b):
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
-        mse = jnp.mean(jnp.square(a - b))
-        if a.shape[-1] not in (1, 3):      # (B,C,H,W) -> (B,H,W,C)
-            a = jnp.transpose(a, (0, 2, 3, 1))
-            b = jnp.transpose(b, (0, 2, 3, 1))
-        B, H, W, C = a.shape
-        h, w = (H // win) * win, (W // win) * win
-        blk = (B, h // win, win, w // win, win, C)
-        ab = a[:, :h, :w].reshape(blk)
-        bb = b[:, :h, :w].reshape(blk)
-        mu_a = ab.mean(axis=(2, 4), keepdims=True)
-        mu_b = bb.mean(axis=(2, 4), keepdims=True)
-        ca = ab - mu_a
-        cb = bb - mu_b
-        var_a = jnp.mean(ca * ca, axis=(2, 4))
-        var_b = jnp.mean(cb * cb, axis=(2, 4))
-        cov = jnp.mean(ca * cb, axis=(2, 4))
-        mu_a = jnp.squeeze(mu_a, (2, 4))
-        mu_b = jnp.squeeze(mu_b, (2, 4))
-        c1 = jnp.float32((0.01 * peak) ** 2)
-        c2 = jnp.float32((0.03 * peak) ** 2)
-        s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
-            (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
-        return mse, jnp.mean(s)
+    nchw = cover_d.shape[-1] not in (1, 3)
+    key = (peak, win, nchw)
+    fn = _QUALITY_JIT.get(key)
+    if fn is None:
+        # Block moments via reduce_window pooling + repeat upsampling, NOT a
+        # 6D blocked reshape: a (..., w//win, win) view leaves win=8 as the
+        # minor dim, which the TPU T(8,128) layout pads 16x (11.9 GB per
+        # operand at 4K/chunk=8 — compile-time OOM, observed 2026-08-18).
+        # Every tensor here stays 4D with >=128-wide minor dims.
+        if nchw:
+            wdims = (1, 1, win, win)
+            hax, wax = 2, 3
+        else:
+            wdims = (1, win, win, 1)
+            hax, wax = 1, 2
 
-    fn = _QUALITY_JIT[(peak, win)] = jax.jit(stats)
-    mse, s = fn(cover_d, stego_d)
-    mse = float(mse)
+        def stats(a, b):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
+            mse_sum = jnp.sum(jnp.square(a - b))
+            H, W = a.shape[hax], a.shape[wax]
+            h, w = (H // win) * win, (W // win) * win
+            sl = [slice(None)] * 4
+            sl[hax], sl[wax] = slice(0, h), slice(0, w)
+            a = a[tuple(sl)]
+            b = b[tuple(sl)]
+
+            def pool(x):
+                return lax.reduce_window(x, np.float32(0), lax.add, wdims,
+                                         wdims, "VALID") / (win * win)
+
+            def up(x):
+                return jnp.repeat(jnp.repeat(x, win, hax), win, wax)
+
+            mu_a = pool(a)
+            mu_b = pool(b)
+            ca = a - up(mu_a)
+            cb = b - up(mu_b)
+            var_a = pool(ca * ca)
+            var_b = pool(cb * cb)
+            cov = pool(ca * cb)
+            c1 = jnp.float32((0.01 * peak) ** 2)
+            c2 = jnp.float32((0.03 * peak) ** 2)
+            s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+                (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
+            return mse_sum, jnp.mean(s)
+
+        fn = _QUALITY_JIT[key] = jax.jit(stats)
+
+    B = cover_d.shape[0]
+    mse_sum = 0.0
+    ssim_sum = 0.0
+    npix = float(np.prod(cover_d.shape[1:]))
+    for i in range(0, B, chunk):
+        m, s = fn(cover_d[i:i + chunk], stego_d[i:i + chunk])
+        n = min(chunk, B - i)
+        mse_sum += float(m)
+        ssim_sum += float(s) * n
+    mse = mse_sum / (B * npix)
     p = 10.0 * float(np.log10(peak * peak / mse)) if mse > 0 else float("inf")
-    return p, float(s)
+    return p, ssim_sum / B
 
 
 def ber(sent_bits: np.ndarray, received_bits: np.ndarray) -> float:

@@ -51,6 +51,12 @@ def test_quality_device_matches_host():
         jax.device_put(stego.transpose(0, 3, 1, 2)))
     assert abs(p2 - p_host) < 1e-3
     assert abs(s2 - s_host) < 1e-5
+    # batch chunking (HBM discipline at 4K/B=64) accumulates exactly,
+    # including a ragged tail chunk
+    p3, s3 = metrics.quality_device(jax.device_put(cover),
+                                    jax.device_put(stego), chunk=2)
+    assert abs(p3 - p_host) < 1e-3
+    assert abs(s3 - s_host) < 1e-5
 
 
 def test_ber_and_ecc_report():
