@@ -277,8 +277,13 @@ def test_experimental_modes_oracle_parity(reference_bin, host_png, tmp_path,
     same, in both cross-decode directions. adaptive_alpha and
     cover_dependent_path are known-fragile in the reference
     (steganosaur.cpp:704-710, :1156-1176; doc/HARDENING.md:325-381), so the
-    assertion is BEHAVIORAL parity, not unconditional success."""
-    p = Params(pbkdf2_iter=int(ITER), **params_kw)
+    assertion is BEHAVIORAL parity, not unconditional success. The rebuild's
+    soft-decision fallback is pinned OFF here: it recovers margin-failure
+    stegos the reference binary cannot (tests/test_soft_decode.py), which is
+    strictly-better behavior, not parity — with it on, this test flakes
+    whenever the reference's own fragile mode fails on a random salt draw
+    that the soft decoder still rescues."""
+    p = Params(pbkdf2_iter=int(ITER), soft_decode_fallback=False, **params_kw)
     msg = "exp mode parity"
 
     # reference embed -> {reference, ours} extract must agree
