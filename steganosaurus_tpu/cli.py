@@ -65,6 +65,12 @@ USAGE = """Usage:
                              format, header FLAGS bits 4-7; extraction
                              auto-detects; the reference binary fails
                              closed) (0 = off)
+    --rs 0|1               : Interleaved Reed-Solomon RS(255,223) payload
+                             FEC instead of Rep-7 — 1.14x expansion vs 7x,
+                             ~6x more capacity per image (rebuild-only wire
+                             format, header flag 0x02; extraction
+                             auto-detects; the reference binary fails
+                             closed) (0)
     --soft_decode 0|1      : Soft-decision recovery fallback on extraction
                              (matched-filter combining of ECC copies after
                              an AEAD failure; recovers margin failures the
@@ -155,6 +161,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["per_image_walk"] = need() in ("1", "true")
         elif k == "--qim":  # rebuild-only: dithered phase QIM payload write
             p["qim"] = int(need())
+        elif k == "--rs":  # rebuild-only: interleaved RS(255,223) payload FEC
+            p["rs"] = need() in ("1", "true")
         elif k == "--soft_decode":  # rebuild-only: soft-decision fallback
             p["soft_decode_fallback"] = need() in ("1", "true")
         elif k == "--stealth":  # rebuild-only: Params.stealth() preset

@@ -94,6 +94,22 @@ class Params:
     # QIM stegos (payload decodes garbage -> AEAD failure). 0 = off
     # (reference parity). Valid range 2..15 (4-bit header field).
     qim: int = 0
+    # Interleaved Reed-Solomon payload FEC (rebuild-only; the reference's
+    # own doc/TODO.md lists "Stronger FEC (Reed-Solomon or LDPC)" with
+    # "interleaving across turtle sequence" as future work). rs=True codes
+    # the payload as systematic RS(255,223) over GF(2^8) — 32 parity bytes
+    # / t=16 correctable byte errors per codeword, column-major interleaved
+    # across codewords so bin bursts spread out (ops/rs.py). Expansion
+    # 255/223 ~ 1.14x vs Rep-7's 7x: ~6.1x more payload per written bin,
+    # ~6x less walk time and write energy at equal payload. The trade: RS
+    # tolerates ~6% byte corruption vs Rep-7's 43% bit BER — ample for the
+    # hard/soft/low-L QIM channels (certified raw BER ~0.16%), wrong for
+    # deep QIM (L >= 12 measured ~3.5% bit flips => ~25% byte errors).
+    # Header stays Rep-3 on the hard write; header FLAGS bit 0x02 makes
+    # extraction self-describing (no param needed). The stock reference
+    # binary fails closed on RS stegos (payload walk length diverges ->
+    # AEAD failure). Default off for reference parity.
+    rs: bool = False
 
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)

@@ -21,6 +21,7 @@ from steganosaurus_tpu.config import Params
 from steganosaurus_tpu.io import image as image_io
 from steganosaurus_tpu.ops import bits as bit_ops
 from steganosaurus_tpu.ops import ecc
+from steganosaurus_tpu.ops import rs as rs_mod
 from steganosaurus_tpu.pipeline import device, qim as qim_mod, spread
 from steganosaurus_tpu.pipeline import header as header_mod
 from steganosaurus_tpu.pipeline.errors import StegoError
@@ -36,11 +37,18 @@ class EmbedResult:
     capacity_bits: int
 
 
-def frame_bits(header_bytes: bytes, ct: bytes, tag: bytes) -> np.ndarray:
-    """ECC frame: rep3(bits(header)) || rep7(bits(ct || tag)) (reference :983-995)."""
+def frame_bits(header_bytes: bytes, ct: bytes, tag: bytes,
+               rs: bool = False) -> np.ndarray:
+    """ECC frame: rep3(bits(header)) || payload-FEC(bits(ct || tag)).
+
+    Payload FEC is Rep-7 (reference :983-995) or, with rs=True, interleaved
+    RS(255,223) (ops/rs.py; header FLAG_RS_PAYLOAD — rebuild-only)."""
     header_rep3 = ecc.rep3_encode(bit_ops.bits_from_bytes(header_bytes))
-    payload_rep7 = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
-    return np.concatenate([np.asarray(header_rep3), np.asarray(payload_rep7)])
+    if rs:
+        payload = bit_ops.bits_from_bytes(rs_mod.rs_encode_interleaved(ct + tag))
+    else:
+        payload = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
+    return np.concatenate([np.asarray(header_rep3), np.asarray(payload)])
 
 
 def embed_array(
@@ -84,11 +92,13 @@ def embed_array(
     if params.qim:
         qim_mod.validate(params)
         flags = header_mod.flags_with_qim(flags, params.qim)
+    if params.rs:
+        flags |= header_mod.FLAG_RS_PAYLOAD
     hdr = Header(salt=km.salt, nonce=km.nonce, clen=len(secret), flags=flags)
     header_bytes = hdr.to_bytes()
     ct, tag = crypto.aead_seal(km.aead_key, km.nonce, header_bytes, secret)
 
-    bits = frame_bits(header_bytes, ct, tag)
+    bits = frame_bits(header_bytes, ct, tag, rs=params.rs)
     if len(bits) > capacity:
         raise StegoError(
             f"Message too large. Need {len(bits)} bits (after ECC), "

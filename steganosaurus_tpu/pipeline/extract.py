@@ -20,6 +20,7 @@ from steganosaurus_tpu.config import Params
 from steganosaurus_tpu.io import image as image_io
 from steganosaurus_tpu.ops import bits as bit_ops
 from steganosaurus_tpu.ops import ecc
+from steganosaurus_tpu.ops import rs as rs_mod
 from steganosaurus_tpu.pipeline import device
 from steganosaurus_tpu.pipeline import qim as qim_mod
 from steganosaurus_tpu.pipeline.errors import StegoError
@@ -86,7 +87,12 @@ def extract_array(
     # index arrays (the batch path applies the same bound, pipeline/batch.py
     # _ExtractJob._cap_bits).
     cap_bits = 3 * PH * PW // 2
-    payload_stream_bits = min((hdr.clen + 16) * 8 * 7, cap_bits)
+    # Payload FEC auto-detect (FLAGS bit 0x02, ops/rs.py): interleaved
+    # RS(255,223) coded bytes, or the reference's Rep-7 stream.
+    rs_on = bool(hdr.flags & header_mod.FLAG_RS_PAYLOAD)
+    want_bits = (rs_mod.coded_len(hdr.clen + 16) * 8 if rs_on
+                 else (hdr.clen + 16) * 8 * 7)
+    payload_stream_bits = min(want_bits, cap_bits)
     total_bits = _HEADER_STREAM_BITS + payload_stream_bits
     # QIM auto-detect (FLAGS bits 4-7, pipeline/qim.py): the payload was
     # written by dithered phase QIM at level L; params.qim is embed-side
@@ -135,8 +141,15 @@ def extract_array(
         sl = slice(_HEADER_STREAM_BITS, total_bits)
         payload_stream = read_payload(
             (idx_p[sl], idx_y[sl], idx_x[sl]), jit[sl], _HEADER_STREAM_BITS)
-    payload_bits = np.asarray(ecc.rep7_decode(payload_stream))
-    rest = bit_ops.bytes_from_bits(payload_bits)
+    if rs_on:
+        coded = bit_ops.bytes_from_bits(np.asarray(payload_stream))
+        if len(coded) < rs_mod.coded_len(hdr.clen + 16):
+            raise StegoError("Payload truncated after ECC decode.")
+        # undecodable blocks return their data uncorrected; AEAD rejects
+        rest, _rs_ok, _ = rs_mod.rs_decode_interleaved(coded, hdr.clen + 16)
+    else:
+        payload_bits = np.asarray(ecc.rep7_decode(payload_stream))
+        rest = bit_ops.bytes_from_bits(payload_bits)
     if len(rest) < hdr.clen + 16:
         raise StegoError("Payload truncated after ECC decode.")
     ct, tag = rest[: hdr.clen], rest[hdr.clen : hdr.clen + 16]
@@ -164,6 +177,23 @@ def extract_array(
     return pt
 
 
+def _rs_soft_decode(pvals, m: int) -> bytes | None:
+    """RS errors-and-erasures decode from per-bit decision values: hard
+    bits from sign(v), per-coded-byte confidence = min |v| over the byte's
+    8 bits (a byte is only as trustworthy as its weakest bit), fed to
+    ops/rs.rs_decode_interleaved_soft."""
+    v = np.asarray(pvals, dtype=np.float64)
+    need = rs_mod.coded_len(m) * 8
+    if v.shape[0] < need:
+        return None
+    v = v[:need]
+    bits = (v >= 0).astype(np.uint8)
+    coded = bit_ops.bytes_from_bits(bits)
+    conf = np.abs(v).reshape(-1, 8).min(axis=1)
+    rest, _ok = rs_mod.rs_decode_interleaved_soft(coded, m, conf)
+    return rest
+
+
 def _soft_retry(backend, spec, med, password, master_key, params, path_key,
                 key_walk, plane_keys, PH, PW, hard_hdr,
                 payload_stream_bits) -> bytes | None:
@@ -178,9 +208,13 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
     if hdr_bytes[:4] != header_mod.MAGIC or hdr_bytes[4] != header_mod.VERSION:
         return None
     hdr = Header.from_bytes(hdr_bytes)
-    if hdr.clen != hard_hdr.clen:  # soft-corrected clen: resize the read
-        payload_stream_bits = min((hdr.clen + 16) * 8 * 7,
-                                  3 * PH * PW // 2)
+    rs_on = bool(hdr.flags & header_mod.FLAG_RS_PAYLOAD)
+    if hdr.clen != hard_hdr.clen or rs_on != bool(
+            hard_hdr.flags & header_mod.FLAG_RS_PAYLOAD):
+        # soft-corrected clen or FEC flag: resize the read
+        want = (rs_mod.coded_len(hdr.clen + 16) * 8 if rs_on
+                else (hdr.clen + 16) * 8 * 7)
+        payload_stream_bits = min(want, 3 * PH * PW // 2)
     L = header_mod.qim_levels(hdr.flags)
     if L == 1:
         return None
@@ -206,8 +240,13 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
     else:
         pvals = backend.read_values(spec, med, (pp, py, px), pj,
                                     params.alpha, params)
-    payload_bits = np.asarray(ecc.rep_decode_soft(pvals, 7))
-    rest = bit_ops.bytes_from_bits(payload_bits)
+    if rs_on:
+        rest = _rs_soft_decode(pvals, hdr.clen + 16)
+        if rest is None:
+            return None
+    else:
+        payload_bits = np.asarray(ecc.rep_decode_soft(pvals, 7))
+        rest = bit_ops.bytes_from_bits(payload_bits)
     if len(rest) < hdr.clen + 16:
         return None
     ct, tag = rest[: hdr.clen], rest[hdr.clen: hdr.clen + 16]

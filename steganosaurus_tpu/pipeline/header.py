@@ -20,6 +20,10 @@ FIXED_LEN = 4 + 1 + 1 + 16 + 12 + 4  # 38
 # a flagged stego still header-parses everywhere, and the reference binary
 # fails closed (payload walk diverges -> AEAD auth failure).
 FLAG_PER_IMAGE_WALK = 0x01  # payload walk is salt-keyed (pipeline/batch.py)
+FLAG_RS_PAYLOAD = 0x02      # payload FEC is interleaved RS(255,223) instead
+#                             of Rep-7 (ops/rs.py; ~6x capacity). The header
+#                             itself always stays Rep-3: it must be locatable
+#                             and decodable before any flag is known.
 
 # FLAGS bits 4-7 carry the QIM quantizer level L (Params.qim; 0 = payload on
 # the reference's hard +-alpha write, 2..15 = dithered phase QIM with step

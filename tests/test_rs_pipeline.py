@@ -1,0 +1,108 @@
+"""Interleaved Reed-Solomon payload FEC in the pipelines (Params.rs;
+ops/rs.py + pipeline/embed.py frame_bits + pipeline/extract.py).
+
+The reference's own doc/TODO.md lists "Stronger FEC (Reed-Solomon or
+LDPC)" with interleaving as future work; there is no reference code path —
+the wire behavior (header FLAGS bit 0x02, auto-detected at extraction) is
+defined by this framework. The stock reference binary must fail CLOSED on
+RS stegos (its Rep-7 payload walk length diverges -> AEAD reject)."""
+
+import numpy as np
+import pytest
+
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.ops import rs as rs_mod
+from steganosaurus_tpu.pipeline import header as header_mod
+from steganosaurus_tpu.pipeline.embed import embed_array, frame_bits
+from steganosaurus_tpu.pipeline.extract import extract_array
+from steganosaurus_tpu.pipeline.errors import StegoError
+
+MK = bytes(range(32))
+P_RS = Params(pbkdf2_iter=1000, rs=True)
+P_PLAIN = Params(pbkdf2_iter=1000)
+
+
+@pytest.fixture(scope="module")
+def cover():
+    rng = np.random.default_rng(21)
+    base = rng.integers(180, 221, (256, 256, 3))
+    return (base + rng.integers(-10, 11, (256, 256, 3))).clip(0, 255).astype(
+        np.uint8)
+
+
+def test_frame_bits_rs_layout():
+    hdr = bytes(range(38))
+    ct, tag = b"x" * 100, b"t" * 16
+    plain = frame_bits(hdr, ct, tag)
+    rsf = frame_bits(hdr, ct, tag, rs=True)
+    assert len(plain) == 38 * 8 * 3 + 116 * 8 * 7
+    assert len(rsf) == 38 * 8 * 3 + rs_mod.coded_len(116) * 8
+    # header section identical (always Rep-3)
+    np.testing.assert_array_equal(plain[: 38 * 8 * 3], rsf[: 38 * 8 * 3])
+
+
+def test_roundtrip_and_autodetect(cover):
+    secret = np.random.default_rng(3).bytes(300)
+    r = embed_array(cover, secret, master_key=MK, params=P_RS)
+    # Rep-7 would need (300+16)*8*7 = 17696 payload bits — over this
+    # cover's capacity; RS fits easily
+    assert r.written_bits == 912 + rs_mod.coded_len(316) * 8
+    assert r.written_bits < 17696
+    # extraction with the flag, and with defaults (header auto-detect)
+    assert extract_array(r.stego, master_key=MK, params=P_RS) == secret
+    assert extract_array(r.stego, master_key=MK, params=P_PLAIN) == secret
+
+
+def test_capacity_multiplier(cover):
+    """RS carries ~6x the payload of Rep-7 in the same cover."""
+    big = np.random.default_rng(4).bytes(1400)  # rep7: 79k bits >> capacity
+    with pytest.raises(StegoError):
+        embed_array(cover, big, master_key=MK, params=P_PLAIN)
+    r = embed_array(cover, big, master_key=MK, params=P_RS)
+    assert extract_array(r.stego, master_key=MK, params=P_PLAIN) == big
+
+
+def test_rs_composes_with_other_modes(cover):
+    secret = b"rs compose check" * 5
+    for kw in (dict(qim=6), dict(per_image_walk=True),
+               dict(soft_write=True), dict(qim=4, per_image_walk=True)):
+        p = Params(pbkdf2_iter=1000, rs=True, **kw)
+        r = embed_array(cover, secret, master_key=MK, params=p)
+        out = extract_array(r.stego, master_key=MK, params=P_PLAIN)
+        assert out == secret, kw
+
+
+def test_wrong_password_fast_fail(cover):
+    r = embed_array(cover, b"secret", password="right",
+                    params=P_RS.replace(soft_decode_fallback=False))
+    with pytest.raises(StegoError, match="Magic not found"):
+        extract_array(r.stego, password="wrong",
+                      params=P_RS.replace(soft_decode_fallback=False))
+
+
+def test_noise_recovery_via_rs_correction(cover):
+    """Pixel noise flips some payload bits; RS corrects where Rep-7 would
+    majority-vote. Light noise on a strong-margin write must round-trip."""
+    secret = np.random.default_rng(6).bytes(600)
+    r = embed_array(cover, secret, master_key=MK, params=P_RS)
+    rng = np.random.default_rng(7)
+    noisy = r.stego.astype(np.int16).copy()
+    mask = rng.random(noisy.shape) < 0.02
+    noisy[mask] += rng.integers(-1, 2, mask.sum()).astype(np.int16)
+    noisy = noisy.clip(0, 255).astype(np.uint8)
+    assert extract_array(noisy, master_key=MK, params=P_RS) == secret
+
+
+def test_reference_binary_fails_closed(cover, tmp_path, reference_bin):
+    """The stock reference binary must NOT extract an RS stego (it would
+    read the payload as Rep-7 at the wrong length) — and must not crash."""
+    from steganosaurus_tpu.io import image as image_io
+    from tests.test_reference_parity import _run
+
+    stego = tmp_path / "rs_stego.png"
+    r = embed_array(cover, b"not for the reference", password="pw",
+                    params=Params(pbkdf2_iter=1000, rs=True))
+    image_io.save_png(str(stego), r.stego)
+    res = _run([reference_bin, "extract", "--in", stego, "--pass", "pw",
+                "--pbkdf2_iter", "1000"])
+    assert res.returncode != 0 or "not for the reference" not in res.stdout
