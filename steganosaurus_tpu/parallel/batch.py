@@ -220,17 +220,20 @@ def _pack_bits_words(bits):
 @functools.lru_cache(maxsize=32)
 def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
                                hdr_stream_bits: int = 0,
-                               shared_idx: bool = True):
+                               shared_idx: bool = True,
+                               payload_rep: int = 7):
     """Jitted: gather walk bins AND ECC-decode on device, returning packed
     bytes as i32 words — (B, 10 + ceil(payload_bytes/4)) instead of (B, n)
     raw bits, a ~250x smaller pull (ECC 3x/7x + bit->word 32x).
 
     Input bin arrays cover [0, hdr_stream_bits + payload_stream_bits): the
     first hdr_stream_bits are Rep-3 decoded (-> 10 words = 38 header bytes +
-    2 pad), the rest Rep-7 decoded (reference frame layout,
-    steganosaur.cpp:986-995). hdr_stream_bits=0 skips the header section
-    (payload-only second pass). shared_idx=False takes per-image (B, n)
-    bin/jitter arrays (per-image-walk mode).
+    2 pad), the rest decoded under payload_rep — 7 = the reference's Rep-7
+    frame (steganosaur.cpp:986-995); 1 = raw packed bits for the RS wire
+    mode, whose FEC decode runs on host (ops/rs.py; rep_decode with n=1 is
+    the identity). hdr_stream_bits=0 skips the header section (payload-only
+    second pass). shared_idx=False takes per-image (B, n) bin/jitter arrays
+    (per-image-walk mode).
     """
     inner = functools.partial(_read_core, adaptive=adaptive)
 
@@ -241,7 +244,7 @@ def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
             outs.append(_pack_bits_words(
                 ecc.rep_decode(raw[:hdr_stream_bits], 3)))
         outs.append(_pack_bits_words(
-            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+            ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
         return jnp.concatenate(outs)
 
     if shared_idx:
@@ -644,7 +647,7 @@ def _pack_bd_batch(bd):
 def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                               has_jitter: bool, layout: str,
                               hdr_stream_bits: int, B: int,
-                              qim_levels: int = 0):
+                              qim_levels: int = 0, payload_rep: int = 7):
     """ONE-dispatch extract fast path (single chip): (imgs u8, [cjd, sjd],
     alpha, plane/y/x (n,)) -> (B, words) decoded i32 words.
 
@@ -663,7 +666,7 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             outs.append(_pack_bits_words(
                 ecc.rep_decode(raw[:hdr_stream_bits], 3)))
         outs.append(_pack_bits_words(
-            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+            ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
         return jnp.concatenate(outs)
 
     def fn(imgs, cjd, sjd, dq, qm, alpha, plane, y, x, *tabs):
@@ -737,7 +740,7 @@ def _piw_qim_write_vals(vr, vi, s, dith, L: int):
 def corner_soft_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                              has_jitter: bool, layout: str,
                              hdr_stream_bits: int, per_image: bool = False,
-                             qim_levels: int = 0):
+                             qim_levels: int = 0, payload_rep: int = 7):
     """Soft-decision extract pass (the AEAD-failure recovery fallback,
     pipeline/batch.py): ONE module computing the corner spectrum, gathering
     per-bin DECISION VALUES d = sign(sin a)*(Im*cos(jd) - Re*sin(jd))
@@ -761,8 +764,15 @@ def corner_soft_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         if hdr_stream_bits:
             outs.append(_pack_bits_words(
                 ecc.rep_decode_soft(d[:hdr_stream_bits], 3)))
-        outs.append(_pack_bits_words(
-            ecc.rep_decode_soft(d[hdr_stream_bits:], 7)))
+        pay = d[hdr_stream_bits:]
+        if payload_rep == 1:
+            # RS wire mode: hard payload bits + per-coded-byte confidence
+            # (min |decision value| of the byte's bits) for the host-side
+            # errors-and-erasures decode (ops/rs.py).
+            outs.append(_pack_bits_words((pay >= 0).astype(jnp.uint8)))
+            conf = jnp.abs(pay).reshape(-1, 8).min(axis=1)
+            return jnp.concatenate(outs), conf
+        outs.append(_pack_bits_words(ecc.rep_decode_soft(pay, payload_rep)))
         return jnp.concatenate(outs)
 
     def shared_fn(imgs, cjd, sjd, dq, qm, alpha, plane, y, x, *tabs):
@@ -928,7 +938,7 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 def corner_piw_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                             layout: str, hdr_stream_bits: int,
                             mesh: Mesh | None = None, qim_levels: int = 0,
-                            qim_hdr: int = 0):
+                            qim_hdr: int = 0, payload_rep: int = 7):
     """Per-image-walk corner extract (ONE dispatched module): (imgs u8,
     plane/y/x (B, n) i32, jitters (B, n) f32, alpha () f32) -> (B, words)
     decoded i32 words (same contract as corner_extract_fused_core).
@@ -957,7 +967,7 @@ def corner_piw_extract_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             outs.append(_pack_bits_words(
                 ecc.rep_decode(raw[:hdr_stream_bits], 3)))
         outs.append(_pack_bits_words(
-            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+            ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
         return jnp.concatenate(outs)
 
     def fn(imgs, plane, y, x, jit, dith, alpha, *tabs):
@@ -1027,11 +1037,13 @@ def unpack_words_host(words: np.ndarray, n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def corner_gather_decode_core(mesh: Mesh | None = None,
-                              hdr_stream_bits: int = 0, B: int = 0):
+                              hdr_stream_bits: int = 0, B: int = 0,
+                              payload_rep: int = 7):
     """Jitted: (bit_dense, plane/y/x (n,)) -> packed decoded words, same
     output contract as batched_gather_decode_core (rep3 header section +
-    rep7 payload, bit->word packing). bit_dense is corner_bits_core's output
-    for the SAME mesh (batch-packed when mesh is None, B required)."""
+    payload_rep payload — 7 = Rep-7, 1 = raw bits for host RS decode —
+    bit->word packing). bit_dense is corner_bits_core's output for the SAME
+    mesh (batch-packed when mesh is None, B required)."""
 
     def decode(raw):
         outs = []
@@ -1039,7 +1051,7 @@ def corner_gather_decode_core(mesh: Mesh | None = None,
             outs.append(_pack_bits_words(
                 ecc.rep_decode(raw[:hdr_stream_bits], 3)))
         outs.append(_pack_bits_words(
-            ecc.rep_decode(raw[hdr_stream_bits:], 7)))
+            ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
         return jnp.concatenate(outs)
 
     if mesh is None:

@@ -33,6 +33,7 @@ from steganosaurus_tpu import crypto, keystream, spectral
 from steganosaurus_tpu.config import Params
 from steganosaurus_tpu.ops import bits as bit_ops
 from steganosaurus_tpu.ops import ecc
+from steganosaurus_tpu.ops import rs as rs_mod
 from steganosaurus_tpu.parallel import batch as pbatch
 from steganosaurus_tpu.parallel import transfer
 from steganosaurus_tpu.pipeline import header as header_mod
@@ -421,6 +422,8 @@ def embed_batch(
     if params.qim:
         qim_mod.validate(params)
         flags = header_mod.flags_with_qim(flags, params.qim)
+    if params.rs:
+        flags |= header_mod.FLAG_RS_PAYLOAD
     streams = []
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
@@ -432,8 +435,14 @@ def embed_batch(
         ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
         streams.append(hdr_bytes + ct + tag)
 
-    frame_lens = [_HEADER_STREAM_BITS + (len(s) - header_mod.FIXED_LEN) * 8 * 7
-                  for s in streams]
+    if params.rs:
+        frame_lens = [_HEADER_STREAM_BITS
+                      + rs_mod.coded_len(len(s) - header_mod.FIXED_LEN) * 8
+                      for s in streams]
+    else:
+        frame_lens = [_HEADER_STREAM_BITS
+                      + (len(s) - header_mod.FIXED_LEN) * 8 * 7
+                      for s in streams]
     nmax = max(frame_lens)
     # One walk serves the whole batch (salt-independent path key). Indices
     # are bucketed to a multiple of 4096 and live on device (see
@@ -454,13 +463,18 @@ def embed_batch(
 
     def _host_frames():
         """ECC-expanded bit frames, padded to `bucket` with each image's
-        last bit (reference frame layout, steganosaur.cpp:986-995)."""
+        last bit (reference frame layout, steganosaur.cpp:986-995; RS wire
+        mode codes the payload section via ops/rs.py instead of Rep-7)."""
         bits = np.zeros((B, bucket), np.uint8)
         for i, s in enumerate(streams):
             h = ecc.rep3_encode(
                 bit_ops.bits_from_bytes(s[: header_mod.FIXED_LEN]))
-            p = ecc.rep7_encode(
-                bit_ops.bits_from_bytes(s[header_mod.FIXED_LEN:]))
+            if params.rs:
+                p = bit_ops.bits_from_bytes(rs_mod.rs_encode_interleaved(
+                    s[header_mod.FIXED_LEN:]))
+            else:
+                p = ecc.rep7_encode(
+                    bit_ops.bits_from_bytes(s[header_mod.FIXED_LEN:]))
             f = np.concatenate([np.asarray(h), np.asarray(p)])
             bits[i, : len(f)] = f
             bits[i, len(f):] = f[-1]
@@ -531,7 +545,7 @@ def embed_batch(
         has_jitter = params.jitter != 0.0
         maps, _ = _corner_statics_device(password, master_key, params, PH,
                                          PW, nmax, bucket, Ky, Kx, mesh)
-        if len(set(frame_lens)) == 1 and mesh is None:
+        if len(set(frame_lens)) == 1 and mesh is None and not params.rs:
             # equal-length single-chip path: upload raw streams (~28x
             # smaller than ECC bit words); the ECC expansion AND the packed
             # frame table build run INSIDE the embed module (one dispatch —
@@ -548,7 +562,7 @@ def embed_batch(
                                           qim_levels=params.qim)
             out = fn(imgs_d, words, *maps, alpha)
         else:
-            if len(set(frame_lens)) == 1:
+            if len(set(frame_lens)) == 1 and not params.rs:
                 words = pbatch.pack_bytes_words_host(streams)
                 tbl_fn = pbatch.frame_table_core(len(streams[0]), bucket,
                                                  mesh)
@@ -685,6 +699,8 @@ def channel_report(
 
     frames, frame_lens = [], []
     flags = (header_mod.flags_with_qim(0, params.qim) if params.qim else 0)
+    if params.rs:
+        flags |= header_mod.FLAG_RS_PAYLOAD
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
@@ -694,7 +710,11 @@ def channel_report(
                            clen=len(secret), flags=flags).to_bytes()
         ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
         h = ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))
-        p_ = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
+        if params.rs:
+            p_ = bit_ops.bits_from_bytes(
+                rs_mod.rs_encode_interleaved(ct + tag))
+        else:
+            p_ = ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag))
         frames.append(np.concatenate([np.asarray(h), np.asarray(p_)]))
         frame_lens.append(len(frames[-1]))
 
@@ -732,8 +752,10 @@ def channel_report(
     got = pbatch.unpack_words_host(np.asarray(raw_fn(bd, plane, y, x)),
                                    bucket)
 
-    reports = [metrics.ecc_report(frames[i], got[i, : frame_lens[i]],
-                                  _HEADER_STREAM_BITS) for i in range(B)]
+    reports = [metrics.ecc_report(
+        frames[i], got[i, : frame_lens[i]], _HEADER_STREAM_BITS,
+        rs_payload_bytes=(len(secrets[i]) + 16) if params.rs else 0)
+        for i in range(B)]
     out = {k: float(np.mean([r[k] for r in reports])) for k in reports[0]}
     if per_image:
         out["per_image"] = [
@@ -802,6 +824,10 @@ class _ExtractJob:
         # whose header-carried L differs from the assumption get a corrected
         # payload pass in finalize — a wrong assumption never misdecodes.
         self._qim = params.qim
+        # Assumed payload FEC for the speculative fused pass, same
+        # correction contract as the QIM assumption: images whose header
+        # flag disagrees get a corrected payload-only pass in finalize.
+        self._rs = params.rs
         if params.qim:
             from steganosaurus_tpu.pipeline import qim as _qim_mod
 
@@ -824,14 +850,20 @@ class _ExtractJob:
         # both the gather size under a corrupt header clen (the reference
         # hangs here, doc/TESTING.md:151-156) and oversized clen_hints.
         self._cap_bits = 3 * PH * PW // 2
-        self._hint_bits = (min((clen_hint + 16) * 8 * 7, self._cap_bits)
-                           if clen_hint else 0)
+        self._hint_bits = (min(self._payload_bits(clen_hint, params.rs),
+                               self._cap_bits) if clen_hint else 0)
         self._covered_payload_bits = 0  # set by the with_header dispatch
         self._result: list[bytes | None] | None = None
         # Fused pass: header + hinted payload in one device round-trip
         # (dispatch only; the pull happens in finalize). With no hint the
         # payload section is empty and the second pass always runs.
         self._words_d = self._dispatch_pass(self._hint_bits, True)
+
+    @staticmethod
+    def _payload_bits(clen: int, rs: bool) -> int:
+        """Payload stream bits for a ciphertext length, by FEC mode."""
+        return (rs_mod.coded_len(clen + 16) * 8 if rs
+                else (clen + 16) * 8 * 7)
 
     def _bit_dense_for(self, nbits: int, bucket: int, L: int):
         """Dense decoded-bit corner (mesh path) under QIM level L. With no
@@ -861,7 +893,7 @@ class _ExtractJob:
         return bd
 
     def _dispatch_pass(self, payload_stream_bits: int, with_header: bool,
-                       qim: int | None = None):
+                       qim: int | None = None, rs: bool | None = None):
         """Dispatch gather + device-ECC-decode for one pass; returns the
         (B, words) DEVICE array (not pulled). Bits past walk exhaustion are
         garbage (last-bin re-reads) — consumers only use bytes their
@@ -879,6 +911,7 @@ class _ExtractJob:
         password, master_key = self._key
         PH, PW = self._dims
         L = self._qim if qim is None else qim
+        rep = 1 if (self._rs if rs is None else rs) else 7
         hdr = _HEADER_STREAM_BITS
         if payload_stream_bits:
             total = hdr + payload_stream_bits
@@ -905,7 +938,8 @@ class _ExtractJob:
             Ky, Kx = self._corner_kk
             core = pbatch.corner_extract_fused_core(
                 H, W, Ky, Kx, self._params.center, self._has_jitter,
-                self._layout, hdr_bits, self.B, qim_levels=L)
+                self._layout, hdr_bits, self.B, qim_levels=L,
+                payload_rep=rep)
             if self._has_jitter or L:
                 maps, _ = _corner_statics_device(
                     password, master_key, self._params, PH, PW, total,
@@ -916,11 +950,12 @@ class _ExtractJob:
             return core(self._imgs_d, self._alpha, pl, yy, xx)
         if self._use_corner:
             core = pbatch.corner_gather_decode_core(
-                self._mesh, hdr_stream_bits=hdr_bits)
+                self._mesh, hdr_stream_bits=hdr_bits, payload_rep=rep)
             return core(self._bit_dense_for(total, bucket_total, L),
                         pl, yy, xx)
         core = pbatch.batched_gather_decode_core(
-            self._params.adaptive_alpha, self._mesh, hdr_stream_bits=hdr_bits)
+            self._params.adaptive_alpha, self._mesh, hdr_stream_bits=hdr_bits,
+            payload_rep=rep)
         return core(self._spec, self._med, pl, yy, xx, jj, self._alpha)
 
     @staticmethod
@@ -929,7 +964,7 @@ class _ExtractJob:
         return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
 
     def _dispatch_piw_pass(self, idxs: list[int], headers: list,
-                           qim: int = 0) -> list[bytes]:
+                           qim: int = 0, rs: bool = False) -> list[bytes]:
         """Per-image-walk payload pass for the header-flagged images
         (pipeline/header.py FLAG_PER_IMAGE_WALK, auto-detected in
         finalize): salt-keyed chained walks expanded on a thread pool from
@@ -952,8 +987,8 @@ class _ExtractJob:
 
         sel, _nreal = _bucket_sel(list(idxs), self.B)
         idxs = [int(i) for i in sel]  # padded; rows [0, nreal) map to input
-        needs = [min((headers[i].clen + 16) * 8 * 7, self._cap_bits)
-                 for i in idxs]
+        needs = [min(self._payload_bits(headers[i].clen, rs),
+                     self._cap_bits) for i in idxs]
         n = -(-max(needs) // 4096) * 4096
 
         def expand(k):
@@ -992,7 +1027,7 @@ class _ExtractJob:
                          and self.B % self._mesh.size == 0 else None)
             core = pbatch.corner_piw_extract_core(
                 H, W, Ky, Kx, params.center, self._layout, 0, core_mesh,
-                qim_levels=qim, qim_hdr=0)
+                qim_levels=qim, qim_hdr=0, payload_rep=1 if rs else 7)
             if qim:
                 # payload-only slots: frame slot of payload bit k is
                 # hdr + k, so slice the slot-aligned dither (pipeline/qim.py)
@@ -1006,7 +1041,7 @@ class _ExtractJob:
         else:
             core = pbatch.batched_gather_decode_core(
                 params.adaptive_alpha, None, hdr_stream_bits=0,
-                shared_idx=False)
+                shared_idx=False, payload_rep=1 if rs else 7)
             words = core(self._spec[sel], self._med[sel], plane, yarr,
                          xarr, jarr, self._alpha)
         return self._to_bufs(words)
@@ -1034,41 +1069,46 @@ class _ExtractJob:
         piw_idx = [i for i, h in enumerate(headers) if h is not None
                    and (h.flags & header_mod.FLAG_PER_IMAGE_WALK)]
         piw_set = set(piw_idx)
-        # Shared-walk images grouped by their header-carried QIM level
-        # (pipeline/qim.py; usually one group — homogeneous batches).
-        shared_by_L: dict[int, list[int]] = {}
+
+        def _mode(h) -> tuple[int, bool]:
+            """(QIM level, RS flag) carried by a header (pipeline/header.py;
+            usually one group — homogeneous batches)."""
+            return (header_mod.qim_levels(h.flags),
+                    bool(h.flags & header_mod.FLAG_RS_PAYLOAD))
+
+        shared_by_mode: dict[tuple[int, bool], list[int]] = {}
         for i, h in enumerate(headers):
             if h is not None and i not in piw_set:
-                shared_by_L.setdefault(header_mod.qim_levels(h.flags),
-                                       []).append(i)
-        if not shared_by_L and not piw_idx:
+                shared_by_mode.setdefault(_mode(h), []).append(i)
+        if not shared_by_mode and not piw_idx:
             self._result = [None] * self.B
             return self._result
         payloads: list[bytes | None] = [None] * self.B
-        for L, idxs in shared_by_L.items():
-            need = min((max(headers[i].clen for i in idxs) + 16) * 8 * 7,
-                       self._cap_bits)
-            if L == self._qim and need <= self._covered_payload_bits:
+        for (L, R), idxs in shared_by_mode.items():
+            need = min(self._payload_bits(
+                max(headers[i].clen for i in idxs), R), self._cap_bits)
+            if (L == self._qim and R == self._rs
+                    and need <= self._covered_payload_bits):
                 # the fused pass already decoded this group's payload rule:
                 # payload bytes follow the 40-byte header block
                 for i in idxs:
                     payloads[i] = bufs[i][40:]
-            else:  # hint too small/absent, or the assumed QIM level was
+            else:  # hint too small/absent, or the assumed QIM/FEC mode was
                 #    wrong for this group: payload-only corrected pass
-                grp = self._to_bufs(self._dispatch_pass(need, False, qim=L))
+                grp = self._to_bufs(
+                    self._dispatch_pass(need, False, qim=L, rs=R))
                 for i in idxs:
                     payloads[i] = grp[i]
         if piw_idx:
             # header-flagged images: salt-keyed per-image payload walks
             # (auto-detected; the fused pass's shared-walk payload section
-            # does not apply to them), grouped by QIM level
-            piw_by_L: dict[int, list[int]] = {}
+            # does not apply to them), grouped by (QIM level, FEC mode)
+            piw_by_mode: dict[tuple[int, bool], list[int]] = {}
             for i in piw_idx:
-                piw_by_L.setdefault(header_mod.qim_levels(headers[i].flags),
-                                    []).append(i)
-            for L, idxs in piw_by_L.items():
-                for i, buf in zip(idxs,
-                                  self._dispatch_piw_pass(idxs, headers, L)):
+                piw_by_mode.setdefault(_mode(headers[i]), []).append(i)
+            for (L, R), idxs in piw_by_mode.items():
+                for i, buf in zip(idxs, self._dispatch_piw_pass(
+                        idxs, headers, L, rs=R)):
                     payloads[i] = buf
 
         out: list[bytes | None] = []
@@ -1076,7 +1116,18 @@ class _ExtractJob:
             if hdr is None:
                 out.append(None)
                 continue
-            rest = payloads[i][: hdr.clen + 16]
+            if hdr.flags & header_mod.FLAG_RS_PAYLOAD:
+                # payload bytes are the interleaved RS stream; FEC decode on
+                # host (undecodable blocks pass through uncorrected -> AEAD
+                # rejects, per-image isolation preserved)
+                clen_cap = rs_mod.coded_len(hdr.clen + 16)
+                if len(payloads[i]) < clen_cap:
+                    out.append(None)
+                    continue
+                rest, _ok, _ = rs_mod.rs_decode_interleaved(
+                    payloads[i][:clen_cap], hdr.clen + 16)
+            else:
+                rest = payloads[i][: hdr.clen + 16]
             if len(rest) < hdr.clen + 16:  # clen beyond walk capacity/budget
                 out.append(None)
                 continue
@@ -1111,17 +1162,24 @@ class _ExtractJob:
         hdr_n = _HEADER_STREAM_BITS
         failed = [i for i, (h, o) in enumerate(zip(headers, out))
                   if h is not None and o is None]
-        shared = [i for i in failed
-                  if not (headers[i].flags & header_mod.FLAG_PER_IMAGE_WALK)]
-        piw = [i for i in failed
-               if headers[i].flags & header_mod.FLAG_PER_IMAGE_WALK]
 
-        def open_from(buf):
+        def open_from(buf, conf=None):
+            """AEAD-open from a soft-pass buffer. With `conf` (RS wire mode,
+            per-coded-byte confidence from the device pass) the payload
+            section holds raw coded bytes: errors-and-erasures decode them
+            (ops/rs.py) before the open."""
             hb = buf[:header_mod.FIXED_LEN]
             if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
                 return None
             h2 = Header.from_bytes(hb)
-            rest = buf[40:][: h2.clen + 16]
+            if conf is not None:
+                ncoded = rs_mod.coded_len(h2.clen + 16)
+                if len(buf) - 40 < ncoded:
+                    return None
+                rest, _ok = rs_mod.rs_decode_interleaved_soft(
+                    buf[40: 40 + ncoded], h2.clen + 16, conf[:ncoded])
+            else:
+                rest = buf[40:][: h2.clen + 16]
             if len(rest) < h2.clen + 16:
                 return None
             ct, tag = rest[: h2.clen], rest[h2.clen: h2.clen + 16]
@@ -1132,14 +1190,21 @@ class _ExtractJob:
                                         params.pbkdf2_iter)
             return crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag)
 
+        def _mode(h) -> tuple[int, bool]:
+            return (header_mod.qim_levels(h.flags),
+                    bool(h.flags & header_mod.FLAG_RS_PAYLOAD))
+
+        def _parse_soft_header(buf):
+            hb = buf[:header_mod.FIXED_LEN]
+            if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
+                return None
+            return Header.from_bytes(hb)
+
         path_key = crypto.derive_path_key(password, master_key, None)
-        shared_by_L: dict[int, list[int]] = {}
-        for i in shared:
-            shared_by_L.setdefault(header_mod.qim_levels(headers[i].flags),
-                                   []).append(i)
-        for L, grp in shared_by_L.items():
-            need = min(max((headers[i].clen + 16) * 8 * 7 for i in grp),
-                       self._cap_bits)
+
+        def run_shared(grp, hdrs, L, R):
+            need = min(max(self._payload_bits(hdrs[i].clen, R)
+                           for i in grp), self._cap_bits)
             total = hdr_n + need
             bucket_total = -(-total // 4096) * 4096
             (pl, yy, xx, _jj), _ = _walk_indices_device(
@@ -1150,7 +1215,7 @@ class _ExtractJob:
                         else self._imgs_d)
             core = pbatch.corner_soft_extract_core(
                 H, W, Ky, Kx, params.center, self._has_jitter, self._layout,
-                hdr_n, qim_levels=L)
+                hdr_n, qim_levels=L, payload_rep=1 if R else 7)
             if self._has_jitter or L:
                 maps, _ = _corner_statics_device(
                     password, master_key, params, PH, PW, total,
@@ -1159,41 +1224,81 @@ class _ExtractJob:
                              self._alpha, pl, yy, xx)
             else:
                 words = core(imgs_sub, self._alpha, pl, yy, xx)
-            bufs = self._to_bufs(words)
-            for k, i in enumerate(grp):
-                got = open_from(bufs[k])
-                if got is not None:
-                    out[i] = got
-        piw_by_L: dict[int, list[int]] = {}
-        for i in piw:
-            piw_by_L.setdefault(header_mod.qim_levels(headers[i].flags),
-                                []).append(i)
-        for L, grp in piw_by_L.items():
+            conf_np = None
+            if R:
+                words, conf_d = words
+                conf_np = np.asarray(conf_d)
+            return self._to_bufs(words), conf_np
+
+        def run_piw(grp, hdrs, L, R):
             sel, _nreal = _bucket_sel(grp, self.B)
             padded = [int(i) for i in sel]
-            needs = [hdr_n + min((headers[i].clen + 16) * 8 * 7,
+            needs = [hdr_n + min(self._payload_bits(hdrs[i].clen, R),
                                  self._cap_bits) for i in padded]
             bucket_total = -(-max(needs) // 4096) * 4096
             plane, yarr, xarr, jarr = _piw_walk_arrays(
                 password, master_key, params, PH, PW,
-                [headers[i].salt for i in padded], needs, bucket_total,
+                [hdrs[i].salt for i in padded], needs, bucket_total,
                 strict=False)
             imgs_sub = (self._imgs_d[sel] if sel.size != self.B
                         else self._imgs_d)
             core = pbatch.corner_soft_extract_core(
                 H, W, Ky, Kx, params.center, False, self._layout, hdr_n,
-                per_image=True, qim_levels=L)
+                per_image=True, qim_levels=L, payload_rep=1 if R else 7)
             if L:
                 dith = qim_mod.dither_angles(path_key, L, bucket_total)
                 words = core(imgs_sub, plane, yarr, xarr, jarr,
                              jnp.asarray(dith), self._alpha)
             else:
                 words = core(imgs_sub, plane, yarr, xarr, jarr, self._alpha)
-            bufs = self._to_bufs(words)
-            for k, i in enumerate(grp):
-                got = open_from(bufs[k])
-                if got is not None:
-                    out[i] = got
+            conf_np = None
+            if R:
+                words, conf_d = words
+                conf_np = np.asarray(conf_d)
+            return self._to_bufs(words), conf_np
+
+        # Two rounds: round 1 groups by the HARD-pass header mode; a raw
+        # channel flip that survives the hard Rep-3 majority can corrupt the
+        # flags byte (phantom QIM/RS/PIW bits) and misroute the payload
+        # decode. Header bins always use the plain half-plane decision rule
+        # regardless of the assumed mode (corner.decision_values_dense_qim),
+        # so the SOFT buffer's header is mode-reliable: round 2 retries any
+        # still-failing image whose soft header disagrees with the mode (or
+        # salt/clen) it was decoded under.
+        cur = {i: headers[i] for i in failed}
+        for round_ in range(2):
+            shared_by_mode: dict[tuple[int, bool], list[int]] = {}
+            piw_by_mode: dict[tuple[int, bool], list[int]] = {}
+            for i, h in cur.items():
+                grp = (piw_by_mode
+                       if h.flags & header_mod.FLAG_PER_IMAGE_WALK
+                       else shared_by_mode)
+                grp.setdefault(_mode(h), []).append(i)
+            retry: dict[int, Header] = {}
+
+            def _consume(grp, bufs, conf_np):
+                for k, i in enumerate(grp):
+                    got = open_from(
+                        bufs[k], conf_np[k] if conf_np is not None else None)
+                    if got is not None:
+                        out[i] = got
+                    elif round_ == 0:
+                        h2 = _parse_soft_header(bufs[k])
+                        if h2 is not None and (
+                                h2.flags != cur[i].flags
+                                or h2.clen != cur[i].clen
+                                or h2.salt != cur[i].salt):
+                            retry[i] = h2
+
+            for (L, R), grp in shared_by_mode.items():
+                bufs, conf_np = run_shared(grp, cur, L, R)
+                _consume(grp, bufs, conf_np)
+            for (L, R), grp in piw_by_mode.items():
+                bufs, conf_np = run_piw(grp, cur, L, R)
+                _consume(grp, bufs, conf_np)
+            cur = retry
+            if not cur:
+                break
 
 
 def extract_dispatch(

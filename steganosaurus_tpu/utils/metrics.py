@@ -162,13 +162,17 @@ def ber(sent_bits: np.ndarray, received_bits: np.ndarray) -> float:
 
 
 def ecc_report(sent_frame: np.ndarray, received_frame: np.ndarray,
-               header_stream_bits: int) -> dict:
+               header_stream_bits: int, rs_payload_bytes: int = 0) -> dict:
     """BER before/after ECC for one embedded frame.
 
     sent/received: full on-wire bit frames (Rep-3 header stream followed by
-    Rep-7 payload stream, reference steganosaur.cpp:986-995).
+    the payload stream — Rep-7 per the reference frame layout
+    steganosaur.cpp:986-995, or interleaved RS(255,223) coded bits when
+    rs_payload_bytes (= clen + 16, the pre-FEC message size) is given.
     """
+    from steganosaurus_tpu.ops import bits as bit_ops
     from steganosaurus_tpu.ops import ecc
+    from steganosaurus_tpu.ops import rs as rs_mod
 
     s = np.asarray(sent_frame).ravel()
     r = np.asarray(received_frame).ravel()
@@ -176,8 +180,17 @@ def ecc_report(sent_frame: np.ndarray, received_frame: np.ndarray,
     pay_raw = ber(s[header_stream_bits:], r[header_stream_bits:])
     hdr_post = ber(np.asarray(ecc.rep3_decode(s[:header_stream_bits])),
                    np.asarray(ecc.rep3_decode(r[:header_stream_bits])))
-    pay_post = ber(np.asarray(ecc.rep7_decode(s[header_stream_bits:])),
-                   np.asarray(ecc.rep7_decode(r[header_stream_bits:])))
+    if rs_payload_bytes:
+        m = rs_payload_bytes
+        dec_s, _, _ = rs_mod.rs_decode_interleaved(
+            bit_ops.bytes_from_bits(s[header_stream_bits:]), m)
+        dec_r, _, _ = rs_mod.rs_decode_interleaved(
+            bit_ops.bytes_from_bits(r[header_stream_bits:]), m)
+        pay_post = ber(np.asarray(bit_ops.bits_from_bytes(dec_s)),
+                       np.asarray(bit_ops.bits_from_bytes(dec_r)))
+    else:
+        pay_post = ber(np.asarray(ecc.rep7_decode(s[header_stream_bits:])),
+                       np.asarray(ecc.rep7_decode(r[header_stream_bits:])))
     return {
         "header_ber_raw": hdr_raw,
         "header_ber_post_ecc": hdr_post,
