@@ -250,7 +250,7 @@ class Workload:
     with emits instead of bundled into one long function."""
 
     def __init__(self, h, w, batch, secret_len, master_key, covers=None,
-                 salts=None, covers_base=None):
+                 salts=None, covers_base=None, params=None, covers_d=None):
         import jax
         import jax.numpy as jnp
 
@@ -258,7 +258,7 @@ class Workload:
 
         self.h, self.w, self.batch, self.secret_len = h, w, batch, secret_len
         self.master_key = master_key
-        self.p = Params()
+        self.p = Params() if params is None else params
         rng = np.random.default_rng(7)
         self.secrets = [bytes(rng.integers(0, 256, secret_len, dtype=np.uint8))
                         for _ in range(batch)]
@@ -268,7 +268,12 @@ class Workload:
         # layout="nchw" skips two strided u8 relayouts per round-trip (the
         # one-time transpose below is paid at ingest, exactly like a
         # production pipeline would).
-        if covers_base is not None:
+        if covers_d is not None:
+            # share another workload's device-resident (B, 3, H, W) covers —
+            # zero additional upload
+            self.covers = covers if covers is not None else None
+            self.covers_d = covers_d
+        elif covers_base is not None:
             # batch > base set: upload the known-verified base ONCE and tile
             # ON DEVICE — halves the pre-headline upload (1.6 GB -> 0.8 GB at
             # 4K/B=64; the upload was measured at 330-690 s of the
@@ -629,6 +634,45 @@ def main():
         note("rotating-salt measured")
         emit()
 
+    # ---- RS wire mode on the headline workload (Params.rs: interleaved
+    # RS(255,223) payload FEC, ops/rs.py). Same 4K/B=64/16 KB job, ~6.1x
+    # fewer written bins (151k vs 919k frame bits) -> smaller walk,
+    # gathers, and write energy. Reference-incompatible wire (flag 0x02,
+    # its binary fails closed), so it is a SECONDARY record: the headline
+    # stays on the reference-compatible Rep-7 frame. Runs here (not after
+    # the frontier stages) so it can share uhd.covers_d — the UHD working
+    # set is freed right after, BEFORE the frontier/secondary stages
+    # (measured 2026-08-18: holding covers+stego+RS spectra+frontier
+    # covers together RESOURCE_EXHAUSTEDs the 16 GB chip). ----
+    if fits(120):
+        rsw = rs_stego = None
+        try:
+            from steganosaurus_tpu.config import Params
+
+            note("RS wire-mode workload (shared UHD covers)")
+            rsw = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
+                           salts=uhd.salts, covers_d=uhd.covers_d,
+                           params=Params(rs=True))
+            rs_stego = rsw.step()  # compile + recovery assert
+            rs_ips, rs_rec = rsw.stream_ips(UHD_ITERS)
+            psnr, ssim = rsw.quality(rs_stego)
+            RESULT.update({
+                "rs_mode_images_per_sec": round(rs_ips, 3),
+                "rs_mode_recovery_rate": round(rs_rec, 4),
+                "rs_mode_psnr_db": round(psnr, 2),
+                "rs_mode_ssim": round(ssim, 4),
+            })
+        except Exception as e:  # noqa: BLE001
+            RESULT["rs_mode_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            rsw = rs_stego = None
+        note("RS wire mode measured")
+        emit()
+
+    # Free the 4K working set (covers 1.6 GB + stego 1.6 GB + jitted
+    # closures) before the frontier/secondary stages allocate theirs.
+    del uhd, stego_d
+
     def frontier_stage(key: str, est: float, retries: int = 0, **kw) -> None:
         """One budget-gated psnr_frontier stage. On a null result the probe
         failure evidence (LAST_FRONTIER_DIAG) is attached as `<key>_diag`,
@@ -676,8 +720,13 @@ def main():
     # §1a; soft-decision fallback covers the reduced noise margin) ----
     frontier_stage("psnr_soft_low_alpha_config", 90, soft=True, alpha=0.15)
 
+    # Frontier covers (cached across the 4 stages above to avoid repeated
+    # uploads) are dead weight for the remaining workloads — free them.
+    _FRONTIER_COVERS.clear()
+
     # ---- identical workload to the reference baseline (4096^2, 2 KB) ----
     if fits(90):
+        p2 = None
         try:
             note("pow2 4096 workload")
             p2 = Workload(P2_N, P2_N, P2_BATCH, P2_SECRET, master_key)
@@ -688,10 +737,13 @@ def main():
                 round(p2_ips / ref_4096_ips, 1) if ref_4096_ips else None)
         except Exception as e:  # noqa: BLE001
             RESULT["pow2_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            p2 = None
         emit()
 
     # ---- 1080p tertiary (BASELINE config 2) ----
     if fits(60):
+        fhd = sd = None
         try:
             note("1080p workload")
             fhd = Workload(FHD_H, FHD_W, FHD_BATCH, FHD_SECRET, master_key)
@@ -701,6 +753,8 @@ def main():
             RESULT["fhd_1080p_psnr_db"] = round(fhd.quality(sd)[0], 2)
         except Exception as e:  # noqa: BLE001
             RESULT["fhd_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            fhd = sd = None
         emit()
 
     # ---- 512px secondary (continuity with earlier rounds; serialized-loop
