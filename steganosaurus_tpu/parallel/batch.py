@@ -647,7 +647,8 @@ def _pack_bd_batch(bd):
 def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                               has_jitter: bool, layout: str,
                               hdr_stream_bits: int, B: int,
-                              qim_levels: int = 0, payload_rep: int = 7):
+                              qim_levels: int = 0, payload_rep: int = 7,
+                              with_soft: bool = False):
     """ONE-dispatch extract fast path (single chip): (imgs u8, [cjd, sjd],
     alpha, plane/y/x (n,)) -> (B, words) decoded i32 words.
 
@@ -655,7 +656,23 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     module: on the tunneled runtime each dispatched module adds ~10 ms of
     launch latency that does NOT overlap device compute (profiled: 102 ms
     device-busy vs 163 ms step wall across ~5 modules), so merging the
-    read, gather, and ECC decode buys more than any kernel-level tweak."""
+    read, gather, and ECC decode buys more than any kernel-level tweak.
+
+    with_soft=True additionally computes the matched-filter soft decode
+    (ops/ecc.rep_decode_soft over the same decision values whose SIGN is
+    the hard bit — spectral/corner.read_bits_dense) in the SAME module,
+    returning (hard_words, soft_words) with the soft row laid out
+    [soft | conf-bitcast (RS only)]. The host pulls hard always and soft
+    LAZILY — only when an AEAD failure needs it (a transfer of bytes
+    already in HBM, not a dispatch) — the serving-path fix for the
+    fallback pass's inline compile/launch stall (measured 15.3 s on a
+    1-failure batch, 2026-08-18). Hard-section bytes are bit-identical to
+    with_soft=False (same packed path, same tie semantics); the soft
+    decision values ride a pair-packed bf16 gather (shared walk indices
+    across the batch; sign is preserved exactly by the f32->bf16 round,
+    and the combiner/confidences only need coarse magnitude). Measured
+    module cost at 4K/B=32: 88 -> ~100 ms vs the 126 ms of a pulled-f32
+    variant."""
     from steganosaurus_tpu.spectral import corner
 
     prec = corner.precision()
@@ -669,6 +686,21 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
             ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
         return jnp.concatenate(outs)
 
+    def decode_soft(d):
+        outs = []
+        if hdr_stream_bits:
+            outs.append(_pack_bits_words(
+                ecc.rep_decode_soft(d[:hdr_stream_bits], 3)))
+        pay = d[hdr_stream_bits:]
+        if payload_rep == 1:
+            # RS wire mode: hard payload bits + per-coded-byte confidence
+            # (min |decision value|) for the host errors-and-erasures decode
+            outs.append(_pack_bits_words((pay >= 0).astype(jnp.uint8)))
+            conf = jnp.abs(pay).reshape(-1, 8).min(axis=1)
+            return jnp.concatenate(outs), conf
+        outs.append(_pack_bits_words(ecc.rep_decode_soft(pay, payload_rep)))
+        return jnp.concatenate(outs), None
+
     def fn(imgs, cjd, sjd, dq, qm, alpha, plane, y, x, *tabs):
         if layout == "nchw":
             planes = imgs.astype(jnp.float32)
@@ -677,6 +709,43 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
         ssa = jnp.sign(jnp.sin(alpha))
+        if with_soft:
+            # hard sections stay on the 32x-packed word gather (bytes
+            # IDENTICAL to with_soft=False); the soft sections gather the
+            # dense decision values — hard bit == sign(d) exactly — as
+            # bf16 packed two-images-per-u32 (the walk indices are shared
+            # across the batch, so image pairs ride one gathered element;
+            # the combiner/confidences only need sign + coarse magnitude)
+            if qim_levels:
+                dd = corner.decision_values_dense_qim(
+                    cr, ci, ssa, qm, dq, qim_levels, cjd, sjd)
+            else:
+                dd = ci if cjd is None else ci * cjd - cr * sjd
+                dd = dd * ssa
+            bdw = _pack_bd_batch((dd >= 0).astype(jnp.uint8))
+            raw_w = _bitcast(bdw[:, plane, y, x], jnp.uint32)
+            raw = _unpack_batch_words(raw_w, B)             # (B, n) u8
+            db = dd.astype(jnp.bfloat16)
+            if B % 2 == 0:
+                # [img 2k | img 2k+1] bf16 pair -> one u32 plane
+                pair = jax.lax.bitcast_convert_type(
+                    db.reshape(B // 2, 2, *db.shape[1:])
+                    .transpose(0, 2, 3, 4, 1), jnp.uint32)
+                g = pair[:, plane, y, x]                    # (B/2, n) u32
+                half = jax.lax.bitcast_convert_type(
+                    g, jnp.bfloat16)                        # (B/2, n, 2)
+                d = half.transpose(0, 2, 1).reshape(B, -1)  # (B, n)
+            else:
+                d = db[:, plane, y, x]                      # (B, n) bf16
+
+            def one_soft(di):
+                soft, conf = decode_soft(di.astype(jnp.float32))
+                if conf is None:
+                    return soft
+                return jnp.concatenate([soft, jax.lax.bitcast_convert_type(
+                    conf.astype(jnp.float32), jnp.int32)])
+
+            return jax.vmap(decode)(raw), jax.vmap(one_soft)(d)
         if qim_levels:
             bd = corner.read_bits_dense_qim(cr, ci, ssa, qm, dq, qim_levels,
                                             cjd, sjd)

@@ -857,7 +857,8 @@ class _ExtractJob:
         # Fused pass: header + hinted payload in one device round-trip
         # (dispatch only; the pull happens in finalize). With no hint the
         # payload section is empty and the second pass always runs.
-        self._words_d = self._dispatch_pass(self._hint_bits, True)
+        self._words_d, self._pass_info = self._dispatch_pass(
+            self._hint_bits, True)
 
     @staticmethod
     def _payload_bits(clen: int, rs: bool) -> int:
@@ -894,12 +895,16 @@ class _ExtractJob:
 
     def _dispatch_pass(self, payload_stream_bits: int, with_header: bool,
                        qim: int | None = None, rs: bool | None = None):
-        """Dispatch gather + device-ECC-decode for one pass; returns the
-        (B, words) DEVICE array (not pulled). Bits past walk exhaustion are
-        garbage (last-bin re-reads) — consumers only use bytes their
-        authenticated clen covers, or fail AEAD. `qim` is the QIM level the
-        payload section decodes under (default: the assumed self._qim; the
-        header section always decodes by the hard rule).
+        """Dispatch gather + device-ECC-decode for one pass; returns
+        (words_d, info): the (B, words) DEVICE array (not pulled) plus the
+        section layout `(hdr_bits, n_slots, rep)` when the pass ALSO
+        carries the inline soft-decision decode (single-chip fused corner
+        path with soft_decode_fallback on — parallel.batch
+        corner_extract_fused_core with_soft), else None. Bits past walk
+        exhaustion are garbage (last-bin re-reads) — consumers only use
+        bytes their authenticated clen covers, or fail AEAD. `qim` is the
+        QIM level the payload section decodes under (default: the assumed
+        self._qim; the header section always decodes by the hard rule).
 
         The TOTAL frame length (header + payload stream bits) is bucketed to
         a 4096 multiple and the walk/statics cached as (nbits=total,
@@ -933,35 +938,100 @@ class _ExtractJob:
             # single-chip: FFT-read + gather + ECC decode fused into ONE
             # dispatched module (launch latency dominates the tunnel). A
             # rare second pass (clen_hint too small) re-runs the FFT read —
-            # acceptable: the hint covers it on every serving path.
+            # acceptable: the hint covers it on every serving path. With
+            # soft_decode_fallback on, the SAME module also emits the soft
+            # decode so AEAD failures resolve with no extra dispatch.
             H, W = self._HW
             Ky, Kx = self._corner_kk
+            with_soft = bool(self._params.soft_decode_fallback)
+            info = ((hdr_bits, bucket_total - skip, rep)
+                    if with_soft else None)
             core = pbatch.corner_extract_fused_core(
                 H, W, Ky, Kx, self._params.center, self._has_jitter,
                 self._layout, hdr_bits, self.B, qim_levels=L,
-                payload_rep=rep)
+                payload_rep=rep, with_soft=with_soft)
             if self._has_jitter or L:
                 maps, _ = _corner_statics_device(
                     password, master_key, self._params, PH, PW, total,
                     bucket_total, Ky, Kx, None, qim_levels=L)
                 return core(self._imgs_d,
                             *_read_maps(maps, self._params, L),
-                            self._alpha, pl, yy, xx)
-            return core(self._imgs_d, self._alpha, pl, yy, xx)
+                            self._alpha, pl, yy, xx), info
+            return core(self._imgs_d, self._alpha, pl, yy, xx), info
         if self._use_corner:
             core = pbatch.corner_gather_decode_core(
                 self._mesh, hdr_stream_bits=hdr_bits, payload_rep=rep)
             return core(self._bit_dense_for(total, bucket_total, L),
-                        pl, yy, xx)
+                        pl, yy, xx), None
         core = pbatch.batched_gather_decode_core(
             self._params.adaptive_alpha, self._mesh, hdr_stream_bits=hdr_bits,
             payload_rep=rep)
-        return core(self._spec, self._med, pl, yy, xx, jj, self._alpha)
+        return core(self._spec, self._med, pl, yy, xx, jj,
+                    self._alpha), None
 
     @staticmethod
     def _to_bufs(words_d) -> list[bytes]:
         words = np.asarray(words_d)  # the blocking device pull
         return [w.view(np.uint32).astype(">u4").tobytes() for w in words]
+
+    @staticmethod
+    def _split_pass(words_d, info):
+        """(hard bufs pulled NOW, soft device array or None). A with_soft
+        pass (corner_extract_fused_core) returns (hard, soft) device
+        arrays; the soft side stays ON DEVICE until a failure needs it —
+        the happy path pays zero extra pull bytes."""
+        if info is None:
+            return _ExtractJob._to_bufs(words_d), None
+        hard_d, soft_d = words_d
+        return _ExtractJob._to_bufs(hard_d), soft_d
+
+    @staticmethod
+    def _soft_sections(soft_d, info):
+        """Pull a pass's soft output (bytes already computed in HBM — a
+        transfer, not a dispatch) and split per-image rows into
+        (soft bufs, RS confidences). Row layout: [soft words | conf
+        bitcast (RS only)]; word counts mirror the device-side
+        _pack_bits_words shapes exactly (asserted)."""
+        hdr_bits, n_slots, rep = info
+        hw = (hdr_bits // 3 + 31) // 32 if hdr_bits else 0
+        pw = ((n_slots - hdr_bits) // rep + 31) // 32
+        wh = hw + pw
+        c = (n_slots - hdr_bits) // 8 if rep == 1 else 0
+        words = np.asarray(soft_d)  # the blocking pull
+        assert words.shape[1] == wh + c, (words.shape, wh, c)
+        soft = [w[:wh].view(np.uint32).astype(">u4").tobytes()
+                for w in words]
+        confs = words[:, wh:].view(np.float32) if c else None
+        return soft, confs
+
+    def _open_payload(self, hdr, payload: bytes, conf=None) -> bytes | None:
+        """FEC-decode a payload byte section under `hdr` and AEAD-open it.
+        `conf` (RS wire mode only): per-coded-byte confidences from a soft
+        pass — errors-and-erasures decode (ops/rs.py). Returns the secret
+        or None (anything short/corrupt fails closed via AEAD)."""
+        password, master_key = self._key
+        if hdr.flags & header_mod.FLAG_RS_PAYLOAD:
+            ncoded = rs_mod.coded_len(hdr.clen + 16)
+            if len(payload) < ncoded:
+                return None
+            if conf is not None:
+                rest, _ok = rs_mod.rs_decode_interleaved_soft(
+                    payload[:ncoded], hdr.clen + 16, conf[:ncoded])
+            else:
+                rest, _ok, _ = rs_mod.rs_decode_interleaved(
+                    payload[:ncoded], hdr.clen + 16)
+        else:
+            rest = payload[: hdr.clen + 16]
+        if len(rest) < hdr.clen + 16:
+            return None
+        ct, tag = rest[: hdr.clen], rest[hdr.clen: hdr.clen + 16]
+        if master_key is not None:
+            km = crypto.derive_keys_from_raw(master_key, hdr.salt)
+        else:
+            km = crypto.derive_keys(password, hdr.salt,
+                                    self._params.pbkdf2_iter)
+        return crypto.aead_open(km.aead_key, km.nonce, hdr.to_bytes(),
+                                ct, tag)
 
     def _dispatch_piw_pass(self, idxs: list[int], headers: list,
                            qim: int = 0, rs: bool = False) -> list[bytes]:
@@ -1055,17 +1125,34 @@ class _ExtractJob:
                 return self._result
             raise StegoError("extract job already failed; re-dispatch it")
         password, master_key = self._key
-        bufs = self._to_bufs(self._words_d)
+        bufs, soft0_d = self._split_pass(self._words_d, self._pass_info)
         self._words_d = None
-        headers: list[Header | None] = []
-        for buf in bufs:
+        # lazy soft pulls, memoized per pass: nothing is transferred until
+        # a failure (or unparseable header) actually needs the soft words
+        pulled: dict[int, tuple] = {}
+
+        def _soft_of(soft_d, info):
+            key = id(soft_d)
+            if key not in pulled:
+                pulled[key] = self._soft_sections(soft_d, info)
+            return pulled[key]
+
+        def _parse_hdr(buf) -> Header | None:
             hb = buf[:header_mod.FIXED_LEN]
             if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
-                headers.append(None)
-            elif header_mod.qim_levels(hb[5]) == 1:
-                headers.append(None)   # invalid QIM level: corrupt header
-            else:
-                headers.append(Header.from_bytes(hb))
+                return None
+            if header_mod.qim_levels(hb[5]) == 1:
+                return None            # invalid QIM level: corrupt header
+            return Header.from_bytes(hb)
+
+        headers: list[Header | None] = [_parse_hdr(b) for b in bufs]
+        if soft0_d is not None and any(h is None for h in headers):
+            # a header the hard Rep-3 majority corrupted can still parse
+            # from the matched-filter sections of the same fused pass
+            soft_bufs0, _ = _soft_of(soft0_d, self._pass_info)
+            for i, h in enumerate(headers):
+                if h is None:
+                    headers[i] = _parse_hdr(soft_bufs0[i])
         piw_idx = [i for i, h in enumerate(headers) if h is not None
                    and (h.flags & header_mod.FLAG_PER_IMAGE_WALK)]
         piw_set = set(piw_idx)
@@ -1084,6 +1171,9 @@ class _ExtractJob:
             self._result = [None] * self.B
             return self._result
         payloads: list[bytes | None] = [None] * self.B
+        # (soft device array, pass info, payload byte offset) per image —
+        # consulted (and pulled) only if that image's hard open fails
+        soft_src: list[tuple | None] = [None] * self.B
         for (L, R), idxs in shared_by_mode.items():
             need = min(self._payload_bits(
                 max(headers[i].clen for i in idxs), R), self._cap_bits)
@@ -1093,12 +1183,16 @@ class _ExtractJob:
                 # payload bytes follow the 40-byte header block
                 for i in idxs:
                     payloads[i] = bufs[i][40:]
+                    if soft0_d is not None:
+                        soft_src[i] = (soft0_d, self._pass_info, 40)
             else:  # hint too small/absent, or the assumed QIM/FEC mode was
                 #    wrong for this group: payload-only corrected pass
-                grp = self._to_bufs(
-                    self._dispatch_pass(need, False, qim=L, rs=R))
+                gw, ginfo = self._dispatch_pass(need, False, qim=L, rs=R)
+                grp, gsoft_d = self._split_pass(gw, ginfo)
                 for i in idxs:
                     payloads[i] = grp[i]
+                    if gsoft_d is not None:
+                        soft_src[i] = (gsoft_d, ginfo, 0)
         if piw_idx:
             # header-flagged images: salt-keyed per-image payload walks
             # (auto-detected; the fused pass's shared-walk payload section
@@ -1113,32 +1207,36 @@ class _ExtractJob:
 
         out: list[bytes | None] = []
         for i, hdr in enumerate(headers):
-            if hdr is None:
+            if hdr is None or payloads[i] is None:
                 out.append(None)
                 continue
-            if hdr.flags & header_mod.FLAG_RS_PAYLOAD:
-                # payload bytes are the interleaved RS stream; FEC decode on
-                # host (undecodable blocks pass through uncorrected -> AEAD
-                # rejects, per-image isolation preserved)
-                clen_cap = rs_mod.coded_len(hdr.clen + 16)
-                if len(payloads[i]) < clen_cap:
-                    out.append(None)
-                    continue
-                rest, _ok, _ = rs_mod.rs_decode_interleaved(
-                    payloads[i][:clen_cap], hdr.clen + 16)
-            else:
-                rest = payloads[i][: hdr.clen + 16]
-            if len(rest) < hdr.clen + 16:  # clen beyond walk capacity/budget
-                out.append(None)
-                continue
-            ct, tag = rest[: hdr.clen], rest[hdr.clen : hdr.clen + 16]
-            if master_key is not None:
-                km = crypto.derive_keys_from_raw(master_key, hdr.salt)
-            else:
-                km = crypto.derive_keys(password, hdr.salt,
-                                        self._params.pbkdf2_iter)
-            out.append(crypto.aead_open(km.aead_key, km.nonce,
-                                        hdr.to_bytes(), ct, tag))
+            # hard sections first (reference-equivalent decode), then the
+            # matched-filter soft sections of the SAME dispatched pass —
+            # an AEAD failure costs a lazy pull, never an extra dispatch
+            got = self._open_payload(hdr, payloads[i])
+            soft_pay = None
+            if got is None and soft_src[i] is not None:
+                sd, info, off = soft_src[i]
+                soft_bufs, confs = _soft_of(sd, info)
+                conf = confs[i] if confs is not None else None
+                soft_pay = (soft_bufs[i][off:], conf)
+                got = self._open_payload(hdr, *soft_pay)
+            if got is None and soft0_d is not None:
+                # last inline resort: a PARSEABLE hard header can still
+                # carry Rep-3-corrupted salt/clen/nonce/flag bits (every
+                # open above fails AEAD no matter how good the payload
+                # is); the probe/hint pass's matched-filter header
+                # sections usually hold the true bytes. Same decode mode
+                # assumed — a mode mismatch fails AEAD again and falls
+                # through to the retry pass, which re-decodes under the
+                # corrected mode.
+                soft_bufs0, _ = _soft_of(soft0_d, self._pass_info)
+                h2 = _parse_hdr(soft_bufs0[i])
+                if h2 is not None and h2.to_bytes() != hdr.to_bytes():
+                    got = self._open_payload(h2, payloads[i])
+                    if got is None and soft_pay is not None:
+                        got = self._open_payload(h2, *soft_pay)
+            out.append(got)
         if (self._params.soft_decode_fallback and self._use_corner
                 and any(h is not None and o is None
                         for h, o in zip(headers, out))):

@@ -218,3 +218,35 @@ def test_reference_binary_fails_closed(cover, tmp_path, reference_bin):
     res = _run([reference_bin, "extract", "--in", stego, "--pass", "pw",
                 "--pbkdf2_iter", "1000"])
     assert res.returncode != 0 or "not for the reference" not in res.stdout
+
+
+def test_rs_inline_soft_conf(monkeypatch):
+    """RS wire mode margin failures recover via the INLINE soft sections'
+    per-coded-byte confidences (errors-and-erasures, ops/rs.py) with the
+    retry pass stubbed out — the conf words ride the same fused pull
+    (parallel.batch corner_extract_fused_core with_soft, rep=1)."""
+    from steganosaurus_tpu.pipeline import batch as pbm
+    from steganosaurus_tpu.pipeline.batch import embed_batch, extract_batch
+
+    rng = np.random.default_rng(1)
+    cover = rng.integers(0, 256, (256, 256, 3)).astype(np.uint8)
+    B = 8
+    covers = np.stack([cover] * B)
+    secrets = [bytes(rng.integers(0, 256, 1200, dtype=np.uint8))] * B
+    salts = [bytes([i]) * 16 for i in range(B)]
+    hard_p = Params(rs=True, soft_decode_fallback=False)
+    soft_p = Params(rs=True)
+    res = embed_batch(covers, secrets, master_key=MK, params=hard_p,
+                      salts=salts)
+    stego = np.asarray(res.stego)
+    hard = extract_batch(stego, master_key=MK, params=hard_p)
+    n_hard = sum(g is None for g in hard)
+    assert n_hard > 0, "margin fixture no longer fails hard"
+
+    monkeypatch.setattr(pbm._ExtractJob, "_soft_retry_failed",
+                        lambda self, headers, out: None)
+    inline = extract_batch(stego, master_key=MK, params=soft_p)
+    n_inline = sum(g is None for g in inline)
+    assert n_inline < n_hard, (n_inline, n_hard)
+    for g in inline:
+        assert g is None or g == secrets[0]

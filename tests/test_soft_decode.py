@@ -127,3 +127,65 @@ def test_bucket_sel_shapes():
         sel, n = _bucket_sel(idxs, B)
         assert n == len(idxs) and sel.size == want
         assert list(sel[:n]) == idxs and all(s == idxs[0] for s in sel[n:])
+
+
+def test_inline_soft_recovers_without_retry_pass(noise_cover, heavy_secret,
+                                                 monkeypatch):
+    """The fused extract pass carries the matched-filter decode INLINE
+    (parallel.batch corner_extract_fused_core with_soft): most margin
+    failures resolve from a lazy pull of bytes already in HBM, with NO
+    retry dispatch. Measured motivation: one failed image in a
+    rotating-salt stream cost a 15.3 s fallback-module compile/launch
+    (2026-08-18). The inline combiner runs on bf16 decision values (the
+    f32 retry pass remains for the residual, where the two are a
+    coin-flip: bf16 rounding ~0.4%% relative is far below the ~6%% u8
+    quantization noise), so the contract is: inline recovers strictly
+    more than hard, the retry pass sees ONLY what inline couldn't fix,
+    and full recovery is at least inline's."""
+    from steganosaurus_tpu.pipeline import batch as pbm
+
+    B = 8
+    covers = np.stack([noise_cover] * B)
+    secrets = [heavy_secret] * B
+    salts = [bytes([i]) * 16 for i in range(B)]
+    res = embed_batch(covers, secrets, master_key=MK, params=HARD,
+                      salts=salts)
+    stego = np.asarray(res.stego)
+    hard = extract_batch(stego, master_key=MK, params=HARD)
+    n_hard = sum(g is None for g in hard)
+    full = extract_batch(stego, master_key=MK, params=SOFT)
+    n_full = sum(g is None for g in full)
+    assert n_full < n_hard
+
+    monkeypatch.setattr(pbm._ExtractJob, "_soft_retry_failed",
+                        lambda self, headers, out: None)
+    inline = extract_batch(stego, master_key=MK, params=SOFT)
+    n_inline = sum(g is None for g in inline)
+    assert n_inline < n_hard          # inline recovery without dispatch
+    assert n_full <= n_inline         # retry can only add on top
+    for g, s in zip(inline, secrets):
+        assert g is None or g == s
+    # the retry pass is invoked only with the inline-unrecoverable rest
+    seen = []
+    monkeypatch.setattr(
+        pbm._ExtractJob, "_soft_retry_failed",
+        lambda self, headers, out: seen.append(
+            sum(h is not None and o is None
+                for h, o in zip(headers, out))))
+    extract_batch(stego, master_key=MK, params=SOFT)
+    assert seen == ([n_inline] if n_inline else [])
+
+
+def test_inline_soft_sections_roundtrip_clean(noise_cover):
+    """Clean batch under the combined pass: the hard sections decode
+    everything (soft sections ride along unused), results identical to
+    the fallback-off hard path."""
+    B = 4
+    covers = np.stack([noise_cover] * B)
+    secrets = [b"inline-%d" % i for i in range(B)]
+    salts = [bytes([100 + i]) * 16 for i in range(B)]
+    res = embed_batch(covers, secrets, master_key=MK, params=SOFT,
+                      salts=salts)
+    stego = np.asarray(res.stego)
+    assert extract_batch(stego, master_key=MK, params=SOFT) == secrets
+    assert extract_batch(stego, master_key=MK, params=HARD) == secrets
