@@ -1175,8 +1175,23 @@ class _ExtractJob:
         # consulted (and pulled) only if that image's hard open fails
         soft_src: list[tuple | None] = [None] * self.B
         for (L, R), idxs in shared_by_mode.items():
-            need = min(self._payload_bits(
-                max(headers[i].clen for i in idxs), R), self._cap_bits)
+            clens = {i: headers[i].clen for i in idxs}
+            big = [i for i in idxs
+                   if self._payload_bits(clens[i], R) >= self._cap_bits]
+            if big and soft0_d is not None:
+                # A Rep-3-corrupted clen in ONE parseable header blows this
+                # whole group's pass (and its host walk expansion) to full
+                # capacity. Cross-check the matched-filter header of the
+                # probe/hint pass and size by the smaller claim — the open
+                # loop still tries both headers, and an undersized pass
+                # only costs that one image the retry pass.
+                soft_bufs0, _ = _soft_of(soft0_d, self._pass_info)
+                for i in big:
+                    h2 = _parse_hdr(soft_bufs0[i])
+                    if h2 is not None:
+                        clens[i] = min(clens[i], h2.clen)
+            need = min(self._payload_bits(max(clens.values()), R),
+                       self._cap_bits)
             if (L == self._qim and R == self._rs
                     and need <= self._covered_payload_bits):
                 # the fused pass already decoded this group's payload rule:

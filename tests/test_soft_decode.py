@@ -189,3 +189,36 @@ def test_inline_soft_sections_roundtrip_clean(noise_cover):
     stego = np.asarray(res.stego)
     assert extract_batch(stego, master_key=MK, params=SOFT) == secrets
     assert extract_batch(stego, master_key=MK, params=HARD) == secrets
+
+
+def test_corrupt_clen_does_not_blow_pass_size(noise_cover, heavy_secret,
+                                              monkeypatch):
+    """A Rep-3-corrupted clen in one PARSEABLE hard header (the salt-0
+    image on this fixture reads clen=1048816 instead of 240) must not
+    inflate the whole group's payload pass to full capacity — sizing
+    cross-checks the probe pass's matched-filter header. Without the
+    cross-check the pass covers cap_bits (~101k slots here, a fresh host
+    walk expansion); with it, the honest ~15k-slot bucket."""
+    from steganosaurus_tpu.pipeline import batch as pbm
+
+    B = 4
+    covers = np.stack([noise_cover] * B)
+    secrets = [heavy_secret] * B
+    salts = [bytes([i]) * 16 for i in [0, 4, 5, 6]]
+    res = embed_batch(covers, secrets, master_key=MK, params=HARD,
+                      salts=salts)
+    stego = np.asarray(res.stego)
+
+    sizes = []
+    orig = pbm._ExtractJob._dispatch_pass
+
+    def spy(self, payload_stream_bits, with_header, qim=None, rs=None):
+        if not with_header:
+            sizes.append(payload_stream_bits)
+        return orig(self, payload_stream_bits, with_header, qim=qim, rs=rs)
+
+    monkeypatch.setattr(pbm._ExtractJob, "_dispatch_pass", spy)
+    got = extract_batch(stego, master_key=MK, params=SOFT)
+    honest = (240 + 16) * 8 * 7
+    assert sizes and all(s <= honest for s in sizes), sizes
+    assert all(g == heavy_secret for g in got)
