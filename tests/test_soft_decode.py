@@ -222,3 +222,27 @@ def test_corrupt_clen_does_not_blow_pass_size(noise_cover, heavy_secret,
     honest = (240 + 16) * 8 * 7
     assert sizes and all(s <= honest for s in sizes), sizes
     assert all(g == heavy_secret for g in got)
+
+
+def test_soft_fallback_mesh_path(noise_cover, heavy_secret):
+    """Sharded (mesh) extraction composes with the soft fallback: the
+    mesh pass has no inline soft sections (corner_gather_decode_core),
+    so failures route to the single-chip retry cores, which accept the
+    sharded image batch (XLA resolves the layout transfer)."""
+    from steganosaurus_tpu.parallel.batch import make_mesh
+
+    B = 8
+    covers = np.stack([noise_cover] * B)
+    secrets = [heavy_secret] * B
+    salts = [bytes([i]) * 16 for i in range(B)]
+    res = embed_batch(covers, secrets, master_key=MK, params=HARD,
+                      salts=salts)
+    stego = np.asarray(res.stego)
+    mesh = make_mesh()
+    hard = extract_batch(stego, master_key=MK, params=HARD, mesh=mesh)
+    soft = extract_batch(stego, master_key=MK, params=SOFT, mesh=mesh)
+    n_hard = sum(g is None for g in hard)
+    n_soft = sum(g is None for g in soft)
+    assert n_hard > 0 and n_soft < n_hard, (n_soft, n_hard)
+    for g in soft:
+        assert g is None or g == heavy_secret
