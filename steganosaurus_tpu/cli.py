@@ -71,6 +71,13 @@ USAGE = """Usage:
                              format, header flag 0x02; extraction
                              auto-detects; the reference binary fails
                              closed) (0)
+    --pad Q                : Pad the plaintext to the next Q-byte multiple
+                             before sealing (BE32 length prefix + keyed
+                             pad) so the embedded footprint quantizes to
+                             Q-byte buckets instead of leaking the exact
+                             message length (rebuild-only wire format,
+                             header flag 0x04; extraction auto-detects)
+                             (0 = off)
     --soft_decode 0|1      : Soft-decision recovery fallback on extraction
                              (matched-filter combining of ECC copies after
                              an AEAD failure; recovers margin failures the
@@ -163,6 +170,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["qim"] = int(need())
         elif k == "--rs":  # rebuild-only: interleaved RS(255,223) payload FEC
             p["rs"] = need() in ("1", "true")
+        elif k == "--pad":  # rebuild-only: payload padding quantum (bytes)
+            p["pad_quantum"] = int(need())
         elif k == "--soft_decode":  # rebuild-only: soft-decision fallback
             p["soft_decode_fallback"] = need() in ("1", "true")
         elif k == "--stealth":  # rebuild-only: Params.stealth() preset

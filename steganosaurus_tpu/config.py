@@ -110,6 +110,20 @@ class Params:
     # binary fails closed on RS stegos (payload walk length diverges ->
     # AEAD failure). Default off for reference parity.
     rs: bool = False
+    # Payload padding quantum in bytes (rebuild-only; the reference's own
+    # doc/TODO.md lists "Payload Padding — add random padding to
+    # ciphertext to obscure message length" as future work). pad_quantum=q
+    # > 0 frames the plaintext as BE32(true_len) || secret || keyed pad up
+    # to the next q multiple before sealing, so the header clen — and the
+    # written-bin footprint a warden could count — quantizes to q-byte
+    # buckets instead of leaking the exact message length
+    # (pipeline/header.py pad_plaintext). Header FLAGS bit 0x04 makes
+    # extraction self-describing; the stock reference binary still
+    # AEAD-opens padded stegos (rc 0) but its output truncates at the
+    # length prefix's leading NUL bytes, so the secret never reaches its
+    # stdout (measured; interop degraded, not crashed). Costs capacity:
+    # the padded clen is what embeds. Default off for reference parity.
+    pad_quantum: int = 0
 
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)

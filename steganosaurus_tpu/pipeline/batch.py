@@ -424,15 +424,20 @@ def embed_batch(
         flags = header_mod.flags_with_qim(flags, params.qim)
     if params.rs:
         flags |= header_mod.FLAG_RS_PAYLOAD
+    if params.pad_quantum:
+        flags |= header_mod.FLAG_PADDED
     streams = []
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
         else:
             km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
-        hdr_bytes = Header(salt=km.salt, nonce=km.nonce, clen=len(secret),
+        pt = (header_mod.pad_plaintext(secret, params.pad_quantum,
+                                       km.aead_key)
+              if params.pad_quantum else secret)
+        hdr_bytes = Header(salt=km.salt, nonce=km.nonce, clen=len(pt),
                            flags=flags).to_bytes()
-        ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
+        ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, pt)
         streams.append(hdr_bytes + ct + tag)
 
     if params.rs:
@@ -701,14 +706,19 @@ def channel_report(
     flags = (header_mod.flags_with_qim(0, params.qim) if params.qim else 0)
     if params.rs:
         flags |= header_mod.FLAG_RS_PAYLOAD
+    if params.pad_quantum:
+        flags |= header_mod.FLAG_PADDED
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
         else:
             km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
+        pt = (header_mod.pad_plaintext(secret, params.pad_quantum,
+                                       km.aead_key)
+              if params.pad_quantum else secret)
         hdr_bytes = Header(salt=km.salt, nonce=km.nonce,
-                           clen=len(secret), flags=flags).to_bytes()
-        ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
+                           clen=len(pt), flags=flags).to_bytes()
+        ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, pt)
         h = ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))
         if params.rs:
             p_ = bit_ops.bits_from_bytes(
@@ -1030,8 +1040,11 @@ class _ExtractJob:
         else:
             km = crypto.derive_keys(password, hdr.salt,
                                     self._params.pbkdf2_iter)
-        return crypto.aead_open(km.aead_key, km.nonce, hdr.to_bytes(),
-                                ct, tag)
+        pt = crypto.aead_open(km.aead_key, km.nonce, hdr.to_bytes(),
+                              ct, tag)
+        if pt is not None and (hdr.flags & header_mod.FLAG_PADDED):
+            pt = header_mod.unpad_plaintext(pt)
+        return pt
 
     def _dispatch_piw_pass(self, idxs: list[int], headers: list,
                            qim: int = 0, rs: bool = False) -> list[bytes]:
@@ -1301,7 +1314,10 @@ class _ExtractJob:
             else:
                 km = crypto.derive_keys(password, h2.salt,
                                         params.pbkdf2_iter)
-            return crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag)
+            pt = crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag)
+            if pt is not None and (h2.flags & header_mod.FLAG_PADDED):
+                pt = header_mod.unpad_plaintext(pt)
+            return pt
 
         def _mode(h) -> tuple[int, bool]:
             return (header_mod.qim_levels(h.flags),

@@ -174,6 +174,12 @@ def extract_array(
                          payload_stream_bits)
     if pt is None:
         raise StegoError("Auth failed (wrong pass or data corrupted).")
+    if hdr.flags & header_mod.FLAG_PADDED:
+        # FLAG_PADDED wire mode: authenticated plaintext is
+        # BE32(true_len) || secret || keyed pad (pipeline/header.py)
+        pt = header_mod.unpad_plaintext(pt)
+        if pt is None:
+            raise StegoError("Auth failed (wrong pass or data corrupted).")
     return pt
 
 

@@ -24,11 +24,51 @@ FLAG_RS_PAYLOAD = 0x02      # payload FEC is interleaved RS(255,223) instead
 #                             of Rep-7 (ops/rs.py; ~6x capacity). The header
 #                             itself always stays Rep-3: it must be locatable
 #                             and decodable before any flag is known.
+FLAG_PADDED = 0x04          # plaintext is BE32(true_len) || secret || keyed
+#                             pad to a Params.pad_quantum multiple (the
+#                             reference doc/TODO.md "Payload Padding" item:
+#                             clen — and with it the spectral footprint —
+#                             leaks only the padded bucket, not the true
+#                             message length). pad/unpad helpers below.
 
 # FLAGS bits 4-7 carry the QIM quantizer level L (Params.qim; 0 = payload on
 # the reference's hard +-alpha write, 2..15 = dithered phase QIM with step
 # 2*pi/L — pipeline/qim.py). Self-describing so extraction needs no param.
 QIM_SHIFT = 4
+
+
+_PAD_INFO = b"turtle_pad"
+
+
+def pad_plaintext(secret: bytes, quantum: int, aead_key: bytes) -> bytes:
+    """Frame `secret` as BE32(len) || secret || pad so the plaintext length
+    is the next `quantum` multiple (FLAG_PADDED wire mode). Pad bytes are
+    HKDF-expanded from the AEAD key (deterministic per (key, salt) — the
+    whole sealed stream stays reproducible for channel reports and verify
+    retries; randomness is unnecessary because the pad only ever exists
+    under ChaCha20). A warden estimating payload size from the spectral
+    footprint sees only the padded bucket."""
+    assert quantum > 0
+    inner = struct.pack(">I", len(secret)) + secret
+    total = -(-len(inner) // quantum) * quantum
+    if total == len(inner):
+        return inner
+    from steganosaurus_tpu import crypto
+
+    return inner + crypto.hkdf_expand(aead_key, _PAD_INFO,
+                                      total - len(inner))
+
+
+def unpad_plaintext(pt: bytes) -> bytes | None:
+    """Inverse of pad_plaintext on an AEAD-authenticated plaintext. None on
+    malformed framing (fails closed; cannot happen on honest streams since
+    the length prefix is covered by the tag)."""
+    if len(pt) < 4:
+        return None
+    n = struct.unpack(">I", pt[:4])[0]
+    if 4 + n > len(pt):
+        return None
+    return bytes(pt[4:4 + n])
 
 
 def qim_levels(flags: int) -> int:
