@@ -134,6 +134,47 @@ def pairwise_difference_report(img_a: np.ndarray, img_b: np.ndarray,
     }
 
 
+def collusion_report(imgs, params: Params = Params(),
+                     max_harmonic: int = 32) -> dict:
+    """N-image COLLUSION warden (the reference doc/TODO.md "collusion test
+    (mean FFT across multiple images)" — proposed there, never built):
+    per-bin phase coherence across a collection of DIFFERENT covers
+    suspected to share one key.
+
+    Shared-walk embeds write the SAME bins in every image. At a written
+    bin the phase is +-alpha (hard write; sign varies with each image's
+    bit) or lattice-aligned (QIM with the shared per-slot dither), so the
+    across-image resultant |mean_i exp(i*m*theta_i)| stays O(1) there —
+    cos(m*alpha) at harmonic m for the hard write, ~1 at m = 2L for QIM —
+    while unwritten bins average iid cover phases down as 1/sqrt(N).
+    Averaging across the collection is exactly how the attack gains power:
+    the per-bin null N*C^2 - 1 has mean 0 / variance ~1 regardless of N,
+    while the written-bin signal grows linearly with N.
+
+    Returns z_m = sqrt(nbins) * mean_bins(N*C_m^2 - 1) for m = 1..
+    max_harmonic (~N(0,1) per harmonic under the null), max_z / argmax_m
+    (argmax 2L fingers a QIM level, argmax 1-2 the hard write), and n /
+    n_images. per_image_walk defeats the payload component by construction
+    (disjoint payload bins); only the 912 shared header bins remain.
+    """
+    TH = np.stack([_annulus_phases(img, params) for img in imgs])
+    N, nbins = TH.shape
+    assert N >= 2, "collusion needs at least two images"
+    m = np.arange(1, max_harmonic + 1, dtype=np.float64)
+    z = np.empty(max_harmonic)
+    for k in range(max_harmonic):  # loop to bound the (m, N, nbins) temp
+        C2 = np.abs(np.exp(1j * m[k] * TH).mean(axis=0)) ** 2
+        z[k] = math.sqrt(nbins) * float(np.mean(N * C2 - 1.0))
+    best = int(np.argmax(z))
+    return {
+        "n": int(nbins),
+        "n_images": int(N),
+        "max_z": float(z[best]),
+        "argmax_m": best + 1,
+        "harmonics": [float(v) for v in z],
+    }
+
+
 def magnitude_conditioned_report(img: np.ndarray, params: Params = Params(),
                                  bins: int = 64, n_bands: int = 8,
                                  window: float = 0.05) -> dict:

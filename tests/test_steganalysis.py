@@ -144,3 +144,46 @@ def test_requantization_noise_report(cover):
     # the hard write's noise carries the clamping/large-perturbation
     # excess over the constant rounding floor (doc/ATTACKS.md 2c)
     assert q["noise_std_rad"] < hard["noise_std_rad"]
+
+
+def test_collusion_report_attack_and_piw_defense(cover):
+    """N-image collusion warden (the reference doc/TODO.md "collusion
+    test (mean FFT across multiple images)"): averaging phase coherence
+    across a collection of DIFFERENT covers under one key detects
+    shared-walk embeds — hard write at low harmonics, QIM at 2L — and
+    per-image walks crush the statistic toward the header-only floor."""
+    from steganosaurus_tpu.utils.steganalysis import collusion_report
+
+    rng = np.random.default_rng(11)
+    base = np.linspace(170, 220, 256)
+    covers = [np.clip(base[None, :, None]
+                      + rng.integers(-12, 13, (256, 256, 3)),
+                      0, 255).astype(np.uint8) for _ in range(6)]
+    secret = bytes(range(200))
+    salts = [bytes([i]) * 16 for i in range(6)]
+
+    null = collusion_report(covers)
+    assert null["max_z"] < 5.0  # independent clean covers
+
+    p = Params(**FAST)  # hard write, shared walk
+    stegos = [embed_array(c, secret, password="pw", params=p, salt=s).stego
+              for c, s in zip(covers, salts)]
+    hard = collusion_report(stegos, p)
+    # coherence at written bins ~ cos^2(m*alpha): strong at m=1 and at
+    # every m*alpha near a multiple of pi (m=6*0.5=3.0 rad ~ pi peaks)
+    assert hard["max_z"] > 20.0 and hard["harmonics"][0] > 20.0
+
+    pq = Params(qim=3, **FAST)  # shared walk, shared dither: lattice at 2L
+    stegos_q = [embed_array(c, secret, password="pw", params=pq,
+                            salt=s).stego
+                for c, s in zip(covers, salts)]
+    qim = collusion_report(stegos_q, pq)
+    assert qim["harmonics"][5] > 20.0  # m = 2L = 6 fingers the level
+
+    ps = Params.stealth(**FAST)  # per-image payload walks
+    stegos_p = [embed_array(c, secret, password="pw", params=ps,
+                            salt=s).stego
+                for c, s in zip(covers, salts)]
+    piw = collusion_report(stegos_p, ps)
+    assert piw["max_z"] < hard["max_z"] / 10
+    assert piw["harmonics"][5] < qim["harmonics"][5] / 10
