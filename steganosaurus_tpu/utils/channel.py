@@ -187,3 +187,81 @@ def requantization_noise_report(
         "by_magnitude": _bands(mag, n_mag_bands, "mag_lo", "mag_hi"),
         "by_radius": _bands(r, n_rad_bands, "r_lo", "r_hi"),
     }
+
+
+def robustness_report(cover: np.ndarray, secret: bytes,
+                      params: Params = Params(),
+                      master_key: bytes | None = None,
+                      password: str | None = None,
+                      salt: bytes = bytes([5]) * 16,
+                      noise_sigmas=(0.5, 1.0, 2.0, 4.0),
+                      jpeg_qualities=(95, 85),
+                      seed: int = 0) -> dict:
+    """Post-embed channel robustness: recovery and raw BER under
+    pixel-domain AWGN and JPEG recompression (the reference doc/TODO.md
+    "BER vs AWGN/JPEG robustness tests" item — proposed there, never
+    built).
+
+    AWGN: stego' = clip(round(stego + N(0, sigma))). Phase error at a
+    written bin scales ~ sigma*sqrt(HW/2)/mag, so the Rep-7 majority (and
+    the soft fallback past it) absorbs small sigma and collapses at a
+    cover-dependent knee — this measures WHERE, per cover/params.
+
+    JPEG: encode/decode at each quality (Pillow; entries are skipped if
+    Pillow is missing). Expected and honest: global-FFT phase embedding
+    does NOT survive JPEG — the 8x8 DCT quantization re-rolls exactly the
+    mid-band phases the walk writes. The report exists to state that with
+    a number rather than a claim (use lossless PNG end-to-end, as the
+    reference requires).
+
+    Returns {"awgn": [{sigma, raw_ber_payload, recovered,
+    recovered_soft}...], "jpeg": [{quality, recovered_soft}...]}; raw BER
+    comes from pipeline.batch.channel_report's exact frame re-derivation.
+    """
+    from steganosaurus_tpu.pipeline import batch as pbatch_mod
+    from steganosaurus_tpu.pipeline.embed import embed_array
+    from steganosaurus_tpu.pipeline.extract import extract_array
+    from steganosaurus_tpu.pipeline.errors import StegoError
+
+    def _try(img, p) -> bool:
+        try:
+            return extract_array(img, master_key=master_key,
+                                 password=password, params=p) == secret
+        except StegoError:
+            return False
+
+    res = embed_array(cover, secret, master_key=master_key,
+                      password=password, params=params, salt=salt)
+    stego = np.asarray(res.stego)
+    rng = np.random.default_rng(seed)
+    hard_p = params.replace(soft_decode_fallback=False)
+    awgn = []
+    for sigma in noise_sigmas:
+        noisy = np.clip(np.rint(stego.astype(np.float64)
+                                + rng.normal(0.0, sigma, stego.shape)),
+                        0, 255).astype(np.uint8)
+        rep = pbatch_mod.channel_report(
+            noisy[None], [secret], [salt], master_key=master_key,
+            password=password, params=params)
+        awgn.append({
+            "sigma": float(sigma),
+            "raw_ber_payload": float(rep["payload_ber_raw"]),
+            "recovered": _try(noisy, hard_p),
+            "recovered_soft": _try(noisy, params),
+        })
+    jpeg = []
+    try:
+        import io as _io
+
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:
+        for q in jpeg_qualities:
+            buf = _io.BytesIO()
+            Image.fromarray(stego).save(buf, format="JPEG", quality=int(q))
+            back = np.asarray(Image.open(_io.BytesIO(buf.getvalue()))
+                              .convert("RGB"))
+            jpeg.append({"quality": int(q),
+                         "recovered_soft": _try(back, params)})
+    return {"awgn": awgn, "jpeg": jpeg}

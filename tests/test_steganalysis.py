@@ -187,3 +187,24 @@ def test_collusion_report_attack_and_piw_defense(cover):
     piw = collusion_report(stegos_p, ps)
     assert piw["max_z"] < hard["max_z"] / 10
     assert piw["harmonics"][5] < qim["harmonics"][5] / 10
+
+
+def test_robustness_report_awgn_and_jpeg(cover):
+    """Channel robustness curve (utils.channel.robustness_report — the
+    reference doc/TODO.md "BER vs AWGN/JPEG robustness tests" item): raw
+    BER grows monotonically-ish with sigma, tiny AWGN survives the Rep-7
+    majority, heavy AWGN kills recovery, and JPEG recompression destroys
+    the global-FFT phase channel at any tested quality (the honest
+    lossless-PNG-only answer, stated with a measurement)."""
+    from steganosaurus_tpu.utils.channel import robustness_report
+
+    mk = bytes(range(32))
+    rep = robustness_report(cover, bytes(range(64)), Params(),
+                            master_key=mk,
+                            noise_sigmas=(0.25, 8.0),
+                            jpeg_qualities=(95,))
+    lo, hi = rep["awgn"]
+    assert lo["raw_ber_payload"] < hi["raw_ber_payload"]
+    assert lo["recovered"] and lo["recovered_soft"]
+    assert not hi["recovered"]
+    assert rep["jpeg"] and not rep["jpeg"][0]["recovered_soft"]
