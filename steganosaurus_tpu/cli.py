@@ -28,6 +28,11 @@ USAGE = """Usage:
   Extract: turtlefft extract --in stego.png (--pass PW | --key KEY_BASE64)
             [--pbkdf2_iter 600000 --adaptive_alpha 1 --cover_dependent_path 1]
 
+  Check  : turtlefft check   --in host.png --secret TEXT
+            (--pass PW | --key KEY_BASE64) [flags]
+            Dry run (nothing written): capacity, PSNR/SSIM, warden-view
+            phase statistics vs the clean cover, round-trip verify.
+
   Batch  : turtlefft batch-embed   --in-dir D --out-dir D2 --secrets-file F
             (--pass PW | --key KEY_BASE64) [--verify 1] [flags]
             F holds one secret per line, paired with the sorted *.png files
@@ -201,13 +206,15 @@ def parse_args(argv: list[str]) -> Args | None:
         if a.mode == "batch-embed" and (not a.out_dir or not a.secrets_file):
             return None
         return a
-    if a.mode not in ("embed", "extract"):
+    if a.mode not in ("embed", "extract", "check"):
         return None
     if not a.in_path:
         return None
     if not a.password and not a.key_b64:
         return None
     if a.mode == "embed" and (not a.out_path or not a.secret):
+        return None
+    if a.mode == "check" and not a.secret:
         return None
     return a
 
@@ -234,6 +241,52 @@ def do_embed(a: Args) -> int:
         f"(payload {res.payload_bytes} bytes, ver=2, salt/nonce in header)"
     )
     return 0
+
+
+def do_check(a: Args) -> int:
+    """Dry-run quality/detectability check (the reference doc/TODO.md
+    "--test mode that computes PSNR/SSIM/KL before embedding" item, built
+    as a mode): embeds IN MEMORY (nothing written), verifies round-trip
+    extraction, and prints capacity, PSNR/SSIM, and the warden-view phase
+    statistics vs the clean cover. rc 0 iff the payload fits and the
+    round-trip verifies."""
+    import numpy as np
+
+    from steganosaurus_tpu.io import image as image_io
+    from steganosaurus_tpu.pipeline.embed import embed_array
+    from steganosaurus_tpu.pipeline.errors import StegoError
+    from steganosaurus_tpu.pipeline.extract import extract_array
+    from steganosaurus_tpu.utils import metrics
+    from steganosaurus_tpu.utils.steganalysis import phase_histogram_report
+
+    password, mk = _resolve_key(a)
+    cover = image_io.load_rgb(a.in_path)
+    secret = a.secret.encode() if isinstance(a.secret, str) else a.secret
+    try:
+        res = embed_array(cover, secret, password=password, master_key=mk,
+                          params=a.params)
+    except StegoError as e:
+        print(f"check FAILED: {e}")
+        return 1
+    stego = np.asarray(res.stego)
+    try:
+        ok = extract_array(stego, password=password, master_key=mk,
+                           params=a.params) == secret
+    except StegoError:
+        ok = False
+    psnr = metrics.psnr(cover, stego)
+    ssim = metrics.ssim(cover, stego)
+    clean = phase_histogram_report(cover, a.params)
+    hot = phase_histogram_report(stego, a.params)
+    print(f"capacity: {res.capacity_bits} bits, frame: {res.written_bits} "
+          f"bits ({100.0 * res.written_bits / res.capacity_bits:.1f}% used)")
+    print(f"quality: psnr {psnr:.2f} dB, ssim {ssim:.4f} "
+          f"(guidance: >50 dB, >0.995)")
+    print(f"warden: chi2_z {hot['chi2_z']:.1f} (cover {clean['chi2_z']:.1f})"
+          f", spike_excess {hot['spike_excess']:.4f} "
+          f"(cover {clean['spike_excess']:.4f})")
+    print(f"round-trip: {'ok' if ok else 'FAILED'}")
+    return 0 if ok else 1
 
 
 def do_extract(a: Args) -> int:
@@ -401,6 +454,8 @@ def main(argv: list[str] | None = None) -> int:
             return do_batch_embed(a)
         if a.mode == "batch-extract":
             return do_batch_extract(a)
+        if a.mode == "check":
+            return do_check(a)
         return do_extract(a)
     except StegoError as e:
         print(str(e), file=sys.stderr)

@@ -62,3 +62,29 @@ def test_batch_embed_count_mismatch(batch_dirs, capsys):
                    "--out-dir", str(out_dir), "--secrets-file", str(secrets),
                    "--pass", "pw", *FAST])
     assert rc == 1
+
+
+def test_check_mode(tmp_path, capsys):
+    """`check` mode (the reference doc/TODO.md "--test mode" item): dry
+    run reporting capacity, PSNR/SSIM, and warden-view statistics; rc 0
+    iff the payload fits and round-trips, rc 1 on over-capacity."""
+    rng = np.random.default_rng(23)
+    base = np.linspace(160, 220, 128)[None, :, None]
+    img = np.clip(base + rng.integers(-15, 16, (128, 128, 3)),
+                  0, 255).astype(np.uint8)
+    cover = tmp_path / "cover.png"
+    image_io.save_png(str(cover), img)
+
+    rc = cli.main(["turtlefft", "check", "--in", str(cover),
+                   "--secret", "dry run", "--pass", "pw", *FAST])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "capacity:" in out and "psnr" in out and "chi2_z" in out
+    assert "round-trip: ok" in out
+    # nothing written anywhere
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["cover.png"]
+
+    rc = cli.main(["turtlefft", "check", "--in", str(cover),
+                   "--secret", "x" * 4000, "--pass", "pw", *FAST])
+    out = capsys.readouterr().out
+    assert rc == 1 and "check FAILED" in out
