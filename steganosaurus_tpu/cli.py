@@ -177,6 +177,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["rs"] = need() in ("1", "true")
         elif k == "--pad":  # rebuild-only: payload padding quantum (bytes)
             p["pad_quantum"] = int(need())
+            if p["pad_quantum"] < 0:  # 0 = explicitly off
+                return None  # usage error, like any malformed flag value
         elif k == "--soft_decode":  # rebuild-only: soft-decision fallback
             p["soft_decode_fallback"] = need() in ("1", "true")
         elif k == "--stealth":  # rebuild-only: Params.stealth() preset

@@ -424,20 +424,14 @@ def embed_batch(
         flags = header_mod.flags_with_qim(flags, params.qim)
     if params.rs:
         flags |= header_mod.FLAG_RS_PAYLOAD
-    if params.pad_quantum:
-        flags |= header_mod.FLAG_PADDED
     streams = []
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
         else:
             km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
-        pt = (header_mod.pad_plaintext(secret, params.pad_quantum,
-                                       km.aead_key)
-              if params.pad_quantum else secret)
-        hdr_bytes = Header(salt=km.salt, nonce=km.nonce, clen=len(pt),
-                           flags=flags).to_bytes()
-        ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, pt)
+        hdr_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
+                                                    params.pad_quantum)
         streams.append(hdr_bytes + ct + tag)
 
     if params.rs:
@@ -613,7 +607,12 @@ def embed_batch(
     verified = None
     if verify:
         salts = list(salts)
+        # the on-wire clen is the PADDED plaintext length; an unpadded hint
+        # would undersize the fused pass and force a second dispatch on
+        # every verify extraction
         maxlen = max(len(s) for s in secrets)
+        if params.pad_quantum:
+            maxlen = header_mod.padded_len(maxlen, params.pad_quantum)
         # np.array: unpack_u8 returns a read-only buffer view; retries patch
         # failed rows in place.
         check_src = out if device_resident else np.array(
@@ -702,23 +701,18 @@ def channel_report(
         B, H, W = stego.shape[:3]
     PH, PW = spectral.fft_dims(H, W)
 
-    frames, frame_lens = [], []
+    frames, frame_lens, clens = [], [], []
     flags = (header_mod.flags_with_qim(0, params.qim) if params.qim else 0)
     if params.rs:
         flags |= header_mod.FLAG_RS_PAYLOAD
-    if params.pad_quantum:
-        flags |= header_mod.FLAG_PADDED
     for secret, salt in zip(secrets, salts):
         if master_key is not None:
             km = crypto.derive_keys_from_raw(master_key, salt)
         else:
             km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
-        pt = (header_mod.pad_plaintext(secret, params.pad_quantum,
-                                       km.aead_key)
-              if params.pad_quantum else secret)
-        hdr_bytes = Header(salt=km.salt, nonce=km.nonce,
-                           clen=len(pt), flags=flags).to_bytes()
-        ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, pt)
+        hdr_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
+                                                    params.pad_quantum)
+        clens.append(len(ct))
         h = ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))
         if params.rs:
             p_ = bit_ops.bits_from_bytes(
@@ -764,7 +758,7 @@ def channel_report(
 
     reports = [metrics.ecc_report(
         frames[i], got[i, : frame_lens[i]], _HEADER_STREAM_BITS,
-        rs_payload_bytes=(len(secrets[i]) + 16) if params.rs else 0)
+        rs_payload_bytes=(clens[i] + 16) if params.rs else 0)
         for i in range(B)]
     out = {k: float(np.mean([r[k] for r in reports])) for k in reports[0]}
     if per_image:
@@ -1040,11 +1034,9 @@ class _ExtractJob:
         else:
             km = crypto.derive_keys(password, hdr.salt,
                                     self._params.pbkdf2_iter)
-        pt = crypto.aead_open(km.aead_key, km.nonce, hdr.to_bytes(),
-                              ct, tag)
-        if pt is not None and (hdr.flags & header_mod.FLAG_PADDED):
-            pt = header_mod.unpad_plaintext(pt)
-        return pt
+        return header_mod.maybe_unpad(
+            crypto.aead_open(km.aead_key, km.nonce, hdr.to_bytes(),
+                             ct, tag), hdr.flags)
 
     def _dispatch_piw_pass(self, idxs: list[int], headers: list,
                            qim: int = 0, rs: bool = False) -> list[bytes]:
@@ -1314,10 +1306,9 @@ class _ExtractJob:
             else:
                 km = crypto.derive_keys(password, h2.salt,
                                         params.pbkdf2_iter)
-            pt = crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag)
-            if pt is not None and (h2.flags & header_mod.FLAG_PADDED):
-                pt = header_mod.unpad_plaintext(pt)
-            return pt
+            return header_mod.maybe_unpad(
+                crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag),
+                h2.flags)
 
         def _mode(h) -> tuple[int, bool]:
             return (header_mod.qim_levels(h.flags),

@@ -94,14 +94,8 @@ def embed_array(
         flags = header_mod.flags_with_qim(flags, params.qim)
     if params.rs:
         flags |= header_mod.FLAG_RS_PAYLOAD
-    pt = secret
-    if params.pad_quantum:
-        flags |= header_mod.FLAG_PADDED
-        pt = header_mod.pad_plaintext(secret, params.pad_quantum,
-                                      km.aead_key)
-    hdr = Header(salt=km.salt, nonce=km.nonce, clen=len(pt), flags=flags)
-    header_bytes = hdr.to_bytes()
-    ct, tag = crypto.aead_seal(km.aead_key, km.nonce, header_bytes, pt)
+    header_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
+                                                   params.pad_quantum)
 
     bits = frame_bits(header_bytes, ct, tag, rs=params.rs)
     if len(bits) > capacity:

@@ -159,9 +159,9 @@ def extract_array(
         km = crypto.derive_keys_from_raw(master_key, hdr.salt)
     else:
         km = crypto.derive_keys(password, hdr.salt, params.pbkdf2_iter)
-    pt = crypto.aead_open(
+    pt = header_mod.maybe_unpad(crypto.aead_open(
         km.aead_key, km.nonce, hdr_bytes[: header_mod.FIXED_LEN], ct, tag
-    )
+    ), hdr.flags)
     if pt is None and params.soft_decode_fallback:
         # Soft-decision retry (rebuild-only; ops/ecc.rep_decode_soft):
         # re-decode header AND payload with matched-filter combining —
@@ -174,12 +174,6 @@ def extract_array(
                          payload_stream_bits)
     if pt is None:
         raise StegoError("Auth failed (wrong pass or data corrupted).")
-    if hdr.flags & header_mod.FLAG_PADDED:
-        # FLAG_PADDED wire mode: authenticated plaintext is
-        # BE32(true_len) || secret || keyed pad (pipeline/header.py)
-        pt = header_mod.unpad_plaintext(pt)
-        if pt is None:
-            raise StegoError("Auth failed (wrong pass or data corrupted).")
     return pt
 
 
@@ -260,8 +254,12 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
         km = crypto.derive_keys_from_raw(master_key, hdr.salt)
     else:
         km = crypto.derive_keys(password, hdr.salt, params.pbkdf2_iter)
-    return crypto.aead_open(km.aead_key, km.nonce,
-                            hdr_bytes[: header_mod.FIXED_LEN], ct, tag)
+    # unpad under THIS (soft-corrected) header's flags — its FLAG_PADDED
+    # bit may differ from the hard-decoded header the caller holds
+    return header_mod.maybe_unpad(
+        crypto.aead_open(km.aead_key, km.nonce,
+                         hdr_bytes[: header_mod.FIXED_LEN], ct, tag),
+        hdr.flags)
 
 
 def extract(

@@ -40,23 +40,32 @@ QIM_SHIFT = 4
 _PAD_INFO = b"turtle_pad"
 
 
+def padded_len(secret_len: int, quantum: int) -> int:
+    """Plaintext length (= wire clen) after FLAG_PADDED framing."""
+    return -(-(4 + secret_len) // quantum) * quantum
+
+
 def pad_plaintext(secret: bytes, quantum: int, aead_key: bytes) -> bytes:
     """Frame `secret` as BE32(len) || secret || pad so the plaintext length
     is the next `quantum` multiple (FLAG_PADDED wire mode). Pad bytes are
     HKDF-expanded from the AEAD key (deterministic per (key, salt) — the
     whole sealed stream stays reproducible for channel reports and verify
     retries; randomness is unnecessary because the pad only ever exists
-    under ChaCha20). A warden estimating payload size from the spectral
-    footprint sees only the padded bucket."""
-    assert quantum > 0
+    under ChaCha20), chunked under RFC 5869's 255-block expand cap. A
+    warden estimating payload size from the spectral footprint sees only
+    the padded bucket."""
+    if quantum <= 0:
+        raise ValueError("pad_quantum must be positive")
     inner = struct.pack(">I", len(secret)) + secret
-    total = -(-len(inner) // quantum) * quantum
-    if total == len(inner):
+    n = padded_len(len(secret), quantum) - len(inner)
+    if not n:
         return inner
     from steganosaurus_tpu import crypto
 
-    return inner + crypto.hkdf_expand(aead_key, _PAD_INFO,
-                                      total - len(inner))
+    chunks = [crypto.hkdf_expand(aead_key, _PAD_INFO + struct.pack(">I", i),
+                                 min(8160, n - i))
+              for i in range(0, n, 8160)]  # 8160 = 255 * 32, the RFC cap
+    return inner + b"".join(chunks)
 
 
 def unpad_plaintext(pt: bytes) -> bytes | None:
@@ -69,6 +78,34 @@ def unpad_plaintext(pt: bytes) -> bytes | None:
     if 4 + n > len(pt):
         return None
     return bytes(pt[4:4 + n])
+
+
+def maybe_unpad(pt: bytes | None, flags: int) -> bytes | None:
+    """Post-AEAD-open unframing, keyed on the FLAGS byte of the header the
+    open was performed UNDER (never a differently-sourced header — a
+    soft-corrected header may carry a different FLAG_PADDED bit than the
+    hard-decoded one). None stays None; malformed framing fails closed."""
+    if pt is None or not (flags & FLAG_PADDED):
+        return pt
+    return unpad_plaintext(pt)
+
+
+def seal_stream(secret: bytes, km, flags: int,
+                pad_quantum: int) -> tuple[bytes, bytes, bytes]:
+    """(header_bytes, ct, tag) for one image: the ONE place plaintext
+    framing (FLAG_PADDED padding), the wire clen, and the AEAD seal are
+    decided — embed_array, embed_batch, and channel_report all build
+    their streams here so the three can never disagree on the frame."""
+    from steganosaurus_tpu import crypto
+
+    pt = secret
+    if pad_quantum:
+        flags |= FLAG_PADDED
+        pt = pad_plaintext(secret, pad_quantum, km.aead_key)
+    hb = Header(salt=km.salt, nonce=km.nonce, clen=len(pt),
+                flags=flags).to_bytes()
+    ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hb, pt)
+    return hb, ct, tag
 
 
 def qim_levels(flags: int) -> int:

@@ -207,8 +207,9 @@ def robustness_report(cover: np.ndarray, secret: bytes,
     the soft fallback past it) absorbs small sigma and collapses at a
     cover-dependent knee — this measures WHERE, per cover/params.
 
-    JPEG: encode/decode at each quality (Pillow; entries are skipped if
-    Pillow is missing). Expected and honest: global-FFT phase embedding
+    JPEG: encode/decode at each quality (Pillow, already a hard
+    dependency of the PNG I/O). Expected and honest: global-FFT phase
+    embedding
     does NOT survive JPEG — the 8x8 DCT quantization re-rolls exactly the
     mid-band phases the walk writes. The report exists to state that with
     a number rather than a claim (use lossless PNG end-to-end, as the
@@ -216,7 +217,10 @@ def robustness_report(cover: np.ndarray, secret: bytes,
 
     Returns {"awgn": [{sigma, raw_ber_payload, recovered,
     recovered_soft}...], "jpeg": [{quality, recovered_soft}...]}; raw BER
-    comes from pipeline.batch.channel_report's exact frame re-derivation.
+    comes from pipeline.batch.channel_report's exact frame re-derivation
+    (shared-walk corner path only — raw_ber_payload is None for params it
+    does not support, e.g. Params.stealth()'s per-image walks; the
+    recovery booleans are measured regardless).
     """
     from steganosaurus_tpu.pipeline import batch as pbatch_mod
     from steganosaurus_tpu.pipeline.embed import embed_array
@@ -240,28 +244,29 @@ def robustness_report(cover: np.ndarray, secret: bytes,
         noisy = np.clip(np.rint(stego.astype(np.float64)
                                 + rng.normal(0.0, sigma, stego.shape)),
                         0, 255).astype(np.uint8)
-        rep = pbatch_mod.channel_report(
-            noisy[None], [secret], [salt], master_key=master_key,
-            password=password, params=params)
+        try:
+            rep = pbatch_mod.channel_report(
+                noisy[None], [secret], [salt], master_key=master_key,
+                password=password, params=params)
+            raw_ber = float(rep["payload_ber_raw"])
+        except StegoError:  # per-image-walk / adaptive / cover-dependent
+            raw_ber = None
         awgn.append({
             "sigma": float(sigma),
-            "raw_ber_payload": float(rep["payload_ber_raw"]),
+            "raw_ber_payload": raw_ber,
             "recovered": _try(noisy, hard_p),
             "recovered_soft": _try(noisy, params),
         })
     jpeg = []
-    try:
-        import io as _io
+    import io as _io
 
-        from PIL import Image
-    except ImportError:
-        Image = None
-    if Image is not None:
-        for q in jpeg_qualities:
-            buf = _io.BytesIO()
-            Image.fromarray(stego).save(buf, format="JPEG", quality=int(q))
-            back = np.asarray(Image.open(_io.BytesIO(buf.getvalue()))
-                              .convert("RGB"))
-            jpeg.append({"quality": int(q),
-                         "recovered_soft": _try(back, params)})
+    from PIL import Image  # a hard dependency already (io/image.py)
+
+    for q in jpeg_qualities:
+        buf = _io.BytesIO()
+        Image.fromarray(stego).save(buf, format="JPEG", quality=int(q))
+        back = np.asarray(Image.open(_io.BytesIO(buf.getvalue()))
+                          .convert("RGB"))
+        jpeg.append({"quality": int(q),
+                     "recovered_soft": _try(back, params)})
     return {"awgn": awgn, "jpeg": jpeg}

@@ -8,8 +8,9 @@ HKDF-keyed pad to the next pad_quantum multiple, so the header clen — and
 the written-bin footprint a warden could count — quantizes to byte
 buckets. The pad is deterministic per (key, salt) so sealed streams stay
 reproducible for verify retries and channel reports. The stock reference
-binary still AEAD-opens padded stegos but prints the raw framed plaintext
-(interop degraded, not failed — asserted below)."""
+binary still AEAD-opens padded stegos, but its output truncates at the
+length prefix's NUL bytes (interop degraded, not failed — asserted
+below)."""
 
 import numpy as np
 import pytest
@@ -105,3 +106,51 @@ def test_reference_binary_interop_degrades(cover, tmp_path, reference_bin):
                 "--pbkdf2_iter", "1000"])
     assert res.returncode == 0
     assert secret.decode() not in res.stdout
+
+
+def test_pad_large_quantum_past_hkdf_expand_cap():
+    """Pads longer than RFC 5869's 255-block expand cap (8160 bytes) must
+    chunk, not crash (regression: bytes([ctr]) overflow at ctr=256)."""
+    key = bytes(32)
+    pt = header_mod.pad_plaintext(b"x", 16384, key)
+    assert len(pt) == 16384
+    assert header_mod.unpad_plaintext(pt) == b"x"
+    # deterministic across calls at chunked sizes too
+    assert pt == header_mod.pad_plaintext(b"x", 16384, key)
+
+
+def test_channel_report_pad_rs_layout(cover):
+    """channel_report's RS post-ECC decode must use the PADDED clen (the
+    on-wire message size), not the secret length — clean padded RS
+    batches read back with zero post-ECC BER."""
+    from steganosaurus_tpu.pipeline.batch import channel_report, embed_batch
+
+    p = Params(pbkdf2_iter=1000, pad_quantum=128, rs=True)
+    secrets, salts = [b"pad-rs-ber" * 5], [bytes([9]) * 16]
+    res = embed_batch(cover[None], secrets, master_key=MK, params=p,
+                      salts=salts)
+    rep = channel_report(np.asarray(res.stego), secrets, salts,
+                         master_key=MK, params=p)
+    assert rep["payload_ber_post_ecc"] == 0.0
+    assert rep["header_ber_post_ecc"] == 0.0
+
+
+def test_padded_verify_hint_covers_fused_pass(cover, monkeypatch):
+    """embed_batch(verify=True) must hint the PADDED clen: the verify
+    extraction's fused pass covers the payload and no corrected
+    payload-only pass (with_header=False) is dispatched."""
+    from steganosaurus_tpu.pipeline import batch as pbm
+
+    second_passes = []
+    orig = pbm._ExtractJob._dispatch_pass
+
+    def spy(self, payload_stream_bits, with_header, qim=None, rs=None):
+        if not with_header:
+            second_passes.append(payload_stream_bits)
+        return orig(self, payload_stream_bits, with_header, qim=qim, rs=rs)
+
+    monkeypatch.setattr(pbm._ExtractJob, "_dispatch_pass", spy)
+    res = embed_batch(np.stack([cover] * 2), [b"hint-a", b"hint-b" * 3],
+                      master_key=MK, params=P_PAD, verify=True)
+    assert all(res.verified)
+    assert second_passes == []

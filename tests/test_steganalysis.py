@@ -208,3 +208,19 @@ def test_robustness_report_awgn_and_jpeg(cover):
     assert lo["recovered"] and lo["recovered_soft"]
     assert not hi["recovered"]
     assert rep["jpeg"] and not rep["jpeg"][0]["recovered_soft"]
+
+
+def test_robustness_report_stealth_params(cover):
+    """robustness_report must work for the recommended stealth profile
+    (per-image walks): the recovery booleans are measured, raw BER is
+    None (channel_report supports the shared-walk corner path only)."""
+    from steganosaurus_tpu.utils.channel import robustness_report
+
+    rep = robustness_report(cover, b"stealth-robust",
+                            Params.stealth(**FAST),
+                            master_key=bytes(range(32)),
+                            noise_sigmas=(0.25,), jpeg_qualities=())
+    a = rep["awgn"][0]
+    assert a["raw_ber_payload"] is None
+    assert a["recovered_soft"] in (True, False)
+    assert rep["jpeg"] == []
