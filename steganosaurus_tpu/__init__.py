@@ -30,8 +30,11 @@ from steganosaurus_tpu.config import Params
 # 0.3: adaptive column-split precision default; 0.4: stealth modes;
 # 0.5: dithered phase QIM (Params.qim — uniform written-bin phases,
 # ~9-36x less write energy; header FLAGS bits 4-7, auto-detected)
-# (alpha_spread, per_image_walk) + warden-view steganalysis reporting.
-__version__ = "0.5.0"
+# (alpha_spread, per_image_walk) + warden-view steganalysis reporting;
+# 0.6: inline soft decode in the fused extract pass, payload padding
+# (Params.pad_quantum, header FLAG 0x04), `check` CLI mode, collusion +
+# AWGN/JPEG robustness reports.
+__version__ = "0.6.0"
 
 # Lazy top-level convenience API (PEP 562): `import steganosaurus_tpu as st;
 # st.embed_batch(...)`. Resolved on first touch so importing the package
