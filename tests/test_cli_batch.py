@@ -88,3 +88,25 @@ def test_check_mode(tmp_path, capsys):
                    "--secret", "x" * 4000, "--pass", "pw", *FAST])
     out = capsys.readouterr().out
     assert rc == 1 and "check FAILED" in out
+
+
+def test_cli_pad_flag_roundtrip(tmp_path, capsys):
+    """--pad embeds the padded wire mode; extraction needs no flag."""
+    rng = np.random.default_rng(29)
+    base = np.linspace(160, 220, 128)[None, :, None]
+    img = np.clip(base + rng.integers(-15, 16, (128, 128, 3)),
+                  0, 255).astype(np.uint8)
+    cover, stego = tmp_path / "c.png", tmp_path / "s.png"
+    image_io.save_png(str(cover), img)
+    rc = cli.main(["turtlefft", "embed", "--in", str(cover), "--out",
+                   str(stego), "--secret", "padded cli", "--pass", "pw",
+                   "--pad", "32", *FAST])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main(["turtlefft", "extract", "--in", str(stego),
+                   "--pass", "pw", *FAST])
+    assert rc == 0
+    # negative quantum is a usage error (rc 2 + usage text), not a traceback
+    assert cli.main(["turtlefft", "embed", "--in", str(cover), "--out",
+                     str(stego), "--secret", "x", "--pass", "pw",
+                     "--pad", "-1"]) != 0
