@@ -1451,7 +1451,10 @@ def extract_batch(
     truncated / auth failure) — batch semantics must not abort the whole batch
     on one bad image.
 
-    clen_hint: expected ciphertext length (= secret length) in bytes. When
+    clen_hint: expected on-wire ciphertext length in bytes — the secret
+    length, or header_mod.padded_len(secret_len, q) when the embed used
+    Params.pad_quantum=q (an unpadded hint undersizes the fused pass and
+    costs a second dispatch per batch). When
     given, the header and hinted payload are gathered AND ECC-decoded in ONE
     device pass (device decode shrinks the pull ~250x; the link, not the
     gather, dominates extract latency). Images whose actual header clen

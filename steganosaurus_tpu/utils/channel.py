@@ -24,12 +24,10 @@ import numpy as np
 
 from steganosaurus_tpu import crypto, keystream, spectral
 from steganosaurus_tpu.config import Params
-from steganosaurus_tpu.ops import bits as bit_ops
-from steganosaurus_tpu.ops import ecc
 from steganosaurus_tpu.pipeline import device, header as header_mod
 from steganosaurus_tpu.pipeline import qim as qim_mod, spread
+from steganosaurus_tpu.pipeline.embed import frame_bits
 from steganosaurus_tpu.pipeline.errors import StegoError
-from steganosaurus_tpu.pipeline.header import Header
 
 
 def _wrap(a: np.ndarray) -> np.ndarray:
@@ -97,12 +95,11 @@ def requantization_noise_report(
     else:
         km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
     flags = header_mod.flags_with_qim(0, params.qim) if params.qim else 0
-    hdr_bytes = Header(salt=km.salt, nonce=km.nonce, clen=len(secret),
-                       flags=flags).to_bytes()
-    ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hdr_bytes, secret)
-    bits = np.concatenate([
-        np.asarray(ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))),
-        np.asarray(ecc.rep7_encode(bit_ops.bits_from_bytes(ct + tag)))])
+    if params.rs:
+        flags |= header_mod.FLAG_RS_PAYLOAD
+    hdr_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
+                                                params.pad_quantum)
+    bits = np.asarray(frame_bits(hdr_bytes, ct, tag, rs=params.rs))
     if len(bits) > capacity:
         raise StegoError(f"Message too large. Need {len(bits)} bits "
                          f"(after ECC), capacity ~{capacity} bits.")

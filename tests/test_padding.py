@@ -154,3 +154,19 @@ def test_padded_verify_hint_covers_fused_pass(cover, monkeypatch):
                       master_key=MK, params=P_PAD, verify=True)
     assert all(res.verified)
     assert second_passes == []
+
+
+def test_requantization_report_rs_and_pad(cover):
+    """requantization_noise_report builds its frame through the same
+    seal/FEC path as the embeds (header.seal_stream + frame_bits), so it
+    works — with the right frame sizes — under rs and pad_quantum."""
+    from steganosaurus_tpu.utils.channel import requantization_noise_report
+
+    rep = requantization_noise_report(
+        cover, b"m" * 600, master_key=MK,
+        params=Params(pbkdf2_iter=1000, rs=True, pad_quantum=128))
+    # RS frame: 912 header bits + coded bits of the PADDED message
+    from steganosaurus_tpu.ops import rs as rs_mod
+    assert rep["n_bins"] == 912 + rs_mod.coded_len(
+        header_mod.padded_len(600, 128) + 16) * 8
+    assert rep["raw_flip_rate_payload"] < 0.5
