@@ -57,6 +57,10 @@ _API = {
                                      "magnitude_conditioned_report"),
     "requantization_noise_report": ("steganosaurus_tpu.utils.channel",
                                     "requantization_noise_report"),
+    "collusion_report": ("steganosaurus_tpu.utils.steganalysis",
+                         "collusion_report"),
+    "robustness_report": ("steganosaurus_tpu.utils.channel",
+                          "robustness_report"),
     "embed_stream": ("steganosaurus_tpu.pipeline.stream", "embed_stream"),
     "extract_stream": ("steganosaurus_tpu.pipeline.stream", "extract_stream"),
     "load_rgb_batches": ("steganosaurus_tpu.pipeline.stream",
