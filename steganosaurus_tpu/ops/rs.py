@@ -322,9 +322,13 @@ def rs_decode_interleaved(coded: bytes | np.ndarray, m: int):
     if dirty.any():
         Lam = _berlekamp_massey(S[dirty])
         sub = rows[dirty]  # fancy indexing copies: correct, then write back
+        received = sub.copy()  # pristine snapshot: failed rows must revert
         okd, nd = _chien_forney(sub, S[dirty], Lam)
         # re-verify: corrected rows must have zero syndromes
         okd &= ~_syndromes(sub).any(axis=1)
+        # Honor the UNCORRECTED contract: a failed Chien-Forney pass leaves
+        # spurious XORs in `sub`; restore those rows to the received word.
+        sub[~okd] = received[~okd]
         rows[dirty] = sub
         ok[dirty] = okd
         nerr[dirty] = nd
@@ -476,8 +480,14 @@ def rs_decode_interleaved_soft(coded, m: int, confidence):
     if len(dirty):
         Lam = _berlekamp_massey(S[dirty])
         sub = rows[dirty]
+        received = sub.copy()
         okd, _ = _chien_forney(sub, S[dirty], Lam)
         okd &= ~_syndromes(sub).any(axis=1)
+        # Failed rows revert to the pristine received word so the erasure
+        # ladder below starts from the channel output, not a word garbled by
+        # the failed hard pass's spurious corrections (which land at high-
+        # confidence, never-erased positions and sink recoverable blocks).
+        sub[~okd] = received[~okd]
         rows[dirty] = sub
         ok[dirty] = okd
         for bi in np.nonzero(~ok)[0]:

@@ -1002,7 +1002,10 @@ class _ExtractJob:
         wh = hw + pw
         c = (n_slots - hdr_bits) // 8 if rep == 1 else 0
         words = np.asarray(soft_d)  # the blocking pull
-        assert words.shape[1] == wh + c, (words.shape, wh, c)
+        if words.shape[1] != wh + c:  # survives python -O, unlike assert
+            raise RuntimeError(
+                f"soft-row word-layout mismatch: device rows have "
+                f"{words.shape[1]} words, host expects {wh}+{c}")
         soft = [w[:wh].view(np.uint32).astype(">u4").tobytes()
                 for w in words]
         confs = words[:, wh:].view(np.float32) if c else None
@@ -1318,6 +1321,8 @@ class _ExtractJob:
             hb = buf[:header_mod.FIXED_LEN]
             if hb[:4] != header_mod.MAGIC or hb[4] != header_mod.VERSION:
                 return None
+            if header_mod.qim_levels(hb[5]) == 1:
+                return None            # invalid QIM level: corrupt header
             return Header.from_bytes(hb)
 
         path_key = crypto.derive_path_key(password, master_key, None)

@@ -206,3 +206,47 @@ def test_erasure_overload_fails_closed():
     conf[pos] = 0.0
     dec, ok = rs.rs_decode_interleaved_soft(bad, m, conf)
     assert not ok
+
+def test_soft_retry_starts_from_pristine_received_word():
+    """ADVICE r3 (medium): the hard Chien-Forney pass XORs spurious
+    'corrections' into blocks it then marks undecodable; the erasure-ladder
+    retry must run on the PRISTINE received word, not the garbled one —
+    otherwise high-confidence (never-erased) positions carry extra byte
+    errors and recoverable blocks are silently lost. 300 randomized trials
+    at 24 low-confidence errors (the advisor's reproduction) must all
+    recover."""
+    m = 200
+    rng = np.random.default_rng(0xADD1CE)
+    msg = rng.integers(0, 256, m, dtype=np.uint8).tobytes()
+    coded = rs.rs_encode_interleaved(msg)
+    n = len(coded)
+    for _ in range(300):
+        pos = rng.choice(n, size=24, replace=False)
+        bad = _corrupt(coded, pos, rng)
+        conf = np.ones(n)
+        conf[pos] = rng.uniform(0.0, 0.3, 24)
+        dec, ok = rs.rs_decode_interleaved_soft(bad, m, conf)
+        assert ok and dec == msg
+
+
+def test_hard_decode_failed_block_returns_received_uncorrected():
+    """ADVICE r3 (low): rs_decode_interleaved's contract — an undecodable
+    block's data bytes come back UNCORRECTED (the received word), with no
+    spurious Chien-Forney garbling on top."""
+    m = 100  # single block
+    rng = np.random.default_rng(7)
+    msg = rng.integers(0, 256, m, dtype=np.uint8).tobytes()
+    coded = rs.rs_encode_interleaved(msg)
+    for _ in range(50):
+        pos = rng.choice(len(coded), size=20, replace=False)  # > t = 16
+        bad = _corrupt(coded, pos, rng)
+        dec, ok, _ = rs.rs_decode_interleaved(bad, m)
+        assert not ok
+        # deinterleave the received stream ourselves: data positions must
+        # match the returned bytes exactly
+        sizes = rs._block_sizes(m)
+        rows = rs._deinterleave(
+            np.frombuffer(bad, dtype=np.uint8)[: rs.coded_len(m)], sizes)
+        received_data = rows[0, rows.shape[1] - (m + rs.NROOTS):
+                             rows.shape[1] - rs.NROOTS].tobytes()
+        assert dec == received_data
