@@ -72,6 +72,19 @@ class NativeLib:
             d.stego_turtle_expand_v.restype = ctypes.c_longlong
             d.stego_turtle_expand_v.argtypes = (
                 d.stego_turtle_expand.argtypes + [u64p, u64p])
+        # RS codec (native/rs.cc). Probe-and-degrade like expand_v: stale
+        # pre-0.7 build artifacts lack it and fall back to the numpy codec.
+        self.has_rs = hasattr(d, "stego_rs_encode")
+        if self.has_rs:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            ll = ctypes.c_longlong
+            d.stego_rs_encode.restype = ctypes.c_int
+            d.stego_rs_encode.argtypes = [u8p, ll, ll, u8p]
+            d.stego_rs_decode.restype = ctypes.c_int
+            d.stego_rs_decode.argtypes = [u8p, ll, ll, u8p, i32p, i32p]
+            d.stego_rs_decode_soft.restype = ctypes.c_int
+            d.stego_rs_decode_soft.argtypes = [u8p, f32p, ll, ll, u8p, i32p]
 
     @staticmethod
     def _buf(b: bytes):
@@ -132,6 +145,53 @@ class NativeLib:
                 f"step budget — image too small for the requested bit count?"
             )
         return plane, y, x, jit, int(rc)
+
+    def rs_encode(self, msgs, m: int):
+        """RS(255,223)-interleave-encode nmsg messages of m bytes each.
+        `msgs`: contiguous uint8 array (nmsg*m,). Returns (nmsg*coded_len,)."""
+        import numpy as np
+
+        msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+        nmsg = msgs.size // m
+        cl = m + 32 * max(1, -(-m // 223))
+        out = np.empty(nmsg * cl, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = self._dll.stego_rs_encode(
+            msgs.ctypes.data_as(u8p), nmsg, m, out.ctypes.data_as(u8p))
+        if rc != 0:
+            raise RuntimeError(f"native rs_encode failed (rc={rc})")
+        return out
+
+    def rs_decode(self, coded, m: int, conf=None):
+        """Decode nmsg interleaved streams; errors-and-erasures when `conf`
+        (float32, one per coded byte) is given. Returns (msgs, ok, nerr) —
+        nerr is None on the soft path."""
+        import numpy as np
+
+        coded = np.ascontiguousarray(coded, dtype=np.uint8)
+        cl = m + 32 * max(1, -(-m // 223))
+        nmsg = coded.size // cl
+        out = np.empty(nmsg * m, dtype=np.uint8)
+        ok = np.empty(nmsg, dtype=np.int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        if conf is None:
+            nerr = np.empty(nmsg, dtype=np.int32)
+            rc = self._dll.stego_rs_decode(
+                coded.ctypes.data_as(u8p), nmsg, m,
+                out.ctypes.data_as(u8p), ok.ctypes.data_as(i32p),
+                nerr.ctypes.data_as(i32p))
+        else:
+            nerr = None
+            conf = np.ascontiguousarray(conf, dtype=np.float32)
+            rc = self._dll.stego_rs_decode_soft(
+                coded.ctypes.data_as(u8p),
+                conf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                nmsg, m, out.ctypes.data_as(u8p),
+                ok.ctypes.data_as(i32p))
+        if rc != 0:
+            raise RuntimeError(f"native rs_decode failed (rc={rc})")
+        return out, ok.astype(bool), nerr
 
     def turtle_expand_v(self, walk_key, plane_keys, H, W, rmin, rmax,
                         density, jitter_max, nbits, max_steps,

@@ -250,3 +250,39 @@ def test_hard_decode_failed_block_returns_received_uncorrected():
         received_data = rows[0, rows.shape[1] - (m + rs.NROOTS):
                              rows.shape[1] - rs.NROOTS].tobytes()
         assert dec == received_data
+
+
+def test_native_matches_pure_codec():
+    """native/rs.cc vs the numpy/pure codec: encode bytes, hard-decode
+    verdicts, and soft-ladder outcomes must be identical. Skipped when the
+    native library isn't built (the dispatch then trivially agrees)."""
+    import os
+    from steganosaurus_tpu import _native_loader
+
+    lib = _native_loader.get()
+    if lib is None or not getattr(lib, "has_rs", False):
+        pytest.skip("native RS codec not built")
+    rng = np.random.default_rng(0xC0DEC)
+
+    def pure(fn, *a):
+        os.environ["STEGANOSAURUS_NO_NATIVE"] = "1"
+        try:
+            return fn(*a)
+        finally:
+            del os.environ["STEGANOSAURUS_NO_NATIVE"]
+
+    for _ in range(60):
+        m = int(rng.integers(1, 600))
+        msg = rng.integers(0, 256, m, dtype=np.uint8).tobytes()
+        coded = rs.rs_encode_interleaved(msg)
+        assert coded == pure(rs.rs_encode_interleaved, msg)
+        nerrs = int(rng.integers(0, 30))
+        pos = rng.choice(len(coded), size=min(nerrs, len(coded)),
+                         replace=False)
+        bad = _corrupt(coded, pos, rng)
+        assert rs.rs_decode_interleaved(bad, m) == pure(
+            rs.rs_decode_interleaved, bad, m)
+        conf = np.ones(len(bad))
+        conf[pos] = 0.1  # well-separated: float32 rounding can't reorder
+        assert rs.rs_decode_interleaved_soft(bad, m, conf) == pure(
+            rs.rs_decode_interleaved_soft, bad, m, conf)
