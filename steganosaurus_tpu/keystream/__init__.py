@@ -15,6 +15,7 @@ import numpy as np
 
 from steganosaurus_tpu import _native_loader
 from steganosaurus_tpu.keystream import _pure
+from steganosaurus_tpu.keystream import diskcache as _disk
 from steganosaurus_tpu.keystream._pure import (  # noqa: F401 (re-exported API)
     KS,
     conj_idx,
@@ -93,12 +94,22 @@ def header_walk_with_visited(walk_key, plane_keys, H: int, W: int,
     with _HDR_CACHE_LOCK:
         ent = _HDR_CACHE.get(key)
         if ent is None:
-            p, y, x, j, n, vis = _expand_v_raw(
-                walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
-                nbits, _step_budget(nbits, H, W), False, None, True)
-            for a in (p, y, x, j, vis):
+            hit = _disk.load("hdr", key)
+            if hit is not None:
+                arrs = hit[0]
+                ent = (arrs["plane"], arrs["y"], arrs["x"], arrs["jitter"],
+                       arrs["visited"])
+            else:
+                p, y, x, j, n, vis = _expand_v_raw(
+                    walk_key, plane_keys, H, W, rmin, rmax, density,
+                    jitter_max, nbits, _step_budget(nbits, H, W), False,
+                    None, True)
+                ent = (p, y, x, j, vis)
+                _disk.store("hdr", key,
+                            {"plane": p, "y": y, "x": x, "jitter": j,
+                             "visited": vis}, {})
+            for a in ent:
                 a.setflags(write=False)
-            ent = (p, y, x, j, vis)
             _HDR_CACHE[key] = ent
         _HDR_CACHE.move_to_end(key)
         while len(_HDR_CACHE) > _CACHE_MAX_ENTRIES:
@@ -190,6 +201,24 @@ def turtle_expand(
     with _CACHE_LOCK:
         ent = _CACHE.get(key)
         if ent is None:
+            # cold process: adopt a persisted expansion when it covers the
+            # request (or proved exhaustion under an adequate budget)
+            hit = _disk.load("walk", key)
+            if hit is not None:
+                arrs, meta = hit
+                dn, dnavail = int(meta["nprod"]), int(meta["navail"])
+                dbudget = int(meta["budget"])
+                enough = dnavail >= nbits or (
+                    dn < dnavail
+                    and _step_budget(max(nbits, 2 * dnavail), H, W)
+                    <= dbudget)
+                if enough:
+                    ent = (arrs["plane"], arrs["y"], arrs["x"],
+                           arrs["jitter"], dn, dnavail, dbudget)
+                    for a in ent[:4]:
+                        a.setflags(write=False)
+                    _CACHE[key] = ent
+        if ent is None:
             grow = True
             target = nbits
         else:
@@ -215,6 +244,10 @@ def turtle_expand(
                 a.setflags(write=False)
             ent = (p, y, x, j, n, target, budget)
             _CACHE[key] = ent
+            _disk.store("walk", key, {"plane": p, "y": y, "x": x,
+                                      "jitter": j},
+                        {"nprod": int(n), "navail": int(target),
+                         "budget": int(budget)})
         _CACHE.move_to_end(key)
         while len(_CACHE) > _CACHE_MAX_ENTRIES:
             _CACHE.popitem(last=False)

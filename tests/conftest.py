@@ -18,6 +18,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import tempfile  # noqa: E402
+
+# Hermetic walk-expansion disk cache (keystream/diskcache.py): without this
+# the suite would read/write ~/.cache, coupling test runs to each other.
+_walk_cache_tmp = tempfile.mkdtemp(prefix="stwc_test_")
+os.environ["STEGANOSAURUS_WALK_CACHE"] = _walk_cache_tmp
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -219,3 +219,102 @@ def test_visited_chaining_native_pure_equality():
     un = lib.turtle_expand_v(wk2, pk, H, W, 0.05, 0.45, 0.7, 0.0, 1500, 10**7)
     upay = set(zip(un[0].tolist(), un[1].tolist(), un[2].tolist()))
     assert hdr & upay
+
+
+# --- persistent disk cache (keystream/diskcache.py) --------------------------
+
+
+def _fresh_expand(tmp_path, monkeypatch, subdir, **kw):
+    """turtle_expand with an isolated disk cache dir and a CLEARED in-memory
+    cache (simulating a cold process)."""
+    import steganosaurus_tpu.keystream as ks_mod
+
+    monkeypatch.setenv("STEGANOSAURUS_WALK_CACHE", str(tmp_path / subdir))
+    ks_mod._CACHE.clear()
+    defaults = dict(rmin=0.05, rmax=0.45, density=0.7, jitter_max=0.0,
+                    nbits=4000)
+    defaults.update(kw)
+    return ks_mod.turtle_expand(
+        b"k" * 32, (b"r" * 32, b"g" * 32, b"b" * 32), 256, 256, **defaults)
+
+
+def test_disk_cache_hit_serves_identical_expansion(tmp_path, monkeypatch):
+    import time
+
+    first = _fresh_expand(tmp_path, monkeypatch, "c")
+    t0 = time.perf_counter()
+    second = _fresh_expand(tmp_path, monkeypatch, "c")  # cold memory, warm disk
+    hit_time = time.perf_counter() - t0
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    # a hit must not re-run the sequential walk: generous 10x margin on I/O
+    assert hit_time < 0.5
+    from steganosaurus_tpu.keystream import diskcache
+
+    assert len(list(diskcache.cache_dir().glob("*.walk"))) == 1
+
+
+def test_disk_cache_miss_on_different_key(tmp_path, monkeypatch):
+    _fresh_expand(tmp_path, monkeypatch, "c")
+    from steganosaurus_tpu.keystream import diskcache
+
+    _fresh_expand(tmp_path, monkeypatch, "c", density=0.6)  # different params
+    assert len(list(diskcache.cache_dir().glob("*.walk"))) == 2
+
+
+def test_disk_cache_corruption_self_heals(tmp_path, monkeypatch):
+    first = _fresh_expand(tmp_path, monkeypatch, "c")
+    from steganosaurus_tpu.keystream import diskcache
+
+    [f] = diskcache.cache_dir().glob("*.walk")
+    raw = bytearray(f.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF  # flip a byte mid-array
+    f.write_bytes(bytes(raw))
+    second = _fresh_expand(tmp_path, monkeypatch, "c")  # must detect + redo
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    # the corrupt file was replaced by a fresh valid one
+    [f2] = diskcache.cache_dir().glob("*.walk")
+    assert f2.exists()
+
+
+def test_disk_cache_truncation_and_bad_magic(tmp_path, monkeypatch):
+    from steganosaurus_tpu.keystream import diskcache
+
+    monkeypatch.setenv("STEGANOSAURUS_WALK_CACHE", str(tmp_path / "d"))
+    key = ("x", 1)
+    diskcache.store("t", key, {"a": np.arange(10, dtype=np.int32)}, {"n": 1})
+    path = diskcache._path_for("t", key)
+    good = path.read_bytes()
+    path.write_bytes(good[: len(good) // 2])     # truncated
+    assert diskcache.load("t", key) is None
+    assert not path.exists()                     # unlinked
+    diskcache.store("t", key, {"a": np.arange(10, dtype=np.int32)}, {"n": 1})
+    path.write_bytes(b"NOTMAGIC" + good[8:])     # bad magic
+    assert diskcache.load("t", key) is None
+
+
+def test_disk_cache_disabled_by_env(tmp_path, monkeypatch):
+    from steganosaurus_tpu.keystream import diskcache
+
+    monkeypatch.setenv("STEGANOSAURUS_WALK_CACHE", "0")
+    assert diskcache.cache_dir() is None
+    diskcache.store("t", ("k",), {"a": np.zeros(4)}, {})  # no-op, no error
+    assert diskcache.load("t", ("k",)) is None
+
+
+def test_disk_cache_header_walk(tmp_path, monkeypatch):
+    import steganosaurus_tpu.keystream as ks_mod
+
+    monkeypatch.setenv("STEGANOSAURUS_WALK_CACHE", str(tmp_path / "h"))
+    args = (b"w" * 32, (b"1" * 32, b"2" * 32, b"3" * 32), 128, 128,
+            0.05, 0.45, 0.7, 0.0, 912)
+    ks_mod._HDR_CACHE.clear()
+    first = ks_mod.header_walk_with_visited(*args)
+    ks_mod._HDR_CACHE.clear()  # cold process, warm disk
+    second = ks_mod.header_walk_with_visited(*args)
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    from steganosaurus_tpu.keystream import diskcache
+
+    assert len(list(diskcache.cache_dir().glob("*.walk"))) == 1
