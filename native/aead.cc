@@ -2,6 +2,8 @@
 
 #include <cstring>
 
+#include "sha256.h"  // secure_wipe
+
 namespace stego {
 namespace {
 
@@ -71,6 +73,9 @@ void chacha_xor(const uint8_t key[32], const uint8_t nonce[12],
     for (size_t i = 0; i < n; ++i) out[off + i] = in[off + i] ^ ks[i];
     off += n;
   }
+  // st[4..11] is the raw key; ks is live keystream
+  stego::secure_wipe(st, sizeof(st));
+  stego::secure_wipe(ks, sizeof(ks));
 }
 
 // Poly1305 over 26-bit limbs.
@@ -213,6 +218,7 @@ void aead_tag(const uint8_t otk[32], const uint8_t* aad, size_t aadlen,
   for (int i = 0; i < 8; ++i) lens[8 + i] = uint8_t(uint64_t(ctlen) >> (8 * i));
   p.update(lens, 16);
   p.final(tag, ref_compat);
+  stego::secure_wipe(&p, sizeof(p));  // r/s key limbs + accumulator
 }
 
 }  // namespace
@@ -226,6 +232,8 @@ int aead_seal(const uint8_t key[32], const uint8_t nonce[12],
   chacha_block(st, otk_block);
   chacha_xor(key, nonce, 1, pt, ct_out, len);
   aead_tag(otk_block, aad, aadlen, ct_out, len, tag_out, ref_compat);
+  secure_wipe(st, sizeof(st));
+  secure_wipe(otk_block, sizeof(otk_block));
   return 0;
 }
 
@@ -238,6 +246,8 @@ int aead_open(const uint8_t key[32], const uint8_t nonce[12],
   chacha_block(st, otk_block);
   uint8_t expect[16];
   aead_tag(otk_block, aad, aadlen, ct, len, expect, ref_compat);
+  secure_wipe(st, sizeof(st));
+  secure_wipe(otk_block, sizeof(otk_block));
   volatile uint8_t diff = 0;
   for (int i = 0; i < 16; ++i) diff |= uint8_t(expect[i] ^ tag[i]);
   if (diff != 0) {

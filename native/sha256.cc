@@ -192,6 +192,11 @@ void Sha256::final(uint8_t out[32]) {
   }
 }
 
+void secure_wipe(void* p, size_t n) {
+  volatile uint8_t* v = static_cast<volatile uint8_t*>(p);
+  while (n--) *v++ = 0;
+}
+
 void hmac_sha256(const uint8_t* key, size_t keylen, const uint8_t* msg,
                  size_t msglen, uint8_t out[32]) {
   uint8_t k0[64] = {0};
@@ -214,6 +219,13 @@ void hmac_sha256(const uint8_t* key, size_t keylen, const uint8_t* msg,
   h.update(opad, 64);
   h.update(inner, 32);
   h.final(out);
+  // key-derived stack residue: pads, inner hash, and the hasher's block
+  // buffer (it held key/message bytes)
+  secure_wipe(k0, sizeof(k0));
+  secure_wipe(ipad, sizeof(ipad));
+  secure_wipe(opad, sizeof(opad));
+  secure_wipe(inner, sizeof(inner));
+  secure_wipe(&h, sizeof(h));
 }
 
 // HMAC with a fixed key, precomputed pads — the PBKDF2 hot loop.
@@ -231,7 +243,9 @@ struct HmacKey {
       ipad[i] = k0[i] ^ 0x36;
       opad[i] = k0[i] ^ 0x5c;
     }
+    secure_wipe(k0, sizeof(k0));
   }
+  ~HmacKey() { secure_wipe(this, sizeof(*this)); }
   void mac(const uint8_t* msg, size_t msglen, uint8_t out[32]) const {
     uint8_t inner[32];
     Sha256 h;
@@ -274,6 +288,14 @@ void pbkdf2_hmac_sha256(const uint8_t* pass, size_t passlen,
     size_t off = size_t(i - 1) * 32;
     size_t need = dklen - off < 32 ? dklen - off : 32;
     std::memcpy(out + off, t, need);
+    // wipe once per block, not per iteration (the 600k-iter loop stays
+    // hot). mac()'s own frame keeps its last iteration's U-chain hash
+    // state un-wiped — that is intermediate-chain residue, not the
+    // derived key; the derived block (t) and chain value (u) are wiped.
+    secure_wipe(u, sizeof(u));
+    secure_wipe(t, sizeof(t));
+    secure_wipe(inner, sizeof(inner));
+    secure_wipe(&h, sizeof(h));
   }
 }
 
@@ -292,7 +314,9 @@ void hkdf_expand_sha256(const uint8_t prk[32], const uint8_t* info,
     size_t need = outlen - pos < 32 ? outlen - pos : 32;
     std::memcpy(out + pos, t, need);
     pos += need;
+    secure_wipe(msg, sizeof(msg));  // msg buffered T(i-1) = output bytes
   }
+  secure_wipe(t, sizeof(t));
 }
 
 }  // namespace stego

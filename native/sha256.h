@@ -30,6 +30,10 @@ class Sha256 {
   size_t buf_len_;
 };
 
+// Volatile-store wipe the optimizer cannot elide (reference secure_zero,
+// steganosaur.cpp:27-30 / crypto_utils.h:37-40).
+void secure_wipe(void* p, size_t n);
+
 void hmac_sha256(const uint8_t* key, size_t keylen, const uint8_t* msg,
                  size_t msglen, uint8_t out[32]);
 

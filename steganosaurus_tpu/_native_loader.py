@@ -72,6 +72,27 @@ class NativeLib:
             d.stego_turtle_expand_v.restype = ctypes.c_longlong
             d.stego_turtle_expand_v.argtypes = (
                 d.stego_turtle_expand.argtypes + [u64p, u64p])
+        # Key vault (native/keyvault.cc): mlock'd derived-key slots.
+        self.has_keyvault = hasattr(d, "stego_kv_derive_pass")
+        if self.has_keyvault:
+            sz = ctypes.c_size_t
+            d.stego_kv_derive_pass.restype = ctypes.c_int
+            d.stego_kv_derive_pass.argtypes = [u8p, sz, u8p, sz,
+                                               ctypes.c_uint32, u8p]
+            d.stego_kv_derive_raw.restype = ctypes.c_int
+            d.stego_kv_derive_raw.argtypes = [u8p, sz, u8p, sz, u8p]
+            d.stego_kv_seal.restype = ctypes.c_int
+            d.stego_kv_seal.argtypes = [ctypes.c_int, u8p, sz, u8p, sz,
+                                        u8p, u8p, ctypes.c_int]
+            d.stego_kv_open.restype = ctypes.c_int
+            d.stego_kv_open.argtypes = [ctypes.c_int, u8p, sz, u8p, sz,
+                                        u8p, u8p, ctypes.c_int]
+            d.stego_kv_hkdf.restype = ctypes.c_int
+            d.stego_kv_hkdf.argtypes = [ctypes.c_int, u8p, sz, u8p, sz]
+            d.stego_kv_destroy.restype = ctypes.c_int
+            d.stego_kv_destroy.argtypes = [ctypes.c_int]
+            d.stego_kv_mlocked.restype = ctypes.c_int
+            d.stego_kv_mlocked.argtypes = []
         # RS codec (native/rs.cc). Probe-and-degrade like expand_v: stale
         # pre-0.7 build artifacts lack it and fall back to the numpy codec.
         self.has_rs = hasattr(d, "stego_rs_encode")
@@ -145,6 +166,62 @@ class NativeLib:
                 f"step budget — image too small for the requested bit count?"
             )
         return plane, y, x, jit, int(rc)
+
+    def kv_derive_pass(self, password: bytes, salt: bytes, iters: int):
+        """Derive into a vault slot from a passphrase -> (handle, nonce)."""
+        nonce = ctypes.create_string_buffer(12)
+        h = self._dll.stego_kv_derive_pass(
+            self._buf(password), len(password), self._buf(salt), len(salt),
+            iters, ctypes.cast(nonce, ctypes.POINTER(ctypes.c_uint8)))
+        return h, nonce.raw[:12]
+
+    def kv_derive_raw(self, master: bytes, salt: bytes):
+        nonce = ctypes.create_string_buffer(12)
+        h = self._dll.stego_kv_derive_raw(
+            self._buf(master), len(master), self._buf(salt), len(salt),
+            ctypes.cast(nonce, ctypes.POINTER(ctypes.c_uint8)))
+        return h, nonce.raw[:12]
+
+    def kv_seal(self, h: int, aad: bytes, pt: bytes,
+                ref_compat: bool = True):
+        ct = ctypes.create_string_buffer(max(len(pt), 1))
+        tag = ctypes.create_string_buffer(16)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = self._dll.stego_kv_seal(
+            h, self._buf(aad), len(aad), self._buf(pt), len(pt),
+            ctypes.cast(ct, u8p), ctypes.cast(tag, u8p), int(ref_compat))
+        if rc != 0:
+            raise RuntimeError(f"native kv_seal failed (rc={rc})")
+        return ct.raw[: len(pt)], tag.raw[:16]
+
+    def kv_open(self, h: int, aad: bytes, ct: bytes, tag: bytes,
+                ref_compat: bool = True):
+        pt = ctypes.create_string_buffer(max(len(ct), 1))
+        rc = self._dll.stego_kv_open(
+            h, self._buf(aad), len(aad), self._buf(ct), len(ct),
+            self._buf(tag),
+            ctypes.cast(pt, ctypes.POINTER(ctypes.c_uint8)),
+            int(ref_compat))
+        if rc == -2:
+            raise RuntimeError("native kv_open: bad vault handle")
+        if rc != 0:
+            return None
+        return pt.raw[: len(ct)]
+
+    def kv_hkdf(self, h: int, info: bytes, n: int) -> bytes:
+        out = ctypes.create_string_buffer(max(n, 1))
+        rc = self._dll.stego_kv_hkdf(
+            h, self._buf(info), len(info),
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), n)
+        if rc != 0:
+            raise RuntimeError(f"native kv_hkdf failed (rc={rc})")
+        return out.raw[:n]
+
+    def kv_destroy(self, h: int) -> None:
+        self._dll.stego_kv_destroy(h)
+
+    def kv_mlocked(self) -> bool:
+        return bool(self._dll.stego_kv_mlocked())
 
     def rs_encode(self, msgs, m: int):
         """RS(255,223)-interleave-encode nmsg messages of m bytes each.

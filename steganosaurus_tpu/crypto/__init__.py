@@ -144,6 +144,114 @@ def derive_keys_from_raw(master_key: bytes, salt: bytes) -> KeyMaterial:
     return KeyMaterial(aead_key=okm[32:64], nonce=okm[64:76], salt=salt)
 
 
+class VaultedKeys:
+    """Derived AEAD keys living in the native mlock'd vault (native/
+    keyvault.cc): derivation, seal, open, and wipe all happen inside the
+    C++ library; the 32-byte AEAD key NEVER materializes as a Python
+    object. Only the nonce is exported — it is public (serialized into the
+    plaintext stego header, pipeline/header.py).
+
+    Use as a context manager or call close(); __del__ is the safety net.
+    """
+
+    __slots__ = ("_lib", "_h", "nonce", "salt")
+
+    def __init__(self, lib, handle: int, nonce: bytes, salt: bytes):
+        self._lib = lib
+        self._h = handle
+        self.nonce = nonce
+        self.salt = salt
+
+    def seal(self, aad: bytes, plaintext: bytes,
+             ref_compat: bool = True) -> tuple[bytes, bytes]:
+        return self._lib.kv_seal(self._h, aad, plaintext, ref_compat)
+
+    def open(self, aad: bytes, ciphertext: bytes, tag: bytes,
+             ref_compat: bool = True) -> bytes | None:
+        return self._lib.kv_open(self._h, aad, ciphertext, tag, ref_compat)
+
+    def hkdf_expand(self, info: bytes, n: int) -> bytes:
+        """HKDF-expand(aead_key, info, n) — one-way export (pad stream)."""
+        return self._lib.kv_hkdf(self._h, info, n)
+
+    def close(self) -> None:
+        if self._h >= 0:
+            self._lib.kv_destroy(self._h)
+            self._h = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class _FallbackKeys:
+    """Same interface as VaultedKeys with the keys as Python bytes — used
+    when the native library is absent (or its vault is full). Carries the
+    documented weaker guarantee: immutable bytes cannot be wiped."""
+
+    __slots__ = ("_km",)
+
+    def __init__(self, km: KeyMaterial):
+        self._km = km
+
+    @property
+    def nonce(self) -> bytes:
+        return self._km.nonce
+
+    @property
+    def salt(self) -> bytes:
+        return self._km.salt
+
+    def seal(self, aad, plaintext, ref_compat=True):
+        return aead_seal(self._km.aead_key, self._km.nonce, aad, plaintext,
+                         ref_compat)
+
+    def open(self, aad, ciphertext, tag, ref_compat=True):
+        return aead_open(self._km.aead_key, self._km.nonce, aad, ciphertext,
+                         tag, ref_compat)
+
+    def hkdf_expand(self, info: bytes, n: int) -> bytes:
+        return hkdf_expand(self._km.aead_key, info, n)
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def derive_keys_vault(password: str | None, master_key: bytes | None, *,
+                      salt: bytes, iters: int):
+    """Hot-path key derivation: native mlock'd vault when built, Python
+    KeyMaterial fallback otherwise. Exactly one of password/master_key must
+    be set (master_key wins, matching derive_keys* dispatch order at every
+    pipeline call site)."""
+    lib = _native()
+    if lib is not None and getattr(lib, "has_keyvault", False):
+        if master_key is not None:
+            h, nonce = lib.kv_derive_raw(master_key, salt)
+        else:
+            h, nonce = lib.kv_derive_pass(password.encode(), salt, iters)
+        if h >= 0:
+            return VaultedKeys(lib, h, nonce, salt)
+        # vault full: degrade rather than fail (the fallback is correct,
+        # just not wipe-guaranteed)
+    if master_key is not None:
+        return _FallbackKeys(derive_keys_from_raw(master_key, salt))
+    return _FallbackKeys(derive_keys(password, salt, iters))
+
+
 def derive_path_key(
     password: str | None,
     master_key: bytes | None,

@@ -217,11 +217,46 @@ def _pack_bits_words(bits):
     return jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
+def _decode_sections(raw, hdr_stream_bits: int, payload_rep: int):
+    """Hard section decode shared by every extract core: Rep-3 header words
+    + payload words under payload_rep (1 = raw packed bits, RS wire)."""
+    outs = []
+    if hdr_stream_bits:
+        outs.append(_pack_bits_words(
+            ecc.rep_decode(raw[:hdr_stream_bits], 3)))
+    outs.append(_pack_bits_words(
+        ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
+    return jnp.concatenate(outs)
+
+
+def _decode_sections_soft(d, hdr_stream_bits: int, payload_rep: int):
+    """Matched-filter soft decode of decision values `d` -> one i32 row
+    laid out [hdr soft words | payload soft words | conf bitcast (RS
+    only)], the exact layout pipeline.batch._soft_sections parses. For the
+    RS wire (payload_rep == 1) the payload section is the hard sign bits
+    plus a per-coded-byte confidence (min |d| over the byte's 8 bits) for
+    the host errors-and-erasures decode."""
+    outs = []
+    if hdr_stream_bits:
+        outs.append(_pack_bits_words(
+            ecc.rep_decode_soft(d[:hdr_stream_bits], 3)))
+    pay = d[hdr_stream_bits:]
+    if payload_rep == 1:
+        outs.append(_pack_bits_words((pay >= 0).astype(jnp.uint8)))
+        conf = jnp.abs(pay).reshape(-1, 8).min(axis=1)
+        outs.append(jax.lax.bitcast_convert_type(
+            conf.astype(jnp.float32), jnp.int32))
+    else:
+        outs.append(_pack_bits_words(ecc.rep_decode_soft(pay, payload_rep)))
+    return jnp.concatenate(outs)
+
+
 @functools.lru_cache(maxsize=32)
 def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
                                hdr_stream_bits: int = 0,
                                shared_idx: bool = True,
-                               payload_rep: int = 7):
+                               payload_rep: int = 7,
+                               with_soft: bool = False):
     """Jitted: gather walk bins AND ECC-decode on device, returning packed
     bytes as i32 words — (B, 10 + ceil(payload_bytes/4)) instead of (B, n)
     raw bits, a ~250x smaller pull (ECC 3x/7x + bit->word 32x).
@@ -234,18 +269,25 @@ def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
     the identity). hdr_stream_bits=0 skips the header section (payload-only
     second pass). shared_idx=False takes per-image (B, n) bin/jitter arrays
     (per-image-walk mode).
-    """
-    inner = functools.partial(_read_core, adaptive=adaptive)
+
+    with_soft=True additionally emits the matched-filter soft row
+    (_decode_sections_soft) from the SAME decision values whose sign is
+    the hard bit (ops/phase.read_values: sign(d) == read_phases exactly,
+    including ties and the adaptive-alpha sign flip), returning
+    (hard, soft) — the legacy-spectra twin of corner_extract_fused_core's
+    with_soft, closing the adaptive-alpha batch fallback gap
+    (doc/HARDENING.md §3 scope note, removed round 4)."""
 
     def core(spec, med, plane, y, x, jitters, alpha):
-        raw = inner(spec, med, plane, y, x, jitters, alpha)
-        outs = []
-        if hdr_stream_bits:
-            outs.append(_pack_bits_words(
-                ecc.rep_decode(raw[:hdr_stream_bits], 3)))
-        outs.append(_pack_bits_words(
-            ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
-        return jnp.concatenate(outs)
+        if with_soft:
+            d = phase_ops.read_values(spec, plane, y, x, jitters, alpha,
+                                      med, adaptive)
+            raw = (d >= 0).astype(jnp.uint8)
+            return (_decode_sections(raw, hdr_stream_bits, payload_rep),
+                    _decode_sections_soft(d, hdr_stream_bits, payload_rep))
+        raw = _read_core(spec, med, plane, y, x, jitters, alpha,
+                         adaptive=adaptive)
+        return _decode_sections(raw, hdr_stream_bits, payload_rep)
 
     if shared_idx:
         fn = jax.vmap(core, in_axes=(0, 0, None, None, None, None, None))
@@ -257,7 +299,8 @@ def batched_gather_decode_core(adaptive: bool, mesh: Mesh | None = None,
     rep = NamedSharding(mesh, P())
     in_sh = ((shard, shard) + (rep,) * 5 if shared_idx
              else (shard,) * 6 + (rep,))
-    return jax.jit(fn, in_shardings=in_sh, out_shardings=shard)
+    out_sh = (shard, shard) if with_soft else shard
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
 
 
 # ---------------------------------------------------------------------------
@@ -678,28 +721,7 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     prec = corner.precision()
 
     def decode(raw):
-        outs = []
-        if hdr_stream_bits:
-            outs.append(_pack_bits_words(
-                ecc.rep_decode(raw[:hdr_stream_bits], 3)))
-        outs.append(_pack_bits_words(
-            ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
-        return jnp.concatenate(outs)
-
-    def decode_soft(d):
-        outs = []
-        if hdr_stream_bits:
-            outs.append(_pack_bits_words(
-                ecc.rep_decode_soft(d[:hdr_stream_bits], 3)))
-        pay = d[hdr_stream_bits:]
-        if payload_rep == 1:
-            # RS wire mode: hard payload bits + per-coded-byte confidence
-            # (min |decision value|) for the host errors-and-erasures decode
-            outs.append(_pack_bits_words((pay >= 0).astype(jnp.uint8)))
-            conf = jnp.abs(pay).reshape(-1, 8).min(axis=1)
-            return jnp.concatenate(outs), conf
-        outs.append(_pack_bits_words(ecc.rep_decode_soft(pay, payload_rep)))
-        return jnp.concatenate(outs), None
+        return _decode_sections(raw, hdr_stream_bits, payload_rep)
 
     def fn(imgs, cjd, sjd, dq, qm, alpha, plane, y, x, *tabs):
         if layout == "nchw":
@@ -739,11 +761,8 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                 d = db[:, plane, y, x]                      # (B, n) bf16
 
             def one_soft(di):
-                soft, conf = decode_soft(di.astype(jnp.float32))
-                if conf is None:
-                    return soft
-                return jnp.concatenate([soft, jax.lax.bitcast_convert_type(
-                    conf.astype(jnp.float32), jnp.int32)])
+                return _decode_sections_soft(di.astype(jnp.float32),
+                                             hdr_stream_bits, payload_rep)
 
             return jax.vmap(decode)(raw), jax.vmap(one_soft)(d)
         if qim_levels:

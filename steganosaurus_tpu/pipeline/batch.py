@@ -426,12 +426,10 @@ def embed_batch(
         flags |= header_mod.FLAG_RS_PAYLOAD
     streams = []
     for secret, salt in zip(secrets, salts):
-        if master_key is not None:
-            km = crypto.derive_keys_from_raw(master_key, salt)
-        else:
-            km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
-        hdr_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
-                                                    params.pad_quantum)
+        with crypto.derive_keys_vault(password, master_key, salt=salt,
+                                      iters=params.pbkdf2_iter) as km:
+            hdr_bytes, ct, tag = header_mod.seal_stream(
+                secret, km, flags, params.pad_quantum)
         streams.append(hdr_bytes + ct + tag)
 
     if params.rs:
@@ -706,12 +704,10 @@ def channel_report(
     if params.rs:
         flags |= header_mod.FLAG_RS_PAYLOAD
     for secret, salt in zip(secrets, salts):
-        if master_key is not None:
-            km = crypto.derive_keys_from_raw(master_key, salt)
-        else:
-            km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
-        hdr_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
-                                                    params.pad_quantum)
+        with crypto.derive_keys_vault(password, master_key, salt=salt,
+                                      iters=params.pbkdf2_iter) as km:
+            hdr_bytes, ct, tag = header_mod.seal_stream(
+                secret, km, flags, params.pad_quantum)
         clens.append(len(ct))
         h = ecc.rep3_encode(bit_ops.bits_from_bytes(hdr_bytes))
         if params.rs:
@@ -967,11 +963,15 @@ class _ExtractJob:
                 self._mesh, hdr_stream_bits=hdr_bits, payload_rep=rep)
             return core(self._bit_dense_for(total, bucket_total, L),
                         pl, yy, xx), None
+        # legacy-spectra path (adaptive-alpha): same fused soft emission as
+        # the corner path — the fallback covers every batch extract mode
+        with_soft = bool(self._params.soft_decode_fallback)
+        info = ((hdr_bits, bucket_total - skip, rep) if with_soft else None)
         core = pbatch.batched_gather_decode_core(
             self._params.adaptive_alpha, self._mesh, hdr_stream_bits=hdr_bits,
-            payload_rep=rep)
+            payload_rep=rep, with_soft=with_soft)
         return core(self._spec, self._med, pl, yy, xx, jj,
-                    self._alpha), None
+                    self._alpha), info
 
     @staticmethod
     def _to_bufs(words_d) -> list[bytes]:
@@ -1032,14 +1032,10 @@ class _ExtractJob:
         if len(rest) < hdr.clen + 16:
             return None
         ct, tag = rest[: hdr.clen], rest[hdr.clen: hdr.clen + 16]
-        if master_key is not None:
-            km = crypto.derive_keys_from_raw(master_key, hdr.salt)
-        else:
-            km = crypto.derive_keys(password, hdr.salt,
-                                    self._params.pbkdf2_iter)
-        return header_mod.maybe_unpad(
-            crypto.aead_open(km.aead_key, km.nonce, hdr.to_bytes(),
-                             ct, tag), hdr.flags)
+        with crypto.derive_keys_vault(password, master_key, salt=hdr.salt,
+                                      iters=self._params.pbkdf2_iter) as km:
+            return header_mod.maybe_unpad(
+                km.open(hdr.to_bytes(), ct, tag), hdr.flags)
 
     def _dispatch_piw_pass(self, idxs: list[int], headers: list,
                            qim: int = 0, rs: bool = False) -> list[bytes]:
@@ -1304,14 +1300,11 @@ class _ExtractJob:
             if len(rest) < h2.clen + 16:
                 return None
             ct, tag = rest[: h2.clen], rest[h2.clen: h2.clen + 16]
-            if master_key is not None:
-                km = crypto.derive_keys_from_raw(master_key, h2.salt)
-            else:
-                km = crypto.derive_keys(password, h2.salt,
-                                        params.pbkdf2_iter)
-            return header_mod.maybe_unpad(
-                crypto.aead_open(km.aead_key, km.nonce, hb, ct, tag),
-                h2.flags)
+            with crypto.derive_keys_vault(password, master_key,
+                                          salt=h2.salt,
+                                          iters=params.pbkdf2_iter) as km:
+                return header_mod.maybe_unpad(
+                    km.open(hb, ct, tag), h2.flags)
 
         def _mode(h) -> tuple[int, bool]:
             return (header_mod.qim_levels(h.flags),

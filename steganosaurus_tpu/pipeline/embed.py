@@ -78,10 +78,11 @@ def embed_array(
     # Key material & AEAD seal (header is AAD, reference :946-975)
     if salt is None:
         salt = crypto.get_random_bytes(16)
-    if master_key is not None:
-        km = crypto.derive_keys_from_raw(master_key, salt)
-    else:
-        km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
+    # Vault-first derivation: the AEAD key stays in the native mlock'd slot
+    # (crypto.VaultedKeys) through seal_stream; falls back to Python bytes
+    # only when the native library is absent.
+    km = crypto.derive_keys_vault(password, master_key, salt=salt,
+                                  iters=params.pbkdf2_iter)
     flags = 0
     if params.per_image_walk:
         if params.cover_dependent_path:
@@ -96,6 +97,7 @@ def embed_array(
         flags |= header_mod.FLAG_RS_PAYLOAD
     header_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
                                                    params.pad_quantum)
+    km.close()  # wipe the vault slot: the sealed stream is all we need
 
     bits = frame_bits(header_bytes, ct, tag, rs=params.rs)
     if len(bits) > capacity:

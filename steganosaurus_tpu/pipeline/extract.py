@@ -155,13 +155,11 @@ def extract_array(
     ct, tag = rest[: hdr.clen], rest[hdr.clen : hdr.clen + 16]
 
     # --- KDF + AEAD open (header bytes as AAD, reference :1299-1308) ---
-    if master_key is not None:
-        km = crypto.derive_keys_from_raw(master_key, hdr.salt)
-    else:
-        km = crypto.derive_keys(password, hdr.salt, params.pbkdf2_iter)
-    pt = header_mod.maybe_unpad(crypto.aead_open(
-        km.aead_key, km.nonce, hdr_bytes[: header_mod.FIXED_LEN], ct, tag
-    ), hdr.flags)
+    # Vault-first: derive -> open -> wipe inside the native mlock'd slot.
+    with crypto.derive_keys_vault(password, master_key, salt=hdr.salt,
+                                  iters=params.pbkdf2_iter) as km:
+        pt = header_mod.maybe_unpad(
+            km.open(hdr_bytes[: header_mod.FIXED_LEN], ct, tag), hdr.flags)
     if pt is None and params.soft_decode_fallback:
         # Soft-decision retry (rebuild-only; ops/ecc.rep_decode_soft):
         # re-decode header AND payload with matched-filter combining —
@@ -250,16 +248,12 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
     if len(rest) < hdr.clen + 16:
         return None
     ct, tag = rest[: hdr.clen], rest[hdr.clen: hdr.clen + 16]
-    if master_key is not None:
-        km = crypto.derive_keys_from_raw(master_key, hdr.salt)
-    else:
-        km = crypto.derive_keys(password, hdr.salt, params.pbkdf2_iter)
     # unpad under THIS (soft-corrected) header's flags — its FLAG_PADDED
     # bit may differ from the hard-decoded header the caller holds
-    return header_mod.maybe_unpad(
-        crypto.aead_open(km.aead_key, km.nonce,
-                         hdr_bytes[: header_mod.FIXED_LEN], ct, tag),
-        hdr.flags)
+    with crypto.derive_keys_vault(password, master_key, salt=hdr.salt,
+                                  iters=params.pbkdf2_iter) as km:
+        return header_mod.maybe_unpad(
+            km.open(hdr_bytes[: header_mod.FIXED_LEN], ct, tag), hdr.flags)
 
 
 def extract(

@@ -45,7 +45,7 @@ def padded_len(secret_len: int, quantum: int) -> int:
     return -(-(4 + secret_len) // quantum) * quantum
 
 
-def pad_plaintext(secret: bytes, quantum: int, aead_key: bytes) -> bytes:
+def pad_plaintext(secret: bytes, quantum: int, aead_key) -> bytes:
     """Frame `secret` as BE32(len) || secret || pad so the plaintext length
     is the next `quantum` multiple (FLAG_PADDED wire mode). Pad bytes are
     HKDF-expanded from the AEAD key (deterministic per (key, salt) — the
@@ -53,7 +53,11 @@ def pad_plaintext(secret: bytes, quantum: int, aead_key: bytes) -> bytes:
     retries; randomness is unnecessary because the pad only ever exists
     under ChaCha20), chunked under RFC 5869's 255-block expand cap. A
     warden estimating payload size from the spectral footprint sees only
-    the padded bucket."""
+    the padded bucket.
+
+    `aead_key` is the 32-byte key, or a vaulted-keys object exposing
+    hkdf_expand(info, n) (crypto.VaultedKeys — the key then never leaves
+    the native mlock'd slot; HKDF output is one-way)."""
     if quantum <= 0:
         raise ValueError("pad_quantum must be positive")
     inner = struct.pack(">I", len(secret)) + secret
@@ -62,8 +66,12 @@ def pad_plaintext(secret: bytes, quantum: int, aead_key: bytes) -> bytes:
         return inner
     from steganosaurus_tpu import crypto
 
-    chunks = [crypto.hkdf_expand(aead_key, _PAD_INFO + struct.pack(">I", i),
-                                 min(8160, n - i))
+    if hasattr(aead_key, "hkdf_expand"):
+        expand = aead_key.hkdf_expand
+    else:
+        def expand(info, ln):
+            return crypto.hkdf_expand(aead_key, info, ln)
+    chunks = [expand(_PAD_INFO + struct.pack(">I", i), min(8160, n - i))
               for i in range(0, n, 8160)]  # 8160 = 255 * 32, the RFC cap
     return inner + b"".join(chunks)
 
@@ -95,16 +103,21 @@ def seal_stream(secret: bytes, km, flags: int,
     """(header_bytes, ct, tag) for one image: the ONE place plaintext
     framing (FLAG_PADDED padding), the wire clen, and the AEAD seal are
     decided — embed_array, embed_batch, and channel_report all build
-    their streams here so the three can never disagree on the frame."""
+    their streams here so the three can never disagree on the frame.
+
+    `km` is a KeyMaterial (legacy: keys as Python bytes) or a vaulted-keys
+    object (crypto.derive_keys_vault: seal/HKDF run in the native mlock'd
+    vault, the AEAD key never materializes in Python)."""
     from steganosaurus_tpu import crypto
 
+    vk = km if hasattr(km, "seal") else crypto._FallbackKeys(km)
     pt = secret
     if pad_quantum:
         flags |= FLAG_PADDED
-        pt = pad_plaintext(secret, pad_quantum, km.aead_key)
-    hb = Header(salt=km.salt, nonce=km.nonce, clen=len(pt),
+        pt = pad_plaintext(secret, pad_quantum, vk)
+    hb = Header(salt=vk.salt, nonce=vk.nonce, clen=len(pt),
                 flags=flags).to_bytes()
-    ct, tag = crypto.aead_seal(km.aead_key, km.nonce, hb, pt)
+    ct, tag = vk.seal(hb, pt)
     return hb, ct, tag
 
 

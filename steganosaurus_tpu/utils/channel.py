@@ -90,15 +90,13 @@ def requantization_noise_report(
     PH, PW = spectral.fft_dims(H, W)
     spec, med, capacity, _ = backend.analyze(planes, params)
 
-    if master_key is not None:
-        km = crypto.derive_keys_from_raw(master_key, salt)
-    else:
-        km = crypto.derive_keys(password, salt, params.pbkdf2_iter)
     flags = header_mod.flags_with_qim(0, params.qim) if params.qim else 0
     if params.rs:
         flags |= header_mod.FLAG_RS_PAYLOAD
-    hdr_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
-                                                params.pad_quantum)
+    with crypto.derive_keys_vault(password, master_key, salt=salt,
+                                  iters=params.pbkdf2_iter) as km:
+        hdr_bytes, ct, tag = header_mod.seal_stream(secret, km, flags,
+                                                    params.pad_quantum)
     bits = np.asarray(frame_bits(hdr_bytes, ct, tag, rs=params.rs))
     if len(bits) > capacity:
         raise StegoError(f"Message too large. Need {len(bits)} bits "

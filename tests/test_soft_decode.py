@@ -246,3 +246,35 @@ def test_soft_fallback_mesh_path(noise_cover, heavy_secret):
     assert n_hard > 0 and n_soft < n_hard, (n_soft, n_hard)
     for g in soft:
         assert g is None or g == heavy_secret
+
+
+def test_soft_fallback_adaptive_alpha_batch(noise_cover, heavy_secret):
+    """VERDICT r3 item 5: the adaptive-alpha BATCH path (legacy-spectra
+    extract, pipeline.batch _use_corner=False) now rides the same fused
+    soft emission (parallel.batch batched_gather_decode_core with_soft).
+    The margin workload must show the fallback recovering failed images,
+    and soft successes must be the true secret with passing images
+    unchanged."""
+    B = 8
+    covers = np.stack([noise_cover] * B)
+    secrets = [heavy_secret] * B
+    salts = [bytes([i]) * 16 for i in range(B)]
+    hard_p = Params(adaptive_alpha=True, soft_decode_fallback=False)
+    soft_p = Params(adaptive_alpha=True)
+    res = embed_batch(covers, secrets, master_key=MK, params=hard_p,
+                      salts=salts)
+    hard = extract_batch(np.asarray(res.stego), master_key=MK, params=hard_p)
+    soft = extract_batch(np.asarray(res.stego), master_key=MK, params=soft_p)
+    n_hard = sum(g is None for g in hard)
+    n_soft = sum(g is None for g in soft)
+    assert n_soft <= n_hard, (n_soft, n_hard)
+    for h, s in zip(hard, soft):
+        if s is not None:
+            assert s == heavy_secret
+        if h is not None:
+            assert s == h
+    # the margin workload must actually exercise the fallback: if this
+    # stops producing hard failures, tighten the channel instead of
+    # silently testing the no-op path
+    assert n_hard > 0, "adaptive margin workload no longer fails hard"
+    assert n_soft < n_hard, "fallback recovered nothing on adaptive batch"
