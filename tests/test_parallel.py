@@ -206,3 +206,33 @@ def test_batched_core_sharded_over_mesh():
         imgs, plane, y, x, bits, jit, jnp.float32(0.5)
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mesh_composed_piw_rs_qim_roundtrip():
+    """VERDICT r3 item 8: the full wire-format stack composed across mesh
+    shards — salt-keyed per-image walks + interleaved RS(255,223) FEC +
+    dithered phase QIM — embeds under the mesh and extracts under plain
+    defaults (wire modes are self-describing via header flags)."""
+    from steganosaurus_tpu.config import Params
+    from steganosaurus_tpu.pipeline.batch import embed_batch, extract_batch
+
+    rng = np.random.default_rng(11)
+    mesh = pbatch.make_mesh(8)
+    B, H, W = 8, 128, 128
+    base = np.linspace(170, 225, W)
+    imgs = np.clip(
+        base[None, None, :, None] + rng.integers(-12, 13, (B, H, W, 3)),
+        0, 255).astype(np.uint8)
+    secrets = [bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+               for _ in range(B)]
+    p_embed = Params(pbkdf2_iter=100, per_image_walk=True, rs=True, qim=3)
+    p_plain = Params(pbkdf2_iter=100)
+    res = embed_batch(imgs, secrets, password="pw", params=p_embed,
+                      mesh=mesh)
+    got = extract_batch(np.asarray(res.stego), password="pw",
+                        params=p_plain, mesh=mesh)
+    assert got == secrets
+    # and single-device extraction agrees (mesh does not change the wire)
+    got1 = extract_batch(np.asarray(res.stego), password="pw",
+                         params=p_plain)
+    assert got1 == secrets
