@@ -59,6 +59,8 @@ _API = {
                                     "requantization_noise_report"),
     "collusion_report": ("steganosaurus_tpu.utils.steganalysis",
                          "collusion_report"),
+    "srm_report": ("steganosaurus_tpu.utils.steganalysis", "srm_report"),
+    "srm_study": ("steganosaurus_tpu.utils.steganalysis", "srm_study"),
     "robustness_report": ("steganosaurus_tpu.utils.channel",
                           "robustness_report"),
     "embed_stream": ("steganosaurus_tpu.pipeline.stream", "embed_stream"),

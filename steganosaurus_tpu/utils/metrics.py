@@ -197,3 +197,38 @@ def ecc_report(sent_frame: np.ndarray, received_frame: np.ndarray,
         "payload_ber_raw": pay_raw,
         "payload_ber_post_ecc": pay_post,
     }
+
+
+# ---------------------------------------------------------------------------
+# MFU / roofline accounting (VERDICT r3 item 2: achieved FLOP/s vs peak and
+# host-link bytes/s vs measured ceiling as bench-record numbers, not prose).
+# ---------------------------------------------------------------------------
+
+# TPU v5e (this session's "TPU v5 lite" chip): 197 TFLOP/s bf16 MXU peak
+# (per the public scaling-book/cloud specs). f32 corner matmuls run the MXU
+# through bf16 passes, so the bf16 peak is the honest denominator.
+V5E_PEAK_BF16_FLOPS = 1.97e14
+
+
+def xla_module_flops(fn, *example_args) -> float | None:
+    """FLOPs of `fn`'s compiled XLA module at the example arguments' shapes
+    (the compiler's own cost analysis). Returns None when the backend does
+    not expose cost analysis. `fn` may itself call jitted functions — the
+    outer trace inlines them."""
+    import jax
+
+    try:
+        comp = jax.jit(fn).lower(*example_args).compile()
+        d = comp.cost_analysis()
+        if isinstance(d, (list, tuple)):
+            d = d[0] if d else {}
+        f = float(d.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:  # noqa: BLE001 — introspection only, never fatal
+        return None
+
+
+def mfu_pct(flops_per_step: float, step_seconds: float,
+            peak_flops: float = V5E_PEAK_BF16_FLOPS) -> float:
+    """Model-FLOPs-utilization: counted step FLOPs over (wall x peak)."""
+    return 100.0 * flops_per_step / (step_seconds * peak_flops)

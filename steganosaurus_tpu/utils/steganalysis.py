@@ -230,3 +230,190 @@ def magnitude_conditioned_report(img: np.ndarray, params: Params = Params(),
         "max_chi2_z": float(max(zs)) if zs else None,
         "chi2_z_marginal": float(marginal["chi2_z"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# SRM-lite: learned spatial-residual warden (reference doc/TODO.md Tier-3
+# "Empirical Detection Testing Framework" — the last unbuilt line of that
+# roadmap). A small Spatial-Rich-Model-class detector: high-pass residuals
+# -> quantize/truncate -> co-occurrence features -> Fisher linear
+# discriminant trained on a self-generated cover corpus (gen_png-class
+# gradients + synthetic textures), cross-validated cover-vs-stego. This is
+# the learned complement to the five analytical wardens above: it sees the
+# SPATIAL side of the u8 rounding footprint rather than the spectral
+# phase histogram.
+# ---------------------------------------------------------------------------
+
+
+_SRM_T = 3  # residual truncation threshold: values clipped to [-T, T]
+
+
+def _cooc2(q: np.ndarray, axis: int) -> np.ndarray:
+    """Sign-symmetrized 2nd-order co-occurrence histogram of a quantized
+    residual plane along `axis` -> ((2T+1)^2,) normalized counts. Pairs
+    (a, b) and (-a, -b) are pooled (the stego signal is sign-symmetric)."""
+    a = np.take(q, np.arange(q.shape[axis] - 1), axis=axis).ravel()
+    b = np.take(q, np.arange(1, q.shape[axis]), axis=axis).ravel()
+    k = 2 * _SRM_T + 1
+    ia, ib = a + _SRM_T, b + _SRM_T
+    ja, jb = -a + _SRM_T, -b + _SRM_T
+    h = (np.bincount(ia * k + ib, minlength=k * k)
+         + np.bincount(ja * k + jb, minlength=k * k)).astype(np.float64)
+    return h / max(h.sum(), 1.0)
+
+
+def srm_features(img: np.ndarray) -> np.ndarray:
+    """SRM-lite feature vector of one RGB u8 image.
+
+    Residuals (per luma-ish mean plane, f64): 1st-order horizontal/
+    vertical differences, 2nd-order horizontal/vertical, and the 3x3 "KB"
+    predictor residual — the classic SRM first-submodel family. Each is
+    quantized (q=1) and truncated to [-T, T], then summarized by
+    horizontal+vertical sign-symmetrized 2nd-order co-occurrences.
+    Dimension: 5 residuals x 2 directions x 49 bins = 490."""
+    x = img.astype(np.float64).mean(axis=2)
+    res = []
+    res.append(x[:, 1:] - x[:, :-1])                       # D1 horizontal
+    res.append(x[1:, :] - x[:-1, :])                       # D1 vertical
+    res.append(x[:, :-2] - 2.0 * x[:, 1:-1] + x[:, 2:])    # D2 horizontal
+    res.append(x[:-2, :] - 2.0 * x[1:-1, :] + x[2:, :])    # D2 vertical
+    # KB kernel: predict center from 8-neighborhood (Ker-Boehme)
+    kb = (-x[:-2, :-2] + 2 * x[:-2, 1:-1] - x[:-2, 2:]
+          + 2 * x[1:-1, :-2] - 4 * x[1:-1, 1:-1] + 2 * x[1:-1, 2:]
+          - x[2:, :-2] + 2 * x[2:, 1:-1] - x[2:, 2:]) / 4.0
+    res.append(kb)
+    feats = []
+    for r in res:
+        q = np.clip(np.round(r), -_SRM_T, _SRM_T).astype(np.int64)
+        feats.append(_cooc2(q, 1))
+        feats.append(_cooc2(q, 0))
+    return np.concatenate(feats)
+
+
+def _fld_train(X0: np.ndarray, X1: np.ndarray, ridge: float = 1e-6):
+    """Regularized Fisher linear discriminant: returns (w, threshold) with
+    score = f @ w; score > threshold classifies stego. Threshold at the
+    midpoint of the projected class means (equal priors)."""
+    mu0, mu1 = X0.mean(axis=0), X1.mean(axis=0)
+    C = np.cov(np.vstack([X0 - mu0, X1 - mu1]).T)
+    C += ridge * np.trace(C) / C.shape[0] * np.eye(C.shape[0])
+    w = np.linalg.solve(C, mu1 - mu0)
+    thr = 0.5 * (X0 @ w).mean() + 0.5 * (X1 @ w).mean()
+    return w, thr
+
+
+def srm_corpus(n: int = 32, hw: tuple[int, int] = (256, 256),
+               seed: int = 7, kind: str = "gradient") -> np.ndarray:
+    """Self-generated SAME-SOURCE cover corpus, (n, H, W, 3) u8.
+
+    kind="gradient": gen_png-class gradient + iid noise (tools/gen_png.py
+    family — fixed base/amplitude, only the noise seed varies).
+    kind="texture": multi-scale smoothed noise (natural-image-like spatial
+    correlation), fixed mixing weights.
+
+    Same-source matters: a warden studying a channel knows the cover
+    distribution, and the standard steganalysis protocol trains cover-vs-
+    stego on one source. A heterogeneous corpus buries the embedding
+    signature under cover variance and reports fake blindness (measured:
+    +-1-per-pixel noise — far louder than any embed here — detects at
+    AUC 0.91 on a same-source corpus but 0.45 on a mixed one)."""
+    H, W = hw
+    rng = np.random.default_rng(seed)
+    out = np.empty((n, H, W, 3), dtype=np.uint8)
+    for i in range(n):
+        if kind == "gradient":
+            base = np.linspace(180, 220, W)[None, :, None]
+            img = base + rng.uniform(-10, 10, (H, W, 3))
+        elif kind == "texture":
+            img = np.zeros((H, W, 3))
+            for scale, amp in ((1, 10.0), (4, 14.0), (16, 18.0)):
+                z = rng.normal(0, 1, (H // scale + 2, W // scale + 2, 3))
+                z = np.cumsum(np.cumsum(z, 0), 1) if scale >= 16 else z
+                zi = np.kron(z, np.ones((scale, scale, 1)))[:H, :W]
+                zi = (zi - zi.mean()) / max(zi.std(), 1e-9)
+                img += zi * amp
+            img += 128.0
+        else:
+            raise ValueError(f"unknown corpus kind {kind!r}")
+        out[i] = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    return out
+
+
+def srm_report(covers: np.ndarray, stegos: np.ndarray, folds: int = 4,
+               seed: int = 0) -> dict:
+    """Train/evaluate the SRM-lite detector on paired (covers, stegos).
+
+    K-fold cross-validation over PAIRS (a cover and its stego never split
+    across train/test — the standard steganalysis protocol). Returns:
+      accuracy: mean held-out classification accuracy (0.5 = blind).
+      p_e: min-error probability 0.5*(FA + MD) at the trained threshold.
+      auc: held-out ROC area (rank statistic of the projected scores).
+      n_pairs, feature_dim, folds.
+    A detector at accuracy ~0.5 / auc ~0.5 is BLIND to the embedding on
+    this corpus; values near 1.0 mean the mode is spatially detectable."""
+    covers = np.asarray(covers)
+    stegos = np.asarray(stegos)
+    assert covers.shape == stegos.shape and covers.ndim == 4
+    n = covers.shape[0]
+    X0 = np.stack([srm_features(c) for c in covers])
+    X1 = np.stack([srm_features(s) for s in stegos])
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    folds = max(2, min(folds, n // 2))
+    accs, aucs, pes = [], [], []
+    for f in range(folds):
+        test = order[f::folds]
+        train = np.setdiff1d(order, test)
+        w, thr = _fld_train(X0[train], X1[train])
+        s0, s1 = X0[test] @ w, X1[test] @ w
+        fa = float(np.mean(s0 > thr))
+        md = float(np.mean(s1 <= thr))
+        accs.append(1.0 - 0.5 * (fa + md))
+        pes.append(0.5 * (fa + md))
+        # AUC: P(score_stego > score_cover) + 0.5 P(tie)
+        diff = s1[:, None] - s0[None, :]
+        aucs.append(float(np.mean(diff > 0) + 0.5 * np.mean(diff == 0)))
+    return {
+        "accuracy": float(np.mean(accs)),
+        "p_e": float(np.mean(pes)),
+        "auc": float(np.mean(aucs)),
+        "n_pairs": int(n),
+        "feature_dim": int(X0.shape[1]),
+        "folds": int(folds),
+    }
+
+
+def srm_study(params: Params = Params(), secret_bytes: int = 240,
+              n: int = 32, hw: tuple[int, int] = (256, 256),
+              seed: int = 7, master_key: bytes | None = None) -> dict:
+    """End-to-end SRM-lite study for one embedding config: per cover
+    FAMILY (same-source protocol — see srm_corpus), embed a fresh random
+    secret per cover (fresh salts, the bulk threat model), train and
+    evaluate. Returns per-family reports plus the warden's best case
+    (max accuracy/auc across families). Convenience driver for
+    doc/ATTACKS.md section 2d's table; heavy (2n embeds + feature
+    extraction + folds x FLD solves)."""
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+
+    mk = master_key if master_key is not None else bytes(range(32))
+    rng = np.random.default_rng(seed + 1)
+    out = {"families": {}}
+    for kind in ("gradient", "texture"):
+        covers = srm_corpus(n, hw, seed, kind=kind)
+        secrets = [bytes(rng.integers(0, 256, secret_bytes, dtype=np.uint8))
+                   for _ in range(n)]
+        salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                 for _ in range(n)]
+        res = embed_batch(covers, secrets, master_key=mk, params=params,
+                          salts=salts)
+        out["families"][kind] = srm_report(covers, np.asarray(res.stego))
+    reps = out["families"].values()
+    out["max_accuracy"] = float(max(r["accuracy"] for r in reps))
+    out["max_auc"] = float(max(r["auc"] for r in reps))
+    out["params"] = {
+        "alpha": params.alpha, "jitter": params.jitter,
+        "alpha_spread": getattr(params, "alpha_spread", 0.0),
+        "qim": params.qim, "density": params.density,
+        "secret_bytes": secret_bytes,
+    }
+    return out

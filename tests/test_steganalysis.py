@@ -224,3 +224,59 @@ def test_robustness_report_stealth_params(cover):
     assert a["raw_ber_payload"] is None
     assert a["recovered_soft"] in (True, False)
     assert rep["jpeg"] == []
+
+
+# --- SRM-lite learned warden (utils.steganalysis.srm_*) ---------------------
+
+
+def test_srm_features_shape_and_determinism():
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    covers = sa.srm_corpus(2, hw=(128, 128), seed=3)
+    f1 = sa.srm_features(covers[0])
+    f2 = sa.srm_features(covers[0])
+    assert f1.shape == (490,)
+    np.testing.assert_array_equal(f1, f2)
+    # normalized histograms: each co-occurrence block sums to ~1
+    assert np.all(f1 >= 0) and abs(f1.sum() - 10.0) < 1e-6
+
+
+def test_srm_report_blind_on_identical_and_detects_noise():
+    """Power calibration: identical pairs are exactly chance; +-1-per-pixel
+    iid noise (louder than any embed here) must be detected on a
+    same-source corpus."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    n = 32
+    covers = sa.srm_corpus(n, hw=(128, 128), seed=5, kind="gradient")
+    rep0 = sa.srm_report(covers, covers)
+    assert abs(rep0["auc"] - 0.5) < 1e-9 and rep0["accuracy"] == 0.5
+    rng = np.random.default_rng(0)
+    noisy = np.clip(covers.astype(np.int16)
+                    + rng.integers(-1, 2, covers.shape), 0,
+                    255).astype(np.uint8)
+    rep1 = sa.srm_report(covers, noisy)
+    assert rep1["auc"] > 0.75, rep1
+
+
+def test_srm_detects_hard_write_and_corpus_kinds():
+    """The default hard write at heavy payload is spatially LOUD (measured
+    AUC 1.0 at 240 B / 256^2 in doc/ATTACKS.md 2d); assert a safely weaker
+    bound on the smaller/faster test configuration."""
+    from steganosaurus_tpu.config import Params
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    n = 16
+    covers = sa.srm_corpus(n, hw=(128, 128), seed=9, kind="gradient")
+    rng = np.random.default_rng(1)
+    secrets = [bytes(rng.integers(0, 256, 60, dtype=np.uint8))
+               for _ in range(n)]
+    salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+             for _ in range(n)]
+    res = embed_batch(covers, secrets, master_key=bytes(range(32)),
+                      params=Params(), salts=salts)
+    rep = sa.srm_report(covers, np.asarray(res.stego))
+    assert rep["auc"] > 0.8, rep
+    with pytest.raises(ValueError):
+        sa.srm_corpus(2, kind="nope")
