@@ -627,7 +627,8 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
 @functools.lru_cache(maxsize=32)
 def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                      mesh: Mesh | None = None, has_jitter: bool = False,
-                     layout: str = "nhwc", qim_levels: int = 0):
+                     layout: str = "nhwc", qim_levels: int = 0,
+                     with_values: bool = False):
     """Jitted corner analyze+read: (imgs u8, [cjd, sjd], [dq, qm], alpha) ->
     dense decoded bits (device-resident between the header and payload
     gather passes — replaces the full c64 spectrum). qim_levels > 0: payload
@@ -638,11 +639,18 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     — bit b%32 of word row b//32 is image b's decoded bit — so the slot
     gathers downstream fetch one word per walk bin instead of B u8 rows.
     Mesh: (B,3,Ky,Kx) u8 (batch stays shardable). layout as in
-    corner_embed_core."""
+    corner_embed_core.
+
+    with_values=True (mesh only): additionally returns the dense decision
+    values as (B,3,Ky,Kx) bf16 (sign preserved exactly — hard bit ==
+    sign(d); the soft combiner only needs coarse magnitude), feeding the
+    mesh extract's soft fallback (corner_gather_decode_core with_soft)."""
     from steganosaurus_tpu.spectral import corner
 
     prec = corner.precision()
     packed = mesh is None
+    assert not (with_values and packed), \
+        "with_values is the mesh soft path; single-chip uses the fused core"
 
     def fn(imgs, cjd, sjd, dq, qm, alpha, *tabs):
         if layout == "nchw":
@@ -652,6 +660,14 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         pin = spectral.apply_center(planes, center)
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
         ssa = jnp.sign(jnp.sin(alpha))
+        if with_values:
+            if qim_levels:
+                dd = corner.decision_values_dense_qim(
+                    cr, ci, ssa, qm, dq, qim_levels, cjd, sjd)
+            else:
+                dd = ci if cjd is None else ci * cjd - cr * sjd
+                dd = dd * ssa
+            return (dd >= 0).astype(jnp.uint8), dd.astype(jnp.bfloat16)
         if qim_levels:
             bd = corner.read_bits_dense_qim(cr, ci, ssa, qm, dq, qim_levels,
                                             cjd, sjd)
@@ -669,7 +685,9 @@ def corner_bits_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     in_sh = (_shardB(mesh, 4),)
     in_sh += (rep, rep) * sum(pair_flags) + (rep,)
     in_sh += (rep,) * len(tabs)
-    jfn = jax.jit(fn, in_shardings=in_sh, out_shardings=_shardB(mesh, 4))
+    out_sh = ((_shardB(mesh, 4), _shardB(mesh, 4)) if with_values
+              else _shardB(mesh, 4))
+    jfn = jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
     return lambda *args: jfn(*args, *tabs)
 
 
@@ -1126,24 +1144,24 @@ def unpack_words_host(words: np.ndarray, n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=32)
 def corner_gather_decode_core(mesh: Mesh | None = None,
                               hdr_stream_bits: int = 0, B: int = 0,
-                              payload_rep: int = 7):
+                              payload_rep: int = 7,
+                              with_soft: bool = False):
     """Jitted: (bit_dense, plane/y/x (n,)) -> packed decoded words, same
     output contract as batched_gather_decode_core (rep3 header section +
     payload_rep payload — 7 = Rep-7, 1 = raw bits for host RS decode —
     bit->word packing). bit_dense is corner_bits_core's output for the SAME
-    mesh (batch-packed when mesh is None, B required)."""
+    mesh (batch-packed when mesh is None, B required).
+
+    with_soft=True (mesh only): takes (bit_dense, value_dense, plane, y, x)
+    — value_dense from corner_bits_core with_values — and returns
+    (hard, soft) with the soft row in _decode_sections_soft layout,
+    completing the fallback on the mesh-sharded corner extract."""
 
     def decode(raw):
-        outs = []
-        if hdr_stream_bits:
-            outs.append(_pack_bits_words(
-                ecc.rep_decode(raw[:hdr_stream_bits], 3)))
-        outs.append(_pack_bits_words(
-            ecc.rep_decode(raw[hdr_stream_bits:], payload_rep)))
-        return jnp.concatenate(outs)
+        return _decode_sections(raw, hdr_stream_bits, payload_rep)
 
     if mesh is None:
-        assert B > 0
+        assert B > 0 and not with_soft
 
         def fn(bdw, plane, y, x):
             raw_w = _bitcast(bdw[:, plane, y, x], jnp.uint32)  # (Bw, n)
@@ -1152,9 +1170,22 @@ def corner_gather_decode_core(mesh: Mesh | None = None,
 
         return jax.jit(fn)
 
+    rep = _rep(mesh)
+    if with_soft:
+        def one(bd, dv, plane, y, x):
+            return (decode(bd[plane, y, x]),
+                    _decode_sections_soft(
+                        dv[plane, y, x].astype(jnp.float32),
+                        hdr_stream_bits, payload_rep))
+
+        fn = jax.vmap(one, in_axes=(0, 0, None, None, None))
+        return jax.jit(
+            fn,
+            in_shardings=(_shardB(mesh, 4), _shardB(mesh, 4), rep, rep, rep),
+            out_shardings=(_shardB(mesh, 2), _shardB(mesh, 2)))
+
     fn = jax.vmap(lambda bd, plane, y, x: decode(bd[plane, y, x]),
                   in_axes=(0, None, None, None))
-    rep = _rep(mesh)
     return jax.jit(fn, in_shardings=(_shardB(mesh, 4), rep, rep, rep),
                    out_shardings=_shardB(mesh, 2))
 

@@ -867,7 +867,9 @@ class _ExtractJob:
                 else (clen + 16) * 8 * 7)
 
     def _bit_dense_for(self, nbits: int, bucket: int, L: int):
-        """Dense decoded-bit corner (mesh path) under QIM level L. With no
+        """Dense decoded-bit corner (mesh path) under QIM level L — plus
+        the dense decision values (mesh soft fallback) when
+        soft_decode_fallback is on, as a (bits, values) tuple. With no
         jitter and no QIM the result is independent of the read length (one
         FFT per batch); static jd/dither maps must cover every read slot, so
         a longer second pass re-analyzes."""
@@ -881,7 +883,8 @@ class _ExtractJob:
         if bd is None:
             bits_fn = pbatch.corner_bits_core(
                 H, W, Ky, Kx, self._params.center, self._mesh,
-                self._has_jitter, layout=self._layout, qim_levels=L)
+                self._has_jitter, layout=self._layout, qim_levels=L,
+                with_values=bool(self._params.soft_decode_fallback))
             if has_maps:
                 maps, _ = _corner_statics_device(
                     password, master_key, self._params, PH, PW, nbits,
@@ -959,10 +962,17 @@ class _ExtractJob:
                             self._alpha, pl, yy, xx), info
             return core(self._imgs_d, self._alpha, pl, yy, xx), info
         if self._use_corner:
+            # mesh-sharded corner gather: soft fallback rides the dense
+            # decision values from corner_bits_core with_values
+            with_soft = bool(self._params.soft_decode_fallback)
             core = pbatch.corner_gather_decode_core(
-                self._mesh, hdr_stream_bits=hdr_bits, payload_rep=rep)
-            return core(self._bit_dense_for(total, bucket_total, L),
-                        pl, yy, xx), None
+                self._mesh, hdr_stream_bits=hdr_bits, payload_rep=rep,
+                with_soft=with_soft)
+            dense = self._bit_dense_for(total, bucket_total, L)
+            if with_soft:
+                info = (hdr_bits, bucket_total - skip, rep)
+                return core(dense[0], dense[1], pl, yy, xx), info
+            return core(dense, pl, yy, xx), None
         # legacy-spectra path (adaptive-alpha): same fused soft emission as
         # the corner path — the fallback covers every batch extract mode
         with_soft = bool(self._params.soft_decode_fallback)

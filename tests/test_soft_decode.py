@@ -225,10 +225,11 @@ def test_corrupt_clen_does_not_blow_pass_size(noise_cover, heavy_secret,
 
 
 def test_soft_fallback_mesh_path(noise_cover, heavy_secret):
-    """Sharded (mesh) extraction composes with the soft fallback: the
-    mesh pass has no inline soft sections (corner_gather_decode_core),
-    so failures route to the single-chip retry cores, which accept the
-    sharded image batch (XLA resolves the layout transfer)."""
+    """Sharded (mesh) extraction composes with the soft fallback — since
+    round 4 INLINE: corner_gather_decode_core with_soft emits the soft
+    sections from the mesh-sharded dense decision values
+    (corner_bits_core with_values), so AEAD failures resolve without
+    routing to single-chip retry cores."""
     from steganosaurus_tpu.parallel.batch import make_mesh
 
     B = 8
