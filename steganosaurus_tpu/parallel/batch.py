@@ -613,7 +613,13 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     tabs = corner.dft_tables_device(H, Ky, W, Kx, mesh)
     if mesh is None:
         jfn = jax.jit(fn)
-        return lambda *args: jfn(*args, *tabs)
+        out = lambda *args: jfn(*args, *tabs)  # noqa: E731
+        # Cost-model handles (utils/cost.py): lowering jfn at the runtime
+        # argument shapes yields the EXACT dispatched module's compiler
+        # cost analysis (and a persistent-cache compile hit, not a fresh
+        # compile of a wrapper module).
+        out.jfn, out.tabs = jfn, tabs
+        return out
     rep = _rep(mesh)
     in_sh = (_shardB(mesh, 4), _shardB(mesh, 2, axis=1), rep)
     in_sh += (rep, rep) * sum(pair_flags) + (rep,)
@@ -796,7 +802,9 @@ def corner_extract_fused_core(H: int, W: int, Ky: int, Kx: int, center: bool,
     fn = _maps_adapter(fn, 1, (has_jitter, qim_levels > 0))
     tabs = corner.dft_tables_device(H, Ky, W, Kx, None)
     jfn = jax.jit(fn)
-    return lambda *args: jfn(*args, *tabs)
+    out = lambda *args: jfn(*args, *tabs)  # noqa: E731
+    out.jfn, out.tabs = jfn, tabs  # cost-model handles (utils/cost.py)
+    return out
 
 
 def _piw_write_vals(vr, vi, s, cj, sj, ca, sa, soft: bool):

@@ -209,6 +209,10 @@ def ecc_report(sent_frame: np.ndarray, received_frame: np.ndarray,
 # through bf16 passes, so the bf16 peak is the honest denominator.
 V5E_PEAK_BF16_FLOPS = 1.97e14
 
+# TPU v5e HBM bandwidth peak (public spec: 819 GB/s) — the roofline
+# denominator for the compiler-counted "bytes accessed" rate.
+V5E_PEAK_HBM_BYTES_PER_S = 8.19e11
+
 
 def xla_module_flops(fn, *example_args) -> float | None:
     """FLOPs of `fn`'s compiled XLA module at the example arguments' shapes
