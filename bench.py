@@ -134,6 +134,17 @@ def fits(estimate_s: float) -> bool:
     return FULL or remaining() >= estimate_s
 
 
+def dist_record(samples: list[float]) -> dict:
+    """{median,min,max,n} of a throughput sample list (VERDICT r3 item 1:
+    every throughput metric carries spread, not a point). n_windows=1
+    states plainly that one bench run samples ONE tunnel window;
+    cross-window spread is the BENCH_r*.json series."""
+    return {"median": round(float(np.median(samples)), 3),
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+            "n": len(samples), "n_windows": 1}
+
+
 def make_covers(B: int, h: int, w: int) -> np.ndarray:
     """Deterministic bench covers (seed 42), disk-cached: this host has ONE
     CPU core and generating the 4K/B=32 batch is ~3 min of single-core
@@ -558,12 +569,23 @@ def main():
     note("warmup step (compile + correctness)")
     stego_d = uhd.step()  # warmup + compile + correctness (asserts recovery)
     note("warmup done; measuring headline stream")
-    uhd_ips, rec = uhd.stream_ips(UHD_ITERS)
-    assert rec == 1.0, "headline recovery failed"
+    # 3 samples (budget-gated after the first), headline = median: one
+    # stream sample per round conflates the pipeline with the tunnel
+    # window's mood (VERDICT r3 item 1 — every throughput metric carries
+    # median + spread).
+    hd_samples = []
+    for j in range(3):
+        uhd_ips, rec = uhd.stream_ips(UHD_ITERS)
+        assert rec == 1.0, "headline recovery failed"
+        hd_samples.append(uhd_ips)
+        if not fits(2.2 * UHD_BATCH * UHD_ITERS / uhd_ips):
+            break
+    uhd_ips = float(np.median(hd_samples))
     RESULT.pop("provisional", None)
     RESULT.update({
         "metric": "embed_extract_4k_uhd_images_per_sec",
         "value": round(uhd_ips, 3),
+        "value_dist": dist_record(hd_samples),
         "vs_baseline": (round(uhd_ips / ref_4096_ips, 1)
                         if ref_4096_ips else None),
         "baseline_4096px_images_per_sec": (round(ref_4096_ips, 5)
@@ -620,18 +642,95 @@ def main():
         note("PSNR/SSIM measured")
         emit()
 
-    # ---- rotating-salt stream (honesty variant: fresh AEAD every batch) ----
+    # ---- rotating-salt stream (honesty variant: fresh AEAD every batch).
+    # Repeated up to 5x (budget-gated per repeat) and recorded as a
+    # DISTRIBUTION — the cache-cold serving number was the unstable one
+    # (round 3 recorded 181.3 certified vs 12-78 observed across tunnel
+    # windows); one sample per round is not a certification. The scalar
+    # field stays (= median) for cross-round continuity; the _dist field
+    # carries {median,min,max,n} and n_windows=1 says plainly that one
+    # bench run samples ONE tunnel window — cross-window spread lives in
+    # the per-round BENCH_r*.json series. ----
     if fits(30):
         try:
-            rot_ips, rot_rec = uhd.stream_ips(
-                UHD_ITERS,
-                salts_for_iter=lambda k: [bytes([i % 256, 200 + k]) * 8
-                                          for i in range(UHD_BATCH)])
-            RESULT["rotating_salt_images_per_sec"] = round(rot_ips, 3)
-            RESULT["rotating_salt_recovery_rate"] = round(rot_rec, 4)
+            rot_samples, rot_recs = [], []
+            for j in range(5):
+                if j and not fits(25):
+                    break
+                rot_ips, rot_rec = uhd.stream_ips(
+                    UHD_ITERS,
+                    salts_for_iter=lambda k: [
+                        bytes([i % 256, 200 + (37 * j + k) % 56]) * 8
+                        for i in range(UHD_BATCH)])
+                rot_samples.append(rot_ips)
+                rot_recs.append(rot_rec)
+            rot_dist = dist_record(rot_samples)
+            RESULT["rotating_salt_images_per_sec"] = rot_dist["median"]
+            RESULT["rotating_salt_images_per_sec_dist"] = rot_dist
+            RESULT["rotating_salt_recovery_rate"] = round(
+                float(np.mean(rot_recs)), 4)
+            RESULT["rotating_salt_meets_100ips_bar"] = bool(
+                min(rot_samples) >= 100.0)
         except Exception as e:  # noqa: BLE001
             RESULT["rotating_salt_error"] = f"{type(e).__name__}: {e}"
         note("rotating-salt measured")
+        emit()
+
+    # ---- MFU / roofline accounting (VERDICT r3 item 2): compiler-counted
+    # FLOPs and HBM bytes of the EXACT dispatched headline modules
+    # (utils/cost.py lowers the same lru-cached builders the pipeline
+    # uses), over result-pull-fenced device-step wall time; host-link
+    # traffic vs a measured (tunnel) link ceiling. ----
+    if fits(90):
+        try:
+            from steganosaurus_tpu.utils import cost as cost_mod
+            from steganosaurus_tpu.utils.metrics import (
+                V5E_PEAK_BF16_FLOPS, V5E_PEAK_HBM_BYTES_PER_S)
+
+            note("cost model: counting the dispatched modules")
+            rc = cost_mod.roundtrip_cost(UHD_BATCH, UHD_H, UHD_W, UHD_SECRET)
+            note("device-step timing (result-pull fenced)")
+            dstep = cost_mod.measure_device_step(
+                uhd.covers_d, master_key, UHD_SECRET, reps=2)
+            note("host-link ceiling probe")
+            link = cost_mod.measure_link(nbytes=1 << 26, reps=2)
+            flops = rc["embed_flops"] + rc["extract_flops"]
+            hbm_b = rc["embed_hbm_bytes"] + rc["extract_hbm_bytes"]
+            dt = dstep["device_roundtrip_s"]
+            g = rc["geometry"]
+            ips = RESULT["value"]
+            up_bps = ips * 4 * g["stream_words_per_image"]
+            down_bps = ips * 4 * g["hard_words_per_image"]
+            # with per-image cover ingest + stego egress un-amortized
+            up_ing = up_bps + ips * 3 * UHD_H * UHD_W
+            down_ing = down_bps + ips * 3 * UHD_H * UHD_W
+            RESULT.update({
+                "mfu_pct": round(
+                    100.0 * flops / (dt * V5E_PEAK_BF16_FLOPS), 3),
+                "hbm_utilization_pct": round(
+                    100.0 * hbm_b / (dt * V5E_PEAK_HBM_BYTES_PER_S), 1),
+                "roundtrip_gflops_per_image": round(
+                    flops / UHD_BATCH / 1e9, 2),
+                "roundtrip_hbm_mbytes_per_image": round(
+                    hbm_b / UHD_BATCH / 1e6, 1),
+                "device_roundtrip_ms_per_batch": round(dt * 1e3, 1),
+                "device_only_images_per_sec": round(UHD_BATCH / dt, 1),
+                "link_up_mbytes_per_sec": round(
+                    link["up_bytes_per_sec"] / 1e6, 1),
+                "link_down_mbytes_per_sec": round(
+                    link["down_bytes_per_sec"] / 1e6, 1),
+                # steady-state serving traffic (covers/stego device-resident)
+                "link_utilization": round(max(
+                    up_bps / link["up_bytes_per_sec"],
+                    down_bps / link["down_bytes_per_sec"]), 4),
+                # if every image's cover+stego crossed the link un-amortized
+                "link_utilization_with_ingest": round(max(
+                    up_ing / link["up_bytes_per_sec"],
+                    down_ing / link["down_bytes_per_sec"]), 3),
+            })
+        except Exception as e:  # noqa: BLE001
+            RESULT["mfu_error"] = f"{type(e).__name__}: {e}"
+        note("MFU/roofline measured")
         emit()
 
     # ---- RS wire mode on the headline workload (Params.rs: interleaved

@@ -150,3 +150,12 @@ def test_reference_baselines_resolution_order(tmp_path, monkeypatch):
     legacy.unlink()
     out = bench.reference_baselines("k", allow_measure=False)
     assert out["measured"] is False
+
+
+def test_dist_record_median_and_spread():
+    d = bench.dist_record([10.0, 30.0, 20.0])
+    assert d == {"median": 20.0, "min": 10.0, "max": 30.0,
+                 "n": 3, "n_windows": 1}
+    d1 = bench.dist_record([181.25])
+    assert d1["median"] == d1["min"] == d1["max"] == 181.25
+    assert d1["n"] == 1
