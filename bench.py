@@ -676,6 +676,54 @@ def main():
         note("rotating-salt measured")
         emit()
 
+    # ---- RS wire mode on the headline workload (Params.rs: interleaved
+    # RS(255,223) payload FEC, ops/rs.py). Same 4K/B=64/16 KB job, ~6.1x
+    # fewer written bins (151k vs 919k frame bits) -> smaller walk,
+    # gathers, and write energy. Reference-incompatible wire (flag 0x02,
+    # its binary fails closed), so it is a SECONDARY record: the headline
+    # stays on the reference-compatible Rep-7 frame. Runs HERE — right
+    # after rotating-salt, BEFORE the MFU stage — because its >=100 img/s
+    # bar is a round-4 certification target and the 2026-08-19 dev run
+    # showed it budget-starved at the tail (stage cost is ~1 RS-shape
+    # compile; the stream itself is ~1.5 s/sample at the measured
+    # 141 img/s with the native codec). Shares uhd.covers_d; its device
+    # working set is freed in `finally`, before the frontier stages
+    # (holding covers+stego+RS spectra+frontier covers together
+    # RESOURCE_EXHAUSTEDs the 16 GB chip — measured 2026-08-18). ----
+    if fits(90):
+        rsw = rs_stego = None
+        try:
+            from steganosaurus_tpu.config import Params
+
+            note("RS wire-mode workload (shared UHD covers)")
+            rsw = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
+                           salts=uhd.salts, covers_d=uhd.covers_d,
+                           params=Params(rs=True))
+            rs_stego = rsw.step()  # compile + recovery assert
+            rs_samples, rs_recs = [], []
+            for j in range(5):
+                if j and not fits(10):
+                    break
+                rs_ips, rs_rec = rsw.stream_ips(UHD_ITERS)
+                rs_samples.append(rs_ips)
+                rs_recs.append(rs_rec)
+            rs_dist = dist_record(rs_samples)
+            psnr, ssim = rsw.quality(rs_stego)
+            RESULT.update({
+                "rs_mode_images_per_sec": rs_dist["median"],
+                "rs_mode_images_per_sec_dist": rs_dist,
+                "rs_mode_recovery_rate": round(float(np.mean(rs_recs)), 4),
+                "rs_mode_meets_100ips_bar": bool(min(rs_samples) >= 100.0),
+                "rs_mode_psnr_db": round(psnr, 2),
+                "rs_mode_ssim": round(ssim, 4),
+            })
+        except Exception as e:  # noqa: BLE001
+            RESULT["rs_mode_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            rsw = rs_stego = None
+        note("RS wire mode measured")
+        emit()
+
     # ---- MFU / roofline accounting (VERDICT r3 item 2): compiler-counted
     # FLOPs and HBM bytes of the EXACT dispatched headline modules
     # (utils/cost.py lowers the same lru-cached builders the pipeline
@@ -731,41 +779,6 @@ def main():
         except Exception as e:  # noqa: BLE001
             RESULT["mfu_error"] = f"{type(e).__name__}: {e}"
         note("MFU/roofline measured")
-        emit()
-
-    # ---- RS wire mode on the headline workload (Params.rs: interleaved
-    # RS(255,223) payload FEC, ops/rs.py). Same 4K/B=64/16 KB job, ~6.1x
-    # fewer written bins (151k vs 919k frame bits) -> smaller walk,
-    # gathers, and write energy. Reference-incompatible wire (flag 0x02,
-    # its binary fails closed), so it is a SECONDARY record: the headline
-    # stays on the reference-compatible Rep-7 frame. Runs here (not after
-    # the frontier stages) so it can share uhd.covers_d — the UHD working
-    # set is freed right after, BEFORE the frontier/secondary stages
-    # (measured 2026-08-18: holding covers+stego+RS spectra+frontier
-    # covers together RESOURCE_EXHAUSTEDs the 16 GB chip). ----
-    if fits(120):
-        rsw = rs_stego = None
-        try:
-            from steganosaurus_tpu.config import Params
-
-            note("RS wire-mode workload (shared UHD covers)")
-            rsw = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
-                           salts=uhd.salts, covers_d=uhd.covers_d,
-                           params=Params(rs=True))
-            rs_stego = rsw.step()  # compile + recovery assert
-            rs_ips, rs_rec = rsw.stream_ips(UHD_ITERS)
-            psnr, ssim = rsw.quality(rs_stego)
-            RESULT.update({
-                "rs_mode_images_per_sec": round(rs_ips, 3),
-                "rs_mode_recovery_rate": round(rs_rec, 4),
-                "rs_mode_psnr_db": round(psnr, 2),
-                "rs_mode_ssim": round(ssim, 4),
-            })
-        except Exception as e:  # noqa: BLE001
-            RESULT["rs_mode_error"] = f"{type(e).__name__}: {e}"
-        finally:
-            rsw = rs_stego = None
-        note("RS wire mode measured")
         emit()
 
     # Free the 4K working set (covers 1.6 GB + stego 1.6 GB + jitted
