@@ -34,7 +34,7 @@ from steganosaurus_tpu.config import Params
 # 0.6: inline soft decode in the fused extract pass, payload padding
 # (Params.pad_quantum, header FLAG 0x04), `check` CLI mode, collusion +
 # AWGN/JPEG robustness reports.
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 # Lazy top-level convenience API (PEP 562): `import steganosaurus_tpu as st;
 # st.embed_batch(...)`. Resolved on first touch so importing the package
