@@ -310,6 +310,16 @@ def srm_corpus(n: int = 32, hw: tuple[int, int] = (256, 256),
     family — fixed base/amplitude, only the noise seed varies).
     kind="texture": multi-scale smoothed noise (natural-image-like spatial
     correlation), fixed mixing weights.
+    kind="photo": random crops of a real photograph (matplotlib's
+    grace_hopper.jpg sample — the one natural image shipped with the
+    baked-in libraries). NOTE: the source is JPEG-decoded, so the family
+    models the common "cover was once JPEG-compressed" case — its
+    high-frequency residuals are quantization-sparse and any white write
+    noise is maximally exposed (doc/ATTACKS.md §2d measures AUC 1.0 for
+    EVERY mode at every payload on it). Crops of one photo overlap;
+    pair-held-out CV stays valid (a cover and its stego never split),
+    but test crops share content with training crops — the same-source
+    protocol at its strictest.
 
     Same-source matters: a warden studying a channel knows the cover
     distribution, and the standard steganalysis protocol trains cover-vs-
@@ -320,6 +330,23 @@ def srm_corpus(n: int = 32, hw: tuple[int, int] = (256, 256),
     H, W = hw
     rng = np.random.default_rng(seed)
     out = np.empty((n, H, W, 3), dtype=np.uint8)
+    if kind == "photo":
+        import os
+
+        import matplotlib
+        from PIL import Image
+
+        path = os.path.join(matplotlib.get_data_path(), "sample_data",
+                            "grace_hopper.jpg")
+        img = np.asarray(Image.open(path).convert("RGB"))
+        if img.shape[0] <= H or img.shape[1] <= W:
+            raise ValueError(f"photo corpus needs crops smaller than "
+                             f"{img.shape[:2]}, got {hw}")
+        ys = rng.integers(0, img.shape[0] - H, n)
+        xs = rng.integers(0, img.shape[1] - W, n)
+        for i, (y, x) in enumerate(zip(ys, xs)):
+            out[i] = img[y:y + H, x:x + W]
+        return out
     for i in range(n):
         if kind == "gradient":
             base = np.linspace(180, 220, W)[None, :, None]
@@ -398,7 +425,7 @@ def srm_study(params: Params = Params(), secret_bytes: int = 240,
     mk = master_key if master_key is not None else bytes(range(32))
     rng = np.random.default_rng(seed + 1)
     out = {"families": {}}
-    for kind in ("gradient", "texture"):
+    for kind in ("gradient", "texture", "photo"):
         covers = srm_corpus(n, hw, seed, kind=kind)
         secrets = [bytes(rng.integers(0, 256, secret_bytes, dtype=np.uint8))
                    for _ in range(n)]

@@ -280,3 +280,18 @@ def test_srm_detects_hard_write_and_corpus_kinds():
     assert rep["auc"] > 0.8, rep
     with pytest.raises(ValueError):
         sa.srm_corpus(2, kind="nope")
+
+
+def test_srm_photo_corpus_crops():
+    """The natural-photo family (JPEG-decoded grace_hopper crops): shape/
+    dtype contract, seed determinism, crops differ, and oversize crops are
+    rejected with a clear error."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    a = sa.srm_corpus(6, hw=(128, 128), seed=3, kind="photo")
+    b = sa.srm_corpus(6, hw=(128, 128), seed=3, kind="photo")
+    assert a.shape == (6, 128, 128, 3) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+    assert any(not np.array_equal(a[0], a[i]) for i in range(1, 6))
+    with pytest.raises(ValueError):
+        sa.srm_corpus(2, hw=(1024, 1024), kind="photo")
