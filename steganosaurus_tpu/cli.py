@@ -41,6 +41,13 @@ USAGE = """Usage:
             [flags]  — prints "filename<TAB>secret" per image ("<FAILED>"
             for images that do not authenticate).
 
+  Serve  : turtlefft serve (--pass PW | --key KEY_BASE64) [flags]
+            Long-running steady-state worker: JSON-lines requests on stdin
+            (ping/embed/extract/embed_batch/extract_batch/shutdown), one
+            JSON response per line on stdout. Key and flags are fixed for
+            the worker's lifetime — compiled modules, walk expansions, and
+            derived keys stay warm across requests.
+
   Key options:
     --pass PW              : Use passphrase (derives key via PBKDF2+HKDF)
     --key KEY_BASE64       : Use raw 32-byte key (base64 encoded)
@@ -208,6 +215,8 @@ def parse_args(argv: list[str]) -> Args | None:
         if a.mode == "batch-embed" and (not a.out_dir or not a.secrets_file):
             return None
         return a
+    if a.mode == "serve":
+        return a if (a.password or a.key_b64) else None
     if a.mode not in ("embed", "extract", "check"):
         return None
     if not a.in_path:
@@ -424,6 +433,16 @@ def do_gen_key(a: Args) -> int:
     return 0
 
 
+def do_serve(a: Args) -> int:
+    """Steady-state serving worker (pipeline/serve.py): JSON-lines on
+    stdin/stdout; the (key, params) pair is pinned for the process
+    lifetime so every process-level cache stays warm across requests."""
+    from steganosaurus_tpu.pipeline.serve import serve_loop
+
+    password, mk = _resolve_key(a)
+    return serve_loop(password, mk, a.params)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv if argv is None else argv
     a = parse_args(argv)
@@ -458,6 +477,8 @@ def main(argv: list[str] | None = None) -> int:
             return do_batch_extract(a)
         if a.mode == "check":
             return do_check(a)
+        if a.mode == "serve":
+            return do_serve(a)
         return do_extract(a)
     except StegoError as e:
         print(str(e), file=sys.stderr)

@@ -1,0 +1,223 @@
+"""`turtlefft serve` — a long-running steady-state serving worker.
+
+The bench's headline serving numbers ride process-level warm state: jitted
+modules (runtime compilation cache), walk expansions (keystream prefix
+cache + disk cache), derived keys (native key vault), and DFT tables. A
+one-shot CLI call pays all of it per image; this daemon pays it once and
+then serves requests at steady-state cost — it is the deployment shape the
+`steady_state_caches: true` bench field describes (README "Performance").
+
+No reference counterpart (the reference binary is strictly one-shot,
+steganosaur.cpp:879-1313 main dispatch); rebuild-only surface.
+
+Protocol: JSON lines on stdin, one JSON line per response on stdout
+(stderr is free-form logging). The key and Params are fixed at startup —
+that is what makes the caches coherent; run one worker per (key, params)
+serving class. Requests:
+
+  {"op": "ping"}
+  {"op": "embed",   "in": P, "out": P2, "secret": S | "secret_b64": B}
+  {"op": "extract", "in": P2}
+  {"op": "embed_batch",   "jobs": [{"in":..., "out":...,
+                                    "secret"|"secret_b64":...}, ...]}
+  {"op": "extract_batch", "ins": [P, ...] [, "clen_hint": N]}
+  {"op": "shutdown"}
+
+Every request may carry an "id"; it is echoed in the response. Responses
+are {"ok": true, "op": ..., ...} or {"ok": false, "error": "..."}; batch
+ops return per-item "results" arrays and ok=true iff every item
+succeeded. Extracted secrets are returned base64 ("secret_b64") — they
+are bytes, not necessarily text. Single-image ops keep per-request
+latency minimal; the batch ops run the pipelined stream (threaded PNG
+decode/AEAD overlap device graphs) for bulk throughput.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import sys
+
+from steganosaurus_tpu.pipeline.errors import StegoError
+
+
+def _secret_of(req: dict) -> bytes:
+    if "secret_b64" in req:
+        return base64.b64decode(req["secret_b64"])
+    s = req.get("secret")
+    if s is None:
+        raise StegoError("embed request needs 'secret' or 'secret_b64'")
+    return s.encode() if isinstance(s, str) else bytes(s)
+
+
+def _load(path: str):
+    from steganosaurus_tpu.io import image as image_io
+
+    try:
+        return image_io.load_rgb(path)
+    except Exception as e:
+        raise StegoError(f"Failed to load {path}") from e
+
+
+def _do_embed(req: dict, password, mk, params) -> dict:
+    from steganosaurus_tpu.io import image as image_io
+    from steganosaurus_tpu.pipeline.embed import embed_array
+
+    res = embed_array(_load(req["in"]), _secret_of(req), password=password,
+                      master_key=mk, params=params)
+    image_io.save_png(req["out"], res.stego)
+    return {"out": req["out"], "bits": int(res.written_bits),
+            "payload_bytes": int(res.payload_bytes)}
+
+
+def _do_extract(req: dict, password, mk, params) -> dict:
+    from steganosaurus_tpu.pipeline.extract import extract_array
+
+    secret = extract_array(_load(req["in"]), password=password,
+                           master_key=mk, params=params)
+    return {"secret_b64": base64.b64encode(secret).decode()}
+
+
+def _preflight(paths: list) -> tuple[list, dict]:
+    """Split paths into (loadable, {path: error-result}). The stream
+    loader (load_rgb_batches) propagates decode failures, which would turn
+    one bad file into a whole-request error; a cheap PIL header probe up
+    front keeps per-item isolation for the common failure (missing or
+    non-image file). A file that passes the probe but fails full decode
+    still errors the request — documented, and rare."""
+    from PIL import Image
+
+    good, bad = [], {}
+    for p in paths:
+        try:
+            with Image.open(p):
+                pass
+            good.append(p)
+        except Exception as e:  # noqa: BLE001 — per-item isolation
+            bad[p] = {"ok": False, "in": p,
+                      "error": f"{type(e).__name__}: {e}"}
+    return good, bad
+
+
+def _do_embed_batch(req: dict, password, mk, params) -> dict:
+    import numpy as np
+
+    from steganosaurus_tpu.io import image as image_io
+    from steganosaurus_tpu.pipeline import stream
+
+    jobs = req.get("jobs") or []
+    if not jobs:
+        raise StegoError("embed_batch request needs non-empty 'jobs'")
+    all_paths = [j["in"] for j in jobs]
+    by_in = {j["in"]: j for j in jobs}
+    paths, results = _preflight(all_paths)
+    results.update({p: {"ok": False, "error": "not processed"}
+                    for p in paths})
+
+    def batches():
+        for got_paths, covers in stream.load_rgb_batches(paths, 32):
+            batches.q.append(got_paths)
+            yield covers, [_secret_of(by_in[p]) for p in got_paths]
+
+    batches.q = []
+    for res in stream.embed_stream(batches(), password=password,
+                                   master_key=mk, params=params,
+                                   verify=bool(req.get("verify", False))):
+        got_paths = batches.q.pop(0)
+        stego = np.asarray(res.stego)
+        for j, p in enumerate(got_paths):
+            if req.get("verify") and not res.verified[j]:
+                results[p] = {"ok": False, "in": p,
+                              "error": "verify failed"}
+                continue
+            out = by_in[p]["out"]
+            image_io.save_png(out, stego[j])
+            results[p] = {"ok": True, "in": p, "out": out,
+                          "bits": int(res.written_bits[j])}
+    ordered = [results[p] for p in all_paths]
+    return {"results": ordered,
+            "n_ok": sum(1 for r in ordered if r["ok"])}
+
+
+def _do_extract_batch(req: dict, password, mk, params) -> dict:
+    from steganosaurus_tpu.pipeline import stream
+
+    all_paths = req.get("ins") or []
+    if not all_paths:
+        raise StegoError("extract_batch request needs non-empty 'ins'")
+    paths, results = _preflight(all_paths)
+
+    def batches():
+        for got_paths, stegos in stream.load_rgb_batches(paths, 32):
+            batches.q.append(got_paths)
+            yield stegos
+
+    batches.q = []
+    for got in stream.extract_stream(batches(), password=password,
+                                     master_key=mk, params=params,
+                                     clen_hint=req.get("clen_hint")):
+        for p, secret in zip(batches.q.pop(0), got):
+            if secret is None:
+                results[p] = {"ok": False, "in": p,
+                              "error": "extraction failed"}
+            else:
+                results[p] = {"ok": True, "in": p, "secret_b64":
+                              base64.b64encode(secret).decode()}
+    ordered = [results[p] for p in all_paths]
+    return {"results": ordered,
+            "n_ok": sum(1 for r in ordered if r["ok"])}
+
+
+def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
+    """Read JSON-lines requests until EOF or a shutdown op. Returns the
+    process exit code (0 on clean EOF/shutdown). Never raises on a bad
+    request — every per-request failure becomes an {"ok": false}
+    response so one malformed job cannot kill the worker."""
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    import os
+
+    from steganosaurus_tpu import __version__
+
+    def reply(obj: dict) -> None:
+        stdout.write(json.dumps(obj, separators=(",", ":")) + "\n")
+        stdout.flush()
+
+    reply({"ok": True, "op": "ready", "pid": os.getpid(),
+           "version": __version__})
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        rid = None
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise StegoError("request must be a JSON object")
+            rid = req.get("id")
+            op = req.get("op")
+            if op == "shutdown":
+                reply({"ok": True, "op": "shutdown",
+                       **({"id": rid} if rid is not None else {})})
+                return 0
+            if op == "ping":
+                out = {"pid": os.getpid(), "version": __version__}
+            elif op == "embed":
+                out = _do_embed(req, password, mk, params)
+            elif op == "extract":
+                out = _do_extract(req, password, mk, params)
+            elif op == "embed_batch":
+                out = _do_embed_batch(req, password, mk, params)
+            elif op == "extract_batch":
+                out = _do_extract_batch(req, password, mk, params)
+            else:
+                raise StegoError(f"unknown op: {op!r}")
+            n_ok = out.get("n_ok")
+            ok = (n_ok == len(out["results"])) if n_ok is not None else True
+            reply({"ok": ok, "op": op,
+                   **({"id": rid} if rid is not None else {}), **out})
+        except (StegoError, ValueError, KeyError, OSError) as e:
+            reply({"ok": False,
+                   **({"id": rid} if rid is not None else {}),
+                   "error": f"{type(e).__name__}: {e}"})
+    return 0

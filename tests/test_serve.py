@@ -1,0 +1,122 @@
+"""`turtlefft serve` steady-state worker: JSON-lines protocol, warm-cache
+single ops, pipelined batch ops, per-request error isolation (rebuild-only
+surface; the reference binary is strictly one-shot)."""
+
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+
+from steganosaurus_tpu import crypto
+from steganosaurus_tpu.config import Params
+from steganosaurus_tpu.io import image as image_io
+from steganosaurus_tpu.pipeline.serve import serve_loop
+
+MK = bytes(range(32))
+P = Params(pbkdf2_iter=500)
+
+
+def run_serve(requests, params=P):
+    """Feed JSON requests through serve_loop; return (rc, responses)."""
+    stdin = io.StringIO(
+        "".join(json.dumps(r) + "\n" if isinstance(r, dict) else r + "\n"
+                for r in requests))
+    stdout = io.StringIO()
+    rc = serve_loop(None, MK, params, stdin=stdin, stdout=stdout)
+    lines = [json.loads(x) for x in stdout.getvalue().splitlines()]
+    assert lines[0] == {"ok": True, "op": "ready", **{
+        k: lines[0][k] for k in ("pid", "version")}}
+    return rc, lines[1:]
+
+
+def _cover(tmp_path, name, seed=11, hw=(128, 128)):
+    rng = np.random.default_rng(seed)
+    base = np.linspace(160, 220, hw[1])[None, :, None]
+    img = np.clip(base + rng.integers(-15, 16, (*hw, 3)),
+                  0, 255).astype(np.uint8)
+    p = tmp_path / name
+    image_io.save_png(str(p), img)
+    return str(p)
+
+
+def test_ping_unknown_op_bad_json_and_shutdown():
+    rc, rs = run_serve([{"op": "ping", "id": 7}, {"op": "nope"},
+                        "this is not json", {"op": "shutdown", "id": 9},
+                        {"op": "ping"}])  # after shutdown: never processed
+    assert rc == 0
+    assert rs[0]["ok"] and rs[0]["op"] == "ping" and rs[0]["id"] == 7
+    assert not rs[1]["ok"] and "unknown op" in rs[1]["error"]
+    assert not rs[2]["ok"]
+    assert rs[3] == {"ok": True, "op": "shutdown", "id": 9}
+    assert len(rs) == 4  # the loop exited on shutdown
+
+
+def test_embed_extract_roundtrip_and_binary_secret(tmp_path):
+    cov = _cover(tmp_path, "c.png")
+    out = str(tmp_path / "s.png")
+    blob = bytes([0, 255, 10, 13, 127]) * 4
+    rc, rs = run_serve([
+        {"op": "embed", "in": cov, "out": out, "secret": "hello serve"},
+        {"op": "extract", "in": out, "id": "x1"},
+        {"op": "embed", "in": cov, "out": out,
+         "secret_b64": base64.b64encode(blob).decode()},
+        {"op": "extract", "in": out},
+    ])
+    assert rc == 0
+    assert rs[0]["ok"] and rs[0]["bits"] > 0 and rs[0]["out"] == out
+    assert base64.b64decode(rs[1]["secret_b64"]) == b"hello serve"
+    assert rs[1]["id"] == "x1"
+    assert base64.b64decode(rs[3]["secret_b64"]) == blob
+
+
+def test_batch_ops_and_per_item_error_isolation(tmp_path):
+    covs = [_cover(tmp_path, f"c{i}.png", seed=20 + i) for i in range(3)]
+    outs = [str(tmp_path / f"s{i}.png") for i in range(3)]
+    jobs = [{"in": c, "out": o, "secret": f"msg {i}"}
+            for i, (c, o) in enumerate(zip(covs, outs))]
+    rc, rs = run_serve([
+        {"op": "embed_batch", "jobs": jobs, "verify": True},
+        {"op": "extract_batch", "ins": outs},
+        # a missing input fails ITS item; the worker and peers survive
+        {"op": "extract_batch", "ins": [outs[0], str(tmp_path / "no.png")]},
+        {"op": "embed_batch", "jobs": []},
+        {"op": "embed", "in": covs[0], "out": outs[0]},  # missing secret
+    ])
+    assert rc == 0
+    assert rs[0]["ok"] and rs[0]["n_ok"] == 3
+    assert all(r["ok"] for r in rs[0]["results"])
+    got = [base64.b64decode(r["secret_b64"]) for r in rs[1]["results"]]
+    assert got == [f"msg {i}".encode() for i in range(3)]
+    assert not rs[2]["ok"] and rs[2]["n_ok"] == 1
+    assert rs[2]["results"][0]["ok"] and not rs[2]["results"][1]["ok"]
+    assert not rs[3]["ok"] and "non-empty" in rs[3]["error"]
+    assert not rs[4]["ok"] and "secret" in rs[4]["error"]
+
+
+def test_cli_serve_wiring(tmp_path, monkeypatch, capsys):
+    """cli.main routes `serve` to the loop (stdin/stdout), key via --key."""
+    from steganosaurus_tpu import cli
+
+    cov = _cover(tmp_path, "c.png", seed=5)
+    out = str(tmp_path / "s.png")
+    reqs = [{"op": "embed", "in": cov, "out": out, "secret": "via cli"},
+            {"op": "extract", "in": out}, {"op": "shutdown"}]
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO("".join(json.dumps(r) + "\n"
+                                            for r in reqs)))
+    rc = cli.main(["turtlefft", "serve", "--key",
+                   crypto.base64_encode(MK), "--pbkdf2_iter", "500"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert lines[0]["op"] == "ready"
+    assert base64.b64decode(lines[2]["secret_b64"]) == b"via cli"
+    assert lines[3]["op"] == "shutdown"
+
+
+def test_serve_requires_key():
+    from steganosaurus_tpu import cli
+
+    assert cli.parse_args(["turtlefft", "serve"]) is None
+    assert cli.parse_args(["turtlefft", "serve", "--pass", "pw"]) is not None
