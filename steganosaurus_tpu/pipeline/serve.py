@@ -21,7 +21,13 @@ serving class. Requests:
   {"op": "embed_batch",   "jobs": [{"in":..., "out":...,
                                     "secret"|"secret_b64":...}, ...]}
   {"op": "extract_batch", "ins": [P, ...] [, "clen_hint": N]}
+  {"op": "stats"}
   {"op": "shutdown"}
+
+Observability: every response carries "ms" (request wall time); "stats"
+returns uptime and per-op {n, errors, images, ms_p50, ms_p95, ms_max}
+over a bounded window (last 512 latencies per op) — the serving-side
+complement of the bench record's throughput/MFU fields.
 
 Every request may carry an "id"; it is echoed in the response. Responses
 are {"ok": true, "op": ..., ...} or {"ok": false, "error": "..."}; batch
@@ -168,6 +174,38 @@ def _do_extract_batch(req: dict, password, mk, params) -> dict:
             "n_ok": sum(1 for r in ordered if r["ok"])}
 
 
+class _OpStats:
+    """Per-op serving telemetry over a bounded latency window."""
+
+    WINDOW = 512
+
+    def __init__(self):
+        from collections import deque
+
+        self.n = 0
+        self.errors = 0
+        self.images = 0  # items processed by batch ops; 1 per single op
+        self.ms_max = 0.0
+        self.recent = deque(maxlen=self.WINDOW)
+
+    def record(self, ms: float, ok: bool, images: int) -> None:
+        self.n += 1
+        self.errors += 0 if ok else 1
+        self.images += images
+        self.ms_max = max(self.ms_max, ms)
+        self.recent.append(ms)
+
+    def report(self) -> dict:
+        lat = sorted(self.recent)
+
+        def pct(q: float) -> float:
+            return lat[min(len(lat) - 1, int(q * len(lat)))] if lat else 0.0
+
+        return {"n": self.n, "errors": self.errors, "images": self.images,
+                "ms_p50": round(pct(0.50), 1), "ms_p95": round(pct(0.95), 1),
+                "ms_max": round(self.ms_max, 1)}
+
+
 def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
     """Read JSON-lines requests until EOF or a shutdown op. Returns the
     process exit code (0 on clean EOF/shutdown). Never raises on a bad
@@ -176,6 +214,7 @@ def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
     import os
+    import time
 
     from steganosaurus_tpu import __version__
 
@@ -183,6 +222,8 @@ def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
         stdout.write(json.dumps(obj, separators=(",", ":")) + "\n")
         stdout.flush()
 
+    t_up = time.perf_counter()
+    stats: dict[str, _OpStats] = {}
     reply({"ok": True, "op": "ready", "pid": os.getpid(),
            "version": __version__})
     for line in stdin:
@@ -190,6 +231,8 @@ def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
         if not line:
             continue
         rid = None
+        op = None
+        t0 = time.perf_counter()
         try:
             req = json.loads(line)
             if not isinstance(req, dict):
@@ -202,6 +245,10 @@ def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
                 return 0
             if op == "ping":
                 out = {"pid": os.getpid(), "version": __version__}
+            elif op == "stats":
+                out = {"uptime_s": round(time.perf_counter() - t_up, 1),
+                       "ops": {k: v.report()
+                               for k, v in sorted(stats.items())}}
             elif op == "embed":
                 out = _do_embed(req, password, mk, params)
             elif op == "extract":
@@ -214,10 +261,17 @@ def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
                 raise StegoError(f"unknown op: {op!r}")
             n_ok = out.get("n_ok")
             ok = (n_ok == len(out["results"])) if n_ok is not None else True
+            ms = 1e3 * (time.perf_counter() - t0)
+            stats.setdefault(op, _OpStats()).record(
+                ms, ok, n_ok if n_ok is not None else 1)
             reply({"ok": ok, "op": op,
-                   **({"id": rid} if rid is not None else {}), **out})
+                   **({"id": rid} if rid is not None else {}), **out,
+                   "ms": round(ms, 1)})
         except (StegoError, ValueError, KeyError, OSError) as e:
+            ms = 1e3 * (time.perf_counter() - t0)
+            if op is not None:
+                stats.setdefault(op, _OpStats()).record(ms, False, 0)
             reply({"ok": False,
                    **({"id": rid} if rid is not None else {}),
-                   "error": f"{type(e).__name__}: {e}"})
+                   "error": f"{type(e).__name__}: {e}", "ms": round(ms, 1)})
     return 0

@@ -115,6 +115,26 @@ def test_cli_serve_wiring(tmp_path, monkeypatch, capsys):
     assert lines[3]["op"] == "shutdown"
 
 
+def test_stats_and_latency_fields(tmp_path):
+    cov = _cover(tmp_path, "c.png", seed=31)
+    out = str(tmp_path / "s.png")
+    rc, rs = run_serve([
+        {"op": "embed", "in": cov, "out": out, "secret": "t"},
+        {"op": "embed", "in": cov, "out": out},  # error: missing secret
+        {"op": "extract", "in": out},
+        {"op": "stats"},
+    ])
+    assert rc == 0
+    assert all("ms" in r and r["ms"] >= 0 for r in rs)
+    st = rs[3]
+    assert st["ok"] and st["uptime_s"] >= 0
+    emb = st["ops"]["embed"]
+    assert emb["n"] == 2 and emb["errors"] == 1 and emb["images"] == 1
+    assert emb["ms_p95"] >= emb["ms_p50"] >= 0
+    assert st["ops"]["extract"]["n"] == 1
+    assert "stats" not in st["ops"]  # the stats op itself reports first
+
+
 def test_serve_requires_key():
     from steganosaurus_tpu import cli
 
