@@ -49,6 +49,22 @@ class Params:
     # itself cannot extract (its own embeds included), never changes a
     # passing result. Default on.
     soft_decode_fallback: bool = True
+    # Quantization write floor (embed-side only, wire-format unchanged):
+    # minimum spatial RMS (in pixel LSBs, over all 3xHxW plane-pixels) the
+    # written delta must reach to survive u8 rounding. The cover is
+    # integer-valued, so a write whose per-pixel delta stays under 0.5 LSB
+    # is ERASED DETERMINISTICALLY by round() — measured at 4K with a
+    # single-bucket frame: delta RMS 0.15, read-back BER 0.45, i.e. total
+    # loss (the reference shares this physics; it simply can never reach
+    # the regime because it cannot round-trip non-pow2 >= 1080p at all).
+    # When the predicted RMS is below the floor, every moved bin's write
+    # target is magnitude-boosted nv -> b*nv (phase EXACT, so decoding —
+    # including by the reference binary — is unchanged; b solved in closed
+    # form from the Parseval energy, clipped to [1, 32]). b == 1 whenever
+    # the write is already above the floor, leaving all certified configs
+    # bit-identical. Trade-off: boosted bins are a magnitude spike a
+    # warden can see — doc/ATTACKS.md; 0 disables (restores the erasure).
+    write_floor: float = 0.45
     # Salt-keyed per-image payload walks: the 38-byte header embeds on the
     # shared salt-independent walk prefix (it must stay locatable before the
     # salt is known), then the

@@ -28,9 +28,64 @@ def adaptive_alpha(base_alpha, mag, median_mag, enabled: bool):
     return base_alpha * scale
 
 
+WRITE_FLOOR_BMAX = 32.0  # boost clip; past this the config is hopeless anyway
+
+
+def write_floor_boost(v, nv, wm, img_pixels: float, floor: float):
+    """Closed-form magnitude boost b so the write survives u8 rounding.
+
+    The spatial delta of a phase write is real(IFFT(Delta)) with Delta =
+    nv - v at each written bin (+ its conjugate). The cover is integer u8,
+    so wherever the summed per-pixel delta stays inside (-0.5, 0.5) the
+    round() in from_planes returns the ORIGINAL pixel and the write is
+    erased outright — measured at 4K with a 2.4k-bit frame: delta RMS
+    0.15 px, read-back BER 0.45 (total loss; Params.write_floor has the
+    numbers). Remedy: scale every moved bin's TARGET to b*nv — magnitude
+    only, the phase stays exactly the decode target, so overshoot is
+    impossible and partial survival degrades toward the cover phase, never
+    past the target (writing v + b*(nv-v) instead would rotate the phase
+    past the target on surviving bins and flip bits — rejected by
+    measurement).
+
+    b solves rho(b) = floor where rho is the mean-square spatial delta
+    over all 3*H*W plane-pixels, via Parseval:
+        rho(b)^2 = 2*E(b) / (3*img_pixels^2),
+        E(b)     = sum_wm |b*nv - v|^2 = A b^2 - 2 C b + V,
+    with A = sum|nv|^2, C = sum Re(nv conj v), V = sum|v|^2 over the moved
+    bins `wm` (E is an upward parabola with minimum at b = C/A <= 1, so
+    the + root is the unique crossing >= C/A). b is clipped to
+    [1, WRITE_FLOOR_BMAX]: 1 whenever the write already clears the floor
+    (bit-identical to the un-floored write), 32 caps the spectral spike.
+
+    v/nv: (n,) complex. wm: (n,) bool — moved bins only (soft-valid bins
+    and bucket-pad duplicates must be EXCLUDED so energy is counted once).
+    img_pixels: H*W of the OUTPUT image (the gain pre-compensation and the
+    PH x PW -> H x W crop cancel in the Parseval sum, so the native-image
+    pixel count is the right normalizer at padded dims too). Returns a
+    scalar (same real dtype as v).
+    """
+    real_dtype = jnp.zeros(0, v.dtype).real.dtype
+    w = wm.astype(real_dtype)
+    # Normalize by img_pixels BEFORE summing: raw C^2 overflows f32 at
+    # large-cover magnitudes (|v| ~ 1e9 in a synthetic stress case already
+    # puts C^2 past 3.4e38 -> inf - inf = nan). b is scale-invariant.
+    s = jnp.asarray(1.0 / img_pixels, real_dtype)
+    vr, vi = v.real * s, v.imag * s
+    nr, ni = nv.real * s, nv.imag * s
+    A = jnp.sum(w * (nr * nr + ni * ni))
+    C = jnp.sum(w * (nr * vr + ni * vi))
+    V = jnp.sum(w * (vr * vr + vi * vi))
+    e_star = jnp.asarray(1.5 * floor ** 2, real_dtype)
+    disc = jnp.maximum(C * C - A * (V - e_star), 0.0)
+    b = (C + jnp.sqrt(disc)) / jnp.maximum(A, 1e-30)
+    return jnp.clip(b, 1.0, WRITE_FLOOR_BMAX)
+
+
 def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
                  adaptive: bool, gain: float = 1.0,
-                 hermitian_half: bool = False, soft: bool = False):
+                 hermitian_half: bool = False, soft: bool = False,
+                 floor: float = 0.0, img_pixels: float = 0.0,
+                 n_valid=None):
     """Write `bits` into the phases of the selected bins.
 
     Per bin (reference write_bit_on_bin, :712-732): keep magnitude, set phase
@@ -91,11 +146,33 @@ def embed_phases(spectrum, plane, y, x, bits, jitters, alpha, medians,
         moved = (mag * jnp.exp(1j * theta.astype(real_dtype))
                  ).astype(spectrum.dtype)
         nv = jnp.where(valid, v, moved)
+        moved_mask = ~valid
     else:
         theta = (jnp.where(bits.astype(bool), a, -a)
                  + jitters.astype(real_dtype))
         nv = (mag * jnp.exp(1j * theta.astype(real_dtype))
               ).astype(spectrum.dtype)
+        moved_mask = None
+    if floor:
+        # Quantization write floor (Params.write_floor; write_floor_boost).
+        # Energy counts each MOVED bin once: soft-valid bins carry zero
+        # delta, bucket-pad slots duplicate the last real bin (n_valid is
+        # the un-padded count). The boost APPLIES to padded duplicates too
+        # — they scatter the same value as their real twin, so boosting
+        # only the real slot would make duplicate .set() values diverge
+        # (XLA picks an arbitrary winner).
+        wm = (jnp.ones(v.shape, bool) if n_valid is None
+              else jnp.arange(v.shape[0]) < n_valid)
+        if moved_mask is not None:
+            wm = wm & moved_mask
+        b = write_floor_boost(v, nv, wm, img_pixels, floor)
+        boosted = (b.astype(real_dtype) * nv.real
+                   + 1j * b.astype(real_dtype) * nv.imag
+                   ).astype(spectrum.dtype)
+        if moved_mask is not None:
+            nv = jnp.where(moved_mask, boosted, nv)
+        else:
+            nv = boosted
     if gain != 1.0:
         nv = v + (nv - v) / jnp.asarray(gain, real_dtype)
     if hermitian_half:
@@ -131,7 +208,9 @@ def read_phases(spectrum, plane, y, x, jitters, alpha, medians, adaptive: bool):
 
 
 def embed_phases_qim(spectrum, plane, y, x, bits, dithers, L: int,
-                     gain: float = 1.0, hermitian_half: bool = False):
+                     gain: float = 1.0, hermitian_half: bool = False,
+                     floor: float = 0.0, img_pixels: float = 0.0,
+                     n_valid=None):
     """Dithered phase-QIM write (Params.qim; pipeline/qim.py).
 
     Per bin: keep magnitude, set phase to the nearest point of the keyed
@@ -151,6 +230,13 @@ def embed_phases_qim(spectrum, plane, y, x, bits, dithers, L: int,
     q = (jnp.angle(v).astype(real_dtype) - d) / delta - half_b
     theta = d + (jnp.round(q) + half_b) * delta
     nv = (mag * jnp.exp(1j * theta.astype(real_dtype))).astype(spectrum.dtype)
+    if floor:
+        # Quantization write floor — see embed_phases / write_floor_boost.
+        wm = (jnp.ones(v.shape, bool) if n_valid is None
+              else jnp.arange(v.shape[0]) < n_valid)
+        b = write_floor_boost(v, nv, wm, img_pixels, floor
+                              ).astype(real_dtype)
+        nv = (b * nv.real + 1j * b * nv.imag).astype(spectrum.dtype)
     if gain != 1.0:
         nv = v + (nv - v) / jnp.asarray(gain, real_dtype)
     if hermitian_half:

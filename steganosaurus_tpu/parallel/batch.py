@@ -65,20 +65,24 @@ def _analyze_core(img_u8, *, PH, PW, center, adaptive=True):
     return spec, jnp.ones((3,), spec.real.dtype)
 
 
-def _embed_core(img_u8, plane, y, x, bits, jitters, alpha,
-                *, H, W, PH, PW, center, adaptive, soft=False):
+def _embed_core(img_u8, plane, y, x, bits, jitters, alpha, n_valid=None,
+                *, H, W, PH, PW, center, adaptive, soft=False, floor=0.0):
     """Single-image embed: (H, W, 3) u8 -> (H, W, 3) u8 stego.
 
     The full embed data path of reference do_embed (steganosaur.cpp:907-1109)
     minus host crypto/keystream: center -> pad -> FFT -> [median] ->
     vectorized phase write (Hermitian-half scatter) -> IFFT -> crop ->
-    quantize.
+    quantize. floor/n_valid: quantization write floor
+    (Params.write_floor; ops.phase.write_floor_boost) — n_valid is the
+    un-padded slot count so bucket-pad duplicates are not double-counted.
     """
     spec, med = _analyze_core(img_u8, PH=PH, PW=PW, center=center,
                               adaptive=adaptive)
     spec2 = phase_ops.embed_phases(spec, plane, y, x, bits, jitters, alpha,
                                    med, adaptive, gain=(H * W) / (PH * PW),
-                                   hermitian_half=True, soft=soft)
+                                   hermitian_half=True, soft=soft,
+                                   floor=floor, img_pixels=float(H) * W,
+                                   n_valid=n_valid)
     planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
     planes2 = spectral.apply_center(planes2, center)
     return spectral.from_planes(planes2)
@@ -94,7 +98,7 @@ def _read_core(spec, med, plane, y, x, jitters, alpha, *, adaptive):
 def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
                        mesh: Mesh | None = None, shared_idx: bool = True,
                        pack: bool = False, bits_packed: bool = False,
-                       soft: bool = False):
+                       soft: bool = False, floor: float = 0.0):
     """Jitted batched embed core.
 
     shared_idx=True (one walk for the batch — shared key):
@@ -110,28 +114,42 @@ def batched_embed_core(H: int, W: int, center: bool, adaptive: bool,
     """
     PH, PW = spectral.fft_dims(H, W)
     core = functools.partial(_embed_core, H=H, W=W, PH=PH, PW=PW,
-                             center=center, adaptive=adaptive, soft=soft)
+                             center=center, adaptive=adaptive, soft=soft,
+                             floor=floor)
     # shared_idx vmaps the index arrays with in_axes=None, NOT broadcast_to:
     # broadcasting makes XLA treat the scatter indices as per-image varying,
     # which compiles to a ~3x slower batched scatter (measured at 4K).
+    # floor > 0 appends a trailing n_valid argument (per-image (B,) when
+    # per-image walks, scalar when shared) — arity is floor-gated so
+    # floor == 0 callers keep the historical 7-arg signature.
     if shared_idx:
-        inner = jax.vmap(core, in_axes=(0, None, None, None, 0, None, None))
+        inner = jax.vmap(core,
+                         in_axes=(0, None, None, None, 0, None, None, None))
     else:
-        inner = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None))
+        inner = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, None, 0))
 
-    def fn(imgs, plane, y, x, bits, jitters, alpha):
+    def fn(imgs, plane, y, x, bits, jitters, alpha, n_valid=None):
         if bits_packed:
             n = bits.shape[-1] * 32
             bits = jax.vmap(functools.partial(_unpack_bits_words, n=n))(bits)
-        out = inner(imgs, plane, y, x, bits, jitters, alpha)
+        if not floor:
+            n_valid = (jnp.int32(0) if shared_idx
+                       else jnp.zeros(imgs.shape[0], jnp.int32))
+        out = inner(imgs, plane, y, x, bits, jitters, alpha, n_valid)
         return transfer.pack_u8(out) if pack else out
 
+    if not floor:
+        base = fn
+        fn = lambda imgs, plane, y, x, bits, jitters, alpha: base(  # noqa: E731
+            imgs, plane, y, x, bits, jitters, alpha)
     if mesh is None:
         return jax.jit(fn)
     shard = NamedSharding(mesh, P("batch"))
     rep = NamedSharding(mesh, P())
     in_sh = ((shard, rep, rep, rep, shard, rep, rep) if shared_idx
              else (shard,) * 6 + (rep,))
+    if floor:
+        in_sh += (rep,) if shared_idx else (shard,)
     return jax.jit(fn, in_shardings=in_sh, out_shardings=shard)
 
 
@@ -522,7 +540,7 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                       pack: bool = False, layout: str = "nhwc",
                       stream_bytes: int = 0, bucket: int = 0,
                       soft: bool = False, has_spread: bool = False,
-                      qim_levels: int = 0):
+                      qim_levels: int = 0, floor: float = 0.0):
     """Jitted corner embed: (imgs u8, table, pos (3,Ky,Kx) i32, [cjd, sjd],
     [cad, sad], alpha () f32) -> u8 stego.
 
@@ -595,6 +613,12 @@ def corner_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         else:
             dr, di = corner.write_delta(cr, ci, sign, mask, ca, sa, cjd, sjd,
                                         soft=soft)
+        if floor:
+            # Quantization write floor (Params.write_floor): per-image
+            # magnitude boost so the spatial delta survives u8 rounding;
+            # b == 1 (bit-identical) whenever the write already clears it.
+            dr, di = corner.apply_write_floor(dr, di, cr, ci, floor,
+                                              float(H) * float(W))
         t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)
@@ -950,7 +974,7 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
                           mesh: Mesh | None = None, pack: bool = False,
                           layout: str = "nhwc", soft: bool = False,
                           spread: bool = False, qim_levels: int = 0,
-                          qim_hdr: int = 0):
+                          qim_hdr: int = 0, floor: float = 0.0):
     """Per-image-walk corner embed (ONE dispatched module): (imgs u8,
     plane/y/x (B, n) i32, bits_words (B, n/32) i32, jitters (B, n) f32,
     [nbits_per (B,) i32 when spread,] alpha () f32 — or (n,) when spread)
@@ -1011,6 +1035,12 @@ def corner_piw_embed_core(H: int, W: int, Ky: int, Kx: int, center: bool,
         cr, ci = corner.fwd_corner(pin, Ky, Kx, tabs, prec)
         dr, di = jax.vmap(per_image, in_axes=(0,) * 8 + (None, None))(
             cr, ci, plane, y, x, bits_w, jit, nbits_per, dith, alpha)
+        if floor:
+            # Quantization write floor (Params.write_floor) on the scattered
+            # dense deltas — tail-pad duplicate scatters carry identical
+            # values, so the dense D counts each moved bin exactly once.
+            dr, di = corner.apply_write_floor(dr, di, cr, ci, floor,
+                                              float(H) * float(W))
         t = corner.ifft_corner_real(dr, di, H, W, tabs, prec)
         t = spectral.apply_center(t, center)
         out = jnp.clip(jnp.floor(planes + t + 0.5), 0.0, 255.0)

@@ -176,12 +176,16 @@ def scatter_bins_distributed(spectrum, plane, y, x, nv, mesh: Mesh,
 
 def embed_core_distributed(planes, plane, y, x, bits, jitters, alpha,
                            mesh: Mesh, *, adaptive: bool = False,
-                           axis: str = "image"):
+                           axis: str = "image", floor: float = 0.0,
+                           img_pixels: float = 0.0):
     """Full single-image embed device core, spectrum sharded across `axis`.
 
     planes: (3, PH, PW) f32, pow2-padded, rows sharded. Returns rows-sharded
     real (3, PH, PW) planes (crop + quantize happen outside, where the caller
-    knows the true H, W).
+    knows the true H, W). floor/img_pixels: quantization write floor
+    (Params.write_floor; ops.phase.write_floor_boost) — the gathered bin
+    values are replicated after the psum, so the boost is computed
+    identically on every shard, no extra collective.
     """
     spec = fft2_distributed(planes, mesh, axis)
     med = median_abs_distributed(spec, mesh, axis)
@@ -190,6 +194,10 @@ def embed_core_distributed(planes, plane, y, x, bits, jitters, alpha,
     a = phase_ops.adaptive_alpha(alpha, mag, med[plane], adaptive)
     theta = jnp.where(bits.astype(bool), a, -a) + jitters
     nv = (mag * jnp.exp(1j * theta)).astype(spec.dtype)
+    if floor:
+        b = phase_ops.write_floor_boost(
+            v, nv, jnp.ones(v.shape, bool), img_pixels, floor)
+        nv = (b * nv.real + 1j * b * nv.imag).astype(spec.dtype)
     spec2 = scatter_bins_distributed(spec, plane, y, x, nv, mesh, axis)
     return ifft2_real_distributed(spec2, mesh, axis)
 

@@ -502,8 +502,15 @@ def embed_batch(
                                            shared_idx=False,
                                            pack=not device_resident,
                                            bits_packed=True,
-                                           soft=params.soft_write)
-            out = fn(imgs_d, plane, y, x, bits_w, jit, alpha)
+                                           soft=params.soft_write,
+                                           floor=params.write_floor)
+            if params.write_floor:
+                nb_piw = np.asarray(frame_lens, np.int32)
+                if mesh is not None:
+                    nb_piw = pbatch.shard_batch(nb_piw, mesh)
+                out = fn(imgs_d, plane, y, x, bits_w, jit, alpha, nb_piw)
+            else:
+                out = fn(imgs_d, plane, y, x, bits_w, jit, alpha)
         else:
             Ky, Kx = corner_mod.corner_dims(PH, PW, params.rmax)
             fn = pbatch.corner_piw_embed_core(H, W, Ky, Kx, params.center,
@@ -514,7 +521,8 @@ def embed_batch(
                                               spread=has_spread,
                                               qim_levels=params.qim,
                                               qim_hdr=(_HEADER_STREAM_BITS
-                                                       if params.qim else 0))
+                                                       if params.qim else 0),
+                                              floor=params.write_floor)
             need_nb = has_spread or params.qim
             path_key = crypto.derive_path_key(password, master_key, None)
             args = (imgs_d, plane, y, x, bits_w, jit)
@@ -556,7 +564,8 @@ def embed_batch(
                                           bucket=bucket,
                                           soft=params.soft_write,
                                           has_spread=has_spread,
-                                          qim_levels=params.qim)
+                                          qim_levels=params.qim,
+                                          floor=params.write_floor)
             out = fn(imgs_d, words, *maps, alpha)
         else:
             if len(set(frame_lens)) == 1 and not params.rs:
@@ -578,7 +587,8 @@ def embed_batch(
                                           layout=layout,
                                           soft=params.soft_write,
                                           has_spread=has_spread,
-                                          qim_levels=params.qim)
+                                          qim_levels=params.qim,
+                                          floor=params.write_floor)
             out = fn(imgs_d, table, *maps, alpha)
     else:
         if has_spread:
@@ -598,8 +608,12 @@ def embed_batch(
                                        params.adaptive_alpha, mesh,
                                        pack=not device_resident,
                                        bits_packed=True,
-                                       soft=params.soft_write)
-        out = fn(imgs_d, plane, y, x, bits_d, jit, alpha)
+                                       soft=params.soft_write,
+                                       floor=params.write_floor)
+        out = (fn(imgs_d, plane, y, x, bits_d, jit, alpha,
+                  jnp.int32(nmax))
+               if params.write_floor else
+               fn(imgs_d, plane, y, x, bits_d, jit, alpha))
 
     out_shape = (B, 3, H, W) if layout == "nchw" else (B, H, W, 3)
     verified = None

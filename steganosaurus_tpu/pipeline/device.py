@@ -73,29 +73,35 @@ def _bucket_pad(arrs, n):
 
 @functools.lru_cache(maxsize=32)
 def _jit_embed_apply(H, W, center, adaptive, soft=False, qim_levels=0,
-                     hdr_bits=0):
+                     hdr_bits=0, floor=0.0):
     PH, PW = spectral.fft_dims(H, W)
     gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
+    px = float(H) * W  # write-floor Parseval normalizer (Params.write_floor)
 
     @jax.jit
-    def apply_fn(spec, med, plane, y, x, bits, jitters, alpha, dithers=None):
+    def apply_fn(spec, med, plane, y, x, bits, jitters, alpha, n_valid,
+                 dithers=None):
         if qim_levels:
             # Header slots [0, hdr_bits) keep the reference hard/soft write
             # (the header must decode before any mode is known); payload
-            # slots take the dithered QIM write (pipeline/qim.py).
+            # slots take the dithered QIM write (pipeline/qim.py). Each
+            # split write clears the floor independently (conservative:
+            # energies add, so the union over-delivers by <= sqrt(2)).
             h = slice(0, hdr_bits)
             p = slice(hdr_bits, None)
             a_h = alpha[h] if jnp.ndim(alpha) else alpha  # per-bit spread
             spec2 = phase_ops.embed_phases(
                 spec, plane[h], y[h], x[h], bits[h], jitters[h], a_h, med,
-                adaptive, gain=gain, soft=soft)
+                adaptive, gain=gain, soft=soft, floor=floor, img_pixels=px)
             spec2 = phase_ops.embed_phases_qim(
                 spec2, plane[p], y[p], x[p], bits[p], dithers[p], qim_levels,
-                gain=gain)
+                gain=gain, floor=floor, img_pixels=px,
+                n_valid=n_valid - hdr_bits)
         else:
             spec2 = phase_ops.embed_phases(
                 spec, plane, y, x, bits, jitters, alpha, med, adaptive,
-                gain=gain, soft=soft
+                gain=gain, soft=soft, floor=floor, img_pixels=px,
+                n_valid=n_valid,
             )
         planes2 = spectral.ifft2_real(spec2)[..., :H, :W]
         planes2 = spectral.apply_center(planes2, center)
@@ -164,12 +170,14 @@ class JaxBackend:
             (alpha,) = _bucket_pad((alpha,), nbits)
         fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha,
                               params.soft_write, params.qim,
-                              hdr_bits if params.qim else 0)
+                              hdr_bits if params.qim else 0,
+                              params.write_floor)
         args = (
             spec, med,
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
             jnp.asarray(bits, jnp.uint8), jnp.asarray(jitters, jnp.float32),
             jnp.asarray(alpha, jnp.float32),
+            jnp.asarray(nbits, jnp.int32),  # n_valid: un-padded slot count
         )
         if params.qim:
             (qd,) = _bucket_pad((qim_dithers,), nbits)
@@ -326,10 +334,31 @@ class NumpyBackend:
         return (out, nv) if return_targets else out
 
     @staticmethod
+    def _apply_write_floor(v, nv, params, H, W):
+        """f64 oracle of the quantization write floor (Params.write_floor;
+        ops.phase.write_floor_boost): magnitude-boost every MOVED bin's
+        target so the spatial delta survives u8 rounding. nv == v bins
+        (soft-write valid) stay untouched; b == 1 whenever the write is
+        already above the floor."""
+        floor = params.write_floor
+        if not floor:
+            return nv
+        wm = nv != v
+        A = float(np.sum(np.abs(nv[wm]) ** 2))
+        C = float(np.sum((nv[wm] * np.conj(v[wm])).real))
+        V = float(np.sum(np.abs(v[wm]) ** 2))
+        e_star = 1.5 * (floor * H * W) ** 2
+        disc = max(C * C - A * (V - e_star), 0.0)
+        b = np.clip((C + np.sqrt(disc)) / max(A, 1e-20), 1.0, 32.0)
+        return np.where(wm, b * nv, nv)
+
+    @staticmethod
     def _finish_embed(spec, plane, y, x, v, nv, params, H, W):
-        """Common embed tail: gain pre-compensation, conjugate-mirror
-        scatter, inverse FFT, center, round-half-away-from-zero quantize."""
+        """Common embed tail: write-floor boost, gain pre-compensation,
+        conjugate-mirror scatter, inverse FFT, center,
+        round-half-away-from-zero quantize."""
         PH, PW = spec.shape[-2:]
+        nv = NumpyBackend._apply_write_floor(v, nv, params, H, W)
         gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
         if gain != 1.0:
             nv = v + (nv - v) / gain

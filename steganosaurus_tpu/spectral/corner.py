@@ -609,6 +609,45 @@ def write_delta(cr, ci, sign, mask, cos_a, sin_a, cjd=None, sjd=None,
     return dr, di
 
 
+def apply_write_floor(dr, di, cr, ci, floor: float, img_pixels: float):
+    """Quantization write floor for the dense corner write (the corner twin
+    of ops.phase.write_floor_boost; Params.write_floor has the physics).
+
+    dr/di: (..., 3, Ky, Kx) pre-doubled Hermitian-half deltas from
+    write_delta / write_delta_qim — value 2*(nv - v) at moved bins, exactly
+    0 elsewhere (soft-valid and unmasked bins), so the moved-bin mask is
+    simply D != 0. cr/ci: the cover corner spectrum (v). Per-IMAGE boost b
+    (reduction over the trailing plane/corner axes, batch axes broadcast):
+
+        effective spectral delta  D_eff(b) = b*nv - v = (b-1)*v + b*h,
+        h = D/2;  E(b) = (b-1)^2 V + 2b(b-1) X + b^2 Hs
+        with V = sum wm*|v|^2, X = sum Re(h conj v), Hs = sum |h|^2;
+        rho(b)^2 = 2 E(b) / (3 * img_pixels^2)  (Parseval; both mirrors).
+
+    Solving rho(b) = floor gives b = [(V+X) + sqrt((V+X)^2 - p(V - E*))]/p
+    with p = V + 2X + Hs = sum wm*|nv|^2, clipped to [1, 32]. The boosted
+    pre-doubled delta is D_b = 2*(b*nv - v) = b*D + 2*(b-1)*wm*v — phases
+    stay exactly on target, so b=1 is bit-identical to the plain write."""
+    # 1/img_pixels pre-scaling keeps the quadratic's squares inside f32
+    # (raw (V+X)^2 overflows at large-cover magnitudes); b is
+    # scale-invariant — see ops.phase.write_floor_boost.
+    s = jnp.asarray(1.0 / img_pixels, dr.dtype)
+    hr, hi = (0.5 * s) * dr, (0.5 * s) * di
+    wm = ((hr * hr + hi * hi) > 0).astype(dr.dtype)
+    crs, cis = cr * s, ci * s
+    axes = (-3, -2, -1)
+    V = jnp.sum(wm * (crs * crs + cis * cis), axes, keepdims=True)
+    X = jnp.sum(crs * hr + cis * hi, axes, keepdims=True)
+    Hs = jnp.sum(hr * hr + hi * hi, axes, keepdims=True)
+    p = V + 2.0 * X + Hs
+    e_star = jnp.asarray(1.5 * floor ** 2, dr.dtype)
+    disc = jnp.maximum((V + X) ** 2 - p * (V - e_star), 0.0)
+    b = jnp.clip((V + X + jnp.sqrt(disc)) / jnp.maximum(p, 1e-30),
+                 1.0, 32.0)
+    return (b * dr + 2.0 * (b - 1.0) * wm * cr,
+            b * di + 2.0 * (b - 1.0) * wm * ci)
+
+
 def qim_values_dense(cr, ci, dq, L: int):
     """Dense QIM decision values over the corner: -cos(L*(theta - d)) * mag
     (pipeline/qim.py decode rule; sign >= 0 -> bit 1, |value| is the

@@ -91,7 +91,7 @@ def _embed_core(B: int, H: int, W: int, g: dict, params: Params,
         params.jitter != 0.0, pack=False, layout=layout,
         stream_bytes=g["stream_bytes"], bucket=g["bucket"],
         soft=params.soft_write, has_spread=params.alpha_spread != 0.0,
-        qim_levels=params.qim)
+        qim_levels=params.qim, floor=params.write_floor)
 
 
 def _extract_core(B: int, H: int, W: int, g: dict, params: Params,
