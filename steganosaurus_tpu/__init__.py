@@ -61,6 +61,10 @@ _API = {
                          "collusion_report"),
     "srm_report": ("steganosaurus_tpu.utils.steganalysis", "srm_report"),
     "srm_study": ("steganosaurus_tpu.utils.steganalysis", "srm_study"),
+    "cross_channel_report": ("steganosaurus_tpu.utils.steganalysis",
+                             "cross_channel_report"),
+    "cross_channel_study": ("steganosaurus_tpu.utils.steganalysis",
+                            "cross_channel_study"),
     "robustness_report": ("steganosaurus_tpu.utils.channel",
                           "robustness_report"),
     "embed_stream": ("steganosaurus_tpu.pipeline.stream", "embed_stream"),

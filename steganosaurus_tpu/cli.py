@@ -268,7 +268,8 @@ def do_check(a: Args) -> int:
     from steganosaurus_tpu.pipeline.errors import StegoError
     from steganosaurus_tpu.pipeline.extract import extract_array
     from steganosaurus_tpu.utils import metrics
-    from steganosaurus_tpu.utils.steganalysis import phase_histogram_report
+    from steganosaurus_tpu.utils.steganalysis import (
+        cross_channel_report, phase_histogram_report)
 
     password, mk = _resolve_key(a)
     cover = image_io.load_rgb(a.in_path)
@@ -296,6 +297,15 @@ def do_check(a: Args) -> int:
     print(f"warden: chi2_z {hot['chi2_z']:.1f} (cover {clean['chi2_z']:.1f})"
           f", spike_excess {hot['spike_excess']:.4f} "
           f"(cover {clean['spike_excess']:.4f})")
+    # Cover screening for the §2e cross-channel warden: high alignment
+    # means the cover's channels correlate and NO embedding knob hides
+    # the write from a cross-channel statistic (doc/ATTACKS.md §2e).
+    cc = cross_channel_report(stego, a.params, cover=cover)
+    amax = max(cc["align_z"].values())
+    print(f"cross-channel: align_z {amax:.1f} "
+          f"({'correlated cover - write exposed to a cross-channel warden'
+             if amax > 6 else 'iid channels - cross-channel warden blind'})"
+          f", cond_off_z {cc['max_z']:.1f}")
     print(f"round-trip: {'ok' if ok else 'FAILED'}")
     return 0 if ok else 1
 

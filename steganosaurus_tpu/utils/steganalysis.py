@@ -232,6 +232,137 @@ def magnitude_conditioned_report(img: np.ndarray, params: Params = Params(),
     }
 
 
+def _wrap_abs(d: np.ndarray) -> np.ndarray:
+    """|phase difference| wrapped to [0, pi]."""
+    return np.abs((d + math.pi) % (2.0 * math.pi) - math.pi)
+
+
+def cross_channel_report(img: np.ndarray, params: Params = Params(),
+                         eps: float = 0.35, delta: float = 1.0,
+                         cover: np.ndarray | None = None) -> dict:
+    """CROSS-CHANNEL warden (reference doc/TODO.md Tier-3 "cross-channel
+    correlation tests" — the roadmap's last unbuilt detection line).
+
+    Natural covers carry one shared structure (luma) in all three planes,
+    so at a given annulus bin the R/G/B phases are mutually ALIGNED —
+    strongly for photographic content (JPEG chroma subsampling makes
+    high-frequency content luma-dominated), not at all for iid-noise
+    covers. The walk writes ONE (plane, y, x) bin per bit (the per-plane
+    keystreams are independent, keystream/_pure.py), so a written bin
+    re-rolls exactly one plane's phase and leaves the triple in a
+    "two aligned, one off" state that natural structure rarely produces.
+    Unlike the phase-histogram wardens, NO mitigation flattens this:
+    QIM/spread/jitter all randomize the written phase, which is precisely
+    the signature — only covers without cross-channel correlation (or
+    capacity left unused) hide it. Measured boundary in doc/ATTACKS.md §2e.
+
+    Statistics (keyless, single image):
+      align_z[pair]: cross-plane phase-alignment strength — resultant of
+        exp(i*(th_a - th_b)) over the annulus, times sqrt(n). ~O(1) for
+        iid channels; >> 3 means the cover class carries the correlation
+        this warden needs (z ~ 14 on smooth-field covers, hundreds on
+        photographs).
+      cond_off_rate[plane]: P(plane's phase differs by > delta from BOTH
+        others | the other two agree within eps) — the conditional
+        misalignment rate the write inflates.
+      n_aligned[plane]: the conditioning population size.
+    With a paired `cover`, adds cond_off_z[plane] (one-sided binomial
+    z-score of the stego rate against the cover's own rate) and max_z —
+    the paired diagnostic; the keyless corpus protocol lives in
+    cross_channel_study.
+    """
+    def stats(image):
+        th, _ = _annulus_spectrum(image, params)
+        n = th.size // 3
+        th3 = th.reshape(3, n)
+        d = {(a, b): _wrap_abs(th3[a] - th3[b])
+             for a in range(3) for b in range(a + 1, 3)}
+        align = {f"{'rgb'[a]}{'rgb'[b]}":
+                 float(np.abs(np.exp(1j * (th3[a] - th3[b])).mean())
+                       * math.sqrt(n))
+                 for (a, b) in d}
+        rates, ns = [], []
+        for c in range(3):
+            a, b = [x for x in range(3) if x != c]
+            sel = d[(a, b)] < eps
+            da = d[(min(a, c), max(a, c))][sel]
+            db = d[(min(b, c), max(b, c))][sel]
+            off = (da > delta) & (db > delta)
+            rates.append(float(off.mean()) if sel.any() else 0.0)
+            ns.append(int(sel.sum()))
+        return align, rates, ns
+
+    align, rates, ns = stats(img)
+    out = {
+        "align_z": align,
+        "cond_off_rate": rates,
+        "n_aligned": ns,
+        "eps": eps,
+        "delta": delta,
+    }
+    if cover is not None:
+        _, crates, _cns = stats(cover)
+        zs = []
+        for c in range(3):
+            p0 = max(crates[c], 1e-6)
+            se = math.sqrt(p0 * (1.0 - p0) / max(ns[c], 1))
+            zs.append(float((rates[c] - crates[c]) / se))
+        out["cover_cond_off_rate"] = crates
+        out["cond_off_z"] = zs
+        out["max_z"] = float(max(zs))
+    return out
+
+
+def cross_channel_features(img: np.ndarray,
+                           params: Params = Params()) -> np.ndarray:
+    """6-dim feature vector for the corpus protocol: the three pairwise
+    alignment resultants + the three conditional misalignment rates."""
+    r = cross_channel_report(img, params)
+    n = math.sqrt(max(sum(r["n_aligned"]), 1))  # de-z the alignments
+    return np.array([*(v / n for v in r["align_z"].values()),
+                     *r["cond_off_rate"]], dtype=np.float64)
+
+
+def cross_channel_study(params: Params = Params(), secret_bytes: int = 240,
+                        n: int = 32, hw: tuple[int, int] = (256, 256),
+                        seed: int = 7,
+                        master_key: bytes | None = None) -> dict:
+    """Keyless corpus AUC of the cross-channel warden per cover family
+    (same-source protocol, mirrors srm_study): embed a fresh secret per
+    cover, train/evaluate a paired-CV Fisher discriminant on
+    cross_channel_features. Expected shape (measured, doc/ATTACKS.md §2e):
+    iid-channel families (gradient) are blind by construction; photographs
+    and correlated textures expose the footprint regardless of QIM/spread
+    mitigations — cover choice dominates, as with the SRM warden."""
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+
+    mk = master_key if master_key is not None else bytes(range(32))
+    rng = np.random.default_rng(seed + 1)
+    out = {"families": {}}
+    for kind in ("gradient", "texture", "photo"):
+        covers = srm_corpus(n, hw, seed, kind=kind)
+        secrets = [bytes(rng.integers(0, 256, secret_bytes, dtype=np.uint8))
+                   for _ in range(n)]
+        salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                 for _ in range(n)]
+        res = embed_batch(covers, secrets, master_key=mk, params=params,
+                          salts=salts)
+        stegos = np.asarray(res.stego)
+        X0 = np.stack([cross_channel_features(c, params) for c in covers])
+        X1 = np.stack([cross_channel_features(s, params) for s in stegos])
+        out["families"][kind] = _paired_eval(X0, X1, folds=4, seed=0)
+    reps = out["families"].values()
+    out["max_accuracy"] = float(max(r["accuracy"] for r in reps))
+    out["max_auc"] = float(max(r["auc"] for r in reps))
+    out["params"] = {
+        "alpha": params.alpha, "jitter": params.jitter,
+        "alpha_spread": getattr(params, "alpha_spread", 0.0),
+        "qim": params.qim, "density": params.density,
+        "secret_bytes": secret_bytes,
+    }
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SRM-lite: learned spatial-residual warden (reference doc/TODO.md Tier-3
 # "Empirical Detection Testing Framework" — the last unbuilt line of that
@@ -381,9 +512,17 @@ def srm_report(covers: np.ndarray, stegos: np.ndarray, folds: int = 4,
     covers = np.asarray(covers)
     stegos = np.asarray(stegos)
     assert covers.shape == stegos.shape and covers.ndim == 4
-    n = covers.shape[0]
     X0 = np.stack([srm_features(c) for c in covers])
     X1 = np.stack([srm_features(s) for s in stegos])
+    return _paired_eval(X0, X1, folds=folds, seed=seed)
+
+
+def _paired_eval(X0: np.ndarray, X1: np.ndarray, folds: int = 4,
+                 seed: int = 0) -> dict:
+    """Pair-held-out K-fold FLD evaluation of (cover, stego) feature rows
+    (a cover and its stego never split across train/test — the standard
+    steganalysis protocol). Shared by srm_report and cross_channel_study."""
+    n = X0.shape[0]
     rng = np.random.default_rng(seed)
     order = rng.permutation(n)
     folds = max(2, min(folds, n // 2))

@@ -295,3 +295,78 @@ def test_srm_photo_corpus_crops():
     assert any(not np.array_equal(a[0], a[i]) for i in range(1, 6))
     with pytest.raises(ValueError):
         sa.srm_corpus(2, hw=(1024, 1024), kind="photo")
+
+
+# --- Cross-channel warden (utils.steganalysis.cross_channel_*) --------------
+
+
+@pytest.fixture(scope="module")
+def correlated_cover():
+    """Photo-like cover: one shared smooth field + small per-channel noise
+    — the cover class whose cross-plane phase alignment the cross-channel
+    warden exploits (doc/ATTACKS.md §2e)."""
+    rng = np.random.default_rng(4)
+    H = W = 256
+    base = np.cumsum(np.cumsum(rng.normal(0, 1, (H + 8, W + 8)), 0), 1)
+    base = (base - base.min()) / (base.max() - base.min()) * 140 + 50
+    base = base[4:H + 4, 4:W + 4]
+    img = np.stack([base + rng.normal(0, 3, (H, W)) for _ in range(3)], -1)
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def test_cross_channel_alignment_physics(correlated_cover):
+    """Correlated covers show strong cross-plane phase alignment; iid-noise
+    covers show none — the precondition that decides which cover classes
+    this warden can attack at all."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    r = sa.cross_channel_report(correlated_cover)
+    assert min(r["align_z"].values()) > 6, r["align_z"]
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    rn = sa.cross_channel_report(noise)
+    assert max(rn["align_z"].values()) < 4, rn["align_z"]
+
+
+def test_cross_channel_detects_write_even_under_stealth(correlated_cover):
+    """The paired diagnostic: a write re-rolls one plane's phase per bin,
+    inflating the conditional misalignment rate. Unlike the histogram
+    wardens, the stealth profile does NOT flatten this on correlated
+    covers (QIM still randomizes the written phase)."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    rng = np.random.default_rng(8)
+    secret = bytes(rng.integers(0, 256, 120, dtype=np.uint8))
+    res = embed_array(correlated_cover, secret, master_key=bytes(range(32)),
+                      params=Params())
+    r = sa.cross_channel_report(np.asarray(res.stego),
+                                cover=correlated_cover)
+    assert r["max_z"] > 3, r
+    assert len(r["cond_off_z"]) == 3 and len(r["n_aligned"]) == 3
+
+
+def test_cross_channel_corpus_blind_on_iid_channels():
+    """The keyless corpus protocol on the gradient family (iid per-channel
+    noise): the stealth profile leaves nothing for the cross-channel
+    features to key on — AUC must sit near chance. The same protocol on
+    the photo family measures AUC 1.0 (doc/ATTACKS.md §2e); that heavy
+    run is documented, not asserted here."""
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    n = 16
+    p = Params().stealth()
+    covers = sa.srm_corpus(n, hw=(128, 128), seed=11, kind="gradient")
+    rng = np.random.default_rng(2)
+    secrets = [bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+               for _ in range(n)]
+    salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+             for _ in range(n)]
+    res = embed_batch(covers, secrets, master_key=bytes(range(32)),
+                      params=p, salts=salts)
+    stegos = np.asarray(res.stego)
+    X0 = np.stack([sa.cross_channel_features(c, p) for c in covers])
+    X1 = np.stack([sa.cross_channel_features(s, p) for s in stegos])
+    rep = sa._paired_eval(X0, X1)
+    assert rep["auc"] < 0.75, rep
+    assert rep["feature_dim"] == 6
