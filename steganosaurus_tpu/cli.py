@@ -42,11 +42,14 @@ USAGE = """Usage:
             for images that do not authenticate).
 
   Serve  : turtlefft serve (--pass PW | --key KEY_BASE64) [flags]
+            [--warmup HxW ...]
             Long-running steady-state worker: JSON-lines requests on stdin
             (ping/embed/extract/embed_batch/extract_batch/shutdown), one
             JSON response per line on stdout. Key and flags are fixed for
             the worker's lifetime — compiled modules, walk expansions, and
-            derived keys stay warm across requests.
+            derived keys stay warm across requests. --warmup (repeatable)
+            pre-compiles the given image shape classes before the ready
+            line, so the first real request skips the jit compile.
 
   Key options:
     --pass PW              : Use passphrase (derives key via PBKDF2+HKDF)
@@ -116,6 +119,7 @@ class Args:
         self.out_dir = ""
         self.secrets_file = ""
         self.verify = False
+        self.warmup: list[tuple[int, int]] = []
         self.params = Params()
 
 
@@ -198,6 +202,14 @@ def parse_args(argv: list[str]) -> Args | None:
             a.secrets_file = need()
         elif k == "--verify":
             a.verify = need() in ("1", "true")
+        elif k == "--warmup":  # serve-only: pre-compile HxW shape classes
+            v = need()
+            try:
+                h, w = v.lower().split("x")
+                a.warmup.append((int(h), int(w)))
+            except ValueError:
+                print(f"Bad --warmup (want HxW): {v}", file=sys.stderr)
+                return None
         else:
             print(f"Unknown arg: {k}", file=sys.stderr)
             return None
@@ -450,7 +462,7 @@ def do_serve(a: Args) -> int:
     from steganosaurus_tpu.pipeline.serve import serve_loop
 
     password, mk = _resolve_key(a)
-    return serve_loop(password, mk, a.params)
+    return serve_loop(password, mk, a.params, warmup=a.warmup)
 
 
 def main(argv: list[str] | None = None) -> int:

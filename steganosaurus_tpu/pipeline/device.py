@@ -150,13 +150,20 @@ def _jit_read_qim(L, values: bool):
 class JaxBackend:
     name = "jax"
 
-    def analyze(self, planes_f64: np.ndarray, params):
+    def analyze(self, planes_f64: np.ndarray, params, lazy: bool = False):
         H, W = planes_f64.shape[-2:]
         PH, PW = spectral.fft_dims(H, W)
         fn = _jit_analyze(H, W, PH, PW, params.center,
                           params.rmin, params.rmax, params.magmin)
         # u8-valued planes are exactly representable in f32.
         spec, med, cap, feat = fn(planes_f64.astype(np.float32))
+        if lazy:
+            # Skip the two blocking device->host pulls: capacity/feature
+            # conversion waits for the whole FFT, and on the tunneled
+            # runtime each pull round-trip costs 0.2-1.3 s (extract never
+            # uses capacity; feat only under cover_dependent_path — the
+            # caller pulls via np.asarray when it actually needs them).
+            return spec, med, cap, feat
         # cap/feat arrive as f32 (transfer quirk, see _jit_analyze); restore
         # the u8 feature bytes the cover hash is defined over (:415-444).
         return spec, med, int(cap), np.asarray(feat).astype(np.uint8)
@@ -240,7 +247,9 @@ class JaxBackend:
 class NumpyBackend:
     name = "numpy"
 
-    def analyze(self, planes_f64: np.ndarray, params):
+    def analyze(self, planes_f64: np.ndarray, params, lazy: bool = False):
+        # `lazy` is a JaxBackend pull optimization; everything is already
+        # host-resident here, so it is accepted and ignored.
         H, W = planes_f64.shape[-2:]
         PH, PW = spectral.fft_dims(H, W)
         p = planes_f64

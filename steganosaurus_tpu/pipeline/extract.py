@@ -46,14 +46,18 @@ def extract_array(
     H, W = img.shape[:2]
     PH, PW = spectral.fft_dims(H, W)
 
-    spec, med, _capacity, feat = backend.analyze(planes, params)
+    # lazy: skip the capacity/feature host pulls — extraction never uses
+    # capacity, and each tunnel pull round-trip costs 0.2-1.3 s (profiled
+    # 2026-08-19: int(cap) was 1.3 s of the 2.4 s warm 4K extract).
+    spec, med, _capacity, feat = backend.analyze(planes, params, lazy=True)
 
     # Path key from the *stego* planes (cover-dependent mode hashes the stego
     # spectrum — the coarse quantization is what makes that mostly stable;
     # reference :1156-1176).
     cover_hash = None
     if params.cover_dependent_path:
-        cover_hash = crypto.sha256(np.asarray(feat).tobytes())
+        feat = np.asarray(feat).astype(np.uint8)  # pull only when needed
+        cover_hash = crypto.sha256(feat.tobytes())
     path_key = crypto.derive_path_key(password, master_key, cover_hash)
     key_walk, key_r, key_g, key_b = crypto.derive_turtle_keys(path_key)
     plane_keys = (key_r, key_g, key_b)

@@ -206,11 +206,46 @@ class _OpStats:
                 "ms_max": round(self.ms_max, 1)}
 
 
-def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
+def _warmup_shape(h: int, w: int, password, mk, params) -> float:
+    """Compile + cache-fill for one (H, W) shape class: synthetic cover,
+    in-memory embed + extract (never touches disk). Exercises exactly the
+    jitted modules, DFT tables, walk expansion, and vaulted key a real
+    request of this shape uses. Returns wall seconds."""
+    import time
+
+    import numpy as np
+
+    from steganosaurus_tpu.pipeline.embed import embed_array
+    from steganosaurus_tpu.pipeline.extract import extract_array
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
+    base = np.linspace(60.0, 200.0, w)[None, :, None]
+    cover = np.clip(base + rng.integers(-12, 13, (h, w, 3)),
+                    0, 255).astype(np.uint8)
+    try:
+        res = embed_array(cover, b"warmup", password=password,
+                          master_key=mk, params=params)
+        extract_array(np.asarray(res.stego), password=password,
+                      master_key=mk, params=params)
+    except StegoError:
+        # A margin failure on synthetic data (or a shape too small for
+        # the frame) still warmed every module it reached; keep serving.
+        pass
+    return time.perf_counter() - t0
+
+
+def serve_loop(password, mk, params, stdin=None, stdout=None,
+               warmup=()) -> int:
     """Read JSON-lines requests until EOF or a shutdown op. Returns the
     process exit code (0 on clean EOF/shutdown). Never raises on a bad
     request — every per-request failure becomes an {"ok": false}
-    response so one malformed job cannot kill the worker."""
+    response so one malformed job cannot kill the worker.
+
+    `warmup`: iterable of (H, W) shape classes to compile BEFORE the
+    ready line — the first real request of a warmed shape runs at warm
+    p50 instead of paying the jit compile (measured 19 s at 256², up to
+    minutes for 4K in a degraded tunnel window; doc/PAPER.md §5b)."""
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
     import os
@@ -222,10 +257,16 @@ def serve_loop(password, mk, params, stdin=None, stdout=None) -> int:
         stdout.write(json.dumps(obj, separators=(",", ":")) + "\n")
         stdout.flush()
 
+    warmed = []
+    for h, w in warmup:
+        dt = _warmup_shape(int(h), int(w), password, mk, params)
+        print(f"warmed {h}x{w} in {dt:.1f}s", file=sys.stderr, flush=True)
+        warmed.append(f"{h}x{w}")
     t_up = time.perf_counter()
     stats: dict[str, _OpStats] = {}
     reply({"ok": True, "op": "ready", "pid": os.getpid(),
-           "version": __version__})
+           "version": __version__,
+           **({"warmed": warmed} if warmed else {})})
     for line in stdin:
         line = line.strip()
         if not line:

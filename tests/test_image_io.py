@@ -52,3 +52,37 @@ def test_encoder_output_smaller_or_close_to_pil():
         buf = io.BytesIO()
         Image.fromarray(img, "RGB").save(buf, format="PNG")
         assert fast <= 1.6 * buf.tell() + 1024, (name, fast, buf.tell())
+
+
+def test_fast_decode_path_matches_pil(tmp_path):
+    """load_rgb's fast path (our own Up-filtered PNGs) and the PIL
+    fallback (arbitrary-filter PNGs) must both return exact pixels."""
+    rng = np.random.default_rng(5)
+    for name, img in _families(rng, 77, 53).items():
+        p = tmp_path / f"{name}.png"
+        image_io.save_png(str(p), img)  # fast encoder -> fast decoder
+        assert np.array_equal(image_io.load_rgb(str(p)), img), name
+        q = tmp_path / f"{name}_pil.png"
+        Image.fromarray(img, "RGB").save(str(q), format="PNG")
+        assert np.array_equal(image_io.load_rgb(str(q)), img), name
+    # fast path actually engages on our own files
+    raw = (tmp_path / "noise.png").read_bytes()
+    assert image_io._decode_png_fast(raw) is not None
+    # PIL's adaptive-filter output falls back (unless it chose None/Up)
+    assert image_io.load_rgb(str(tmp_path / "noise_pil.png")) is not None
+
+
+def test_fast_decode_rejects_oddballs(tmp_path):
+    """Non-PNG magic, truncated streams, and non-RGB PNGs must not crash
+    the fast path — they return None/fall back to PIL."""
+    assert image_io._decode_png_fast(b"not a png") is None
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    data = image_io.encode_png(img)
+    assert image_io._decode_png_fast(data[:40]) is None
+    # grayscale PNG via PIL -> fast path declines, load_rgb still works
+    p = tmp_path / "gray.png"
+    Image.fromarray(img[:, :, 0], "L").save(str(p))
+    assert image_io._decode_png_fast(p.read_bytes()) is None
+    g = image_io.load_rgb(str(p))
+    assert g.shape == (9, 9, 3) and np.array_equal(g[:, :, 0], img[:, :, 0])

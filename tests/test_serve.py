@@ -140,3 +140,25 @@ def test_serve_requires_key():
 
     assert cli.parse_args(["turtlefft", "serve"]) is None
     assert cli.parse_args(["turtlefft", "serve", "--pass", "pw"]) is not None
+
+
+def test_serve_warmup_flag_and_ready_field(tmp_path):
+    """--warmup HxW pre-compiles shape classes before the ready line; the
+    ready response lists them. Parser rejects malformed values."""
+    from steganosaurus_tpu import cli
+
+    a = cli.parse_args(["turtlefft", "serve", "--pass", "pw",
+                        "--warmup", "64x48", "--warmup", "128X96"])
+    assert a.warmup == [(64, 48), (128, 96)]
+    assert cli.parse_args(["turtlefft", "serve", "--pass", "pw",
+                           "--warmup", "64"]) is None
+    assert cli.parse_args(["turtlefft", "serve", "--pass", "pw",
+                           "--warmup", "axb"]) is None
+
+    stdin = io.StringIO(json.dumps({"op": "shutdown"}) + "\n")
+    stdout = io.StringIO()
+    rc = serve_loop(None, MK, P, stdin=stdin, stdout=stdout,
+                    warmup=[(64, 48)])
+    assert rc == 0
+    ready = json.loads(stdout.getvalue().splitlines()[0])
+    assert ready["op"] == "ready" and ready["warmed"] == ["64x48"]
