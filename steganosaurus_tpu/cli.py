@@ -42,14 +42,18 @@ USAGE = """Usage:
             for images that do not authenticate).
 
   Serve  : turtlefft serve (--pass PW | --key KEY_BASE64) [flags]
-            [--warmup HxW ...]
+            [--warmup HxW[:PAYLOAD_BYTES] ...]
             Long-running steady-state worker: JSON-lines requests on stdin
             (ping/embed/extract/embed_batch/extract_batch/shutdown), one
             JSON response per line on stdout. Key and flags are fixed for
             the worker's lifetime — compiled modules, walk expansions, and
             derived keys stay warm across requests. --warmup (repeatable)
-            pre-compiles the given image shape classes before the ready
-            line, so the first real request skips the jit compile.
+            pre-compiles the given serving classes (image shape + typical
+            payload size) before the ready line, so the first real request
+            skips the jit compile. Single extracts ride a fused one-pass
+            device read sized by the last seen payload (or an explicit
+            per-request "clen_hint"), falling back to the two-pass path on
+            a stale hint.
 
   Key options:
     --pass PW              : Use passphrase (derives key via PBKDF2+HKDF)
@@ -202,13 +206,16 @@ def parse_args(argv: list[str]) -> Args | None:
             a.secrets_file = need()
         elif k == "--verify":
             a.verify = need() in ("1", "true")
-        elif k == "--warmup":  # serve-only: pre-compile HxW shape classes
+        elif k == "--warmup":  # serve-only: pre-compile serving classes
             v = need()
             try:
-                h, w = v.lower().split("x")
-                a.warmup.append((int(h), int(w)))
+                dims, _, payload = v.lower().partition(":")
+                h, w = dims.split("x")
+                a.warmup.append((int(h), int(w), int(payload))
+                                if payload else (int(h), int(w)))
             except ValueError:
-                print(f"Bad --warmup (want HxW): {v}", file=sys.stderr)
+                print(f"Bad --warmup (want HxW[:PAYLOAD_BYTES]): {v}",
+                      file=sys.stderr)
                 return None
         else:
             print(f"Unknown arg: {k}", file=sys.stderr)

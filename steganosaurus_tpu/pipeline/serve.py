@@ -65,22 +65,54 @@ def _load(path: str):
         raise StegoError(f"Failed to load {path}") from e
 
 
-def _do_embed(req: dict, password, mk, params) -> dict:
+def _clen_of(secret_len: int, params) -> int:
+    """On-wire ciphertext length for a secret of this size under the
+    worker's params (the padded length when pad_quantum is on)."""
+    from steganosaurus_tpu.pipeline import header as header_mod
+
+    if params.pad_quantum:
+        return header_mod.padded_len(secret_len, params.pad_quantum)
+    return secret_len
+
+
+def _do_embed(req: dict, password, mk, params, hints: dict) -> dict:
     from steganosaurus_tpu.io import image as image_io
     from steganosaurus_tpu.pipeline.embed import embed_array
 
-    res = embed_array(_load(req["in"]), _secret_of(req), password=password,
+    secret = _secret_of(req)
+    res = embed_array(_load(req["in"]), secret, password=password,
                       master_key=mk, params=params)
     image_io.save_png(req["out"], res.stego)
+    # The worker's serving class usually has one payload size; remember
+    # it so subsequent single extracts ride the one-pass hinted path.
+    hints["clen"] = _clen_of(len(secret), params)
     return {"out": req["out"], "bits": int(res.written_bits),
             "payload_bytes": int(res.payload_bytes)}
 
 
-def _do_extract(req: dict, password, mk, params) -> dict:
+def _do_extract(req: dict, password, mk, params, hints: dict) -> dict:
     from steganosaurus_tpu.pipeline.extract import extract_array
 
-    secret = extract_array(_load(req["in"]), password=password,
-                           master_key=mk, params=params)
+    img = _load(req["in"])
+    hint = req.get("clen_hint", hints.get("clen"))
+    secret = None
+    if hint:
+        # One fused device pass: header + hinted payload gathered and
+        # ECC-decoded on device, ~250x smaller pull (pipeline/batch.py
+        # extract_batch docstring) — the pull, not the gather, dominates
+        # single-extract latency on the tunneled runtime. A wrong hint
+        # can cost the fallback below, never misdecode.
+        from steganosaurus_tpu.pipeline.batch import extract_batch
+
+        secret = extract_batch(img[None], password=password, master_key=mk,
+                               params=params, clen_hint=int(hint))[0]
+    if secret is None:
+        # No hint, stale hint, or a genuine failure: the two-pass single
+        # path re-derives everything and raises the precise StegoError
+        # ("Magic not found." vs auth failure) on real failures.
+        secret = extract_array(img, password=password, master_key=mk,
+                               params=params)
+    hints["clen"] = _clen_of(len(secret), params)
     return {"secret_b64": base64.b64encode(secret).decode()}
 
 
@@ -206,11 +238,15 @@ class _OpStats:
                 "ms_max": round(self.ms_max, 1)}
 
 
-def _warmup_shape(h: int, w: int, password, mk, params) -> float:
-    """Compile + cache-fill for one (H, W) shape class: synthetic cover,
-    in-memory embed + extract (never touches disk). Exercises exactly the
-    jitted modules, DFT tables, walk expansion, and vaulted key a real
-    request of this shape uses. Returns wall seconds."""
+def _warmup_shape(h: int, w: int, payload: int, password, mk,
+                  params) -> float:
+    """Compile + cache-fill for one (H, W, payload-size) serving class:
+    synthetic cover, in-memory embed + extract (never touches disk).
+    Exercises exactly the jitted modules, DFT tables, walk expansion, and
+    vaulted key a real request of this class uses. The payload size
+    matters because device modules are specialized per 4096-bit frame
+    bucket (pipeline/batch.py _dispatch_pass) — warming with a token
+    secret would leave the real bucket cold. Returns wall seconds."""
     import time
 
     import numpy as np
@@ -223,11 +259,18 @@ def _warmup_shape(h: int, w: int, password, mk, params) -> float:
     base = np.linspace(60.0, 200.0, w)[None, :, None]
     cover = np.clip(base + rng.integers(-12, 13, (h, w, 3)),
                     0, 255).astype(np.uint8)
+    secret = bytes(rng.integers(0, 256, max(1, payload), dtype=np.uint8))
     try:
-        res = embed_array(cover, b"warmup", password=password,
+        res = embed_array(cover, secret, password=password,
                           master_key=mk, params=params)
-        extract_array(np.asarray(res.stego), password=password,
-                      master_key=mk, params=params)
+        stego = np.asarray(res.stego)
+        extract_array(stego, password=password, master_key=mk,
+                      params=params)
+        # also warm the one-pass hinted module single extracts prefer
+        from steganosaurus_tpu.pipeline.batch import extract_batch
+
+        extract_batch(stego[None], password=password, master_key=mk,
+                      params=params, clen_hint=_clen_of(len(secret), params))
     except StegoError:
         # A margin failure on synthetic data (or a shape too small for
         # the frame) still warmed every module it reached; keep serving.
@@ -242,10 +285,11 @@ def serve_loop(password, mk, params, stdin=None, stdout=None,
     request — every per-request failure becomes an {"ok": false}
     response so one malformed job cannot kill the worker.
 
-    `warmup`: iterable of (H, W) shape classes to compile BEFORE the
-    ready line — the first real request of a warmed shape runs at warm
-    p50 instead of paying the jit compile (measured 19 s at 256², up to
-    minutes for 4K in a degraded tunnel window; doc/PAPER.md §5b)."""
+    `warmup`: iterable of (H, W) or (H, W, payload_bytes) serving
+    classes to compile BEFORE the ready line — the first real request of
+    a warmed class runs at warm p50 instead of paying the jit compile
+    (measured 19 s at 256², up to minutes for 4K in a degraded tunnel
+    window; doc/PAPER.md §5b)."""
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
     import os
@@ -258,12 +302,16 @@ def serve_loop(password, mk, params, stdin=None, stdout=None,
         stdout.flush()
 
     warmed = []
-    for h, w in warmup:
-        dt = _warmup_shape(int(h), int(w), password, mk, params)
-        print(f"warmed {h}x{w} in {dt:.1f}s", file=sys.stderr, flush=True)
-        warmed.append(f"{h}x{w}")
+    for spec in warmup:
+        h, w = int(spec[0]), int(spec[1])
+        payload = int(spec[2]) if len(spec) > 2 else 6
+        dt = _warmup_shape(h, w, payload, password, mk, params)
+        print(f"warmed {h}x{w}:{payload} in {dt:.1f}s", file=sys.stderr,
+              flush=True)
+        warmed.append(f"{h}x{w}:{payload}")
     t_up = time.perf_counter()
     stats: dict[str, _OpStats] = {}
+    hints: dict = {}  # learned serving-class state (last wire clen)
     reply({"ok": True, "op": "ready", "pid": os.getpid(),
            "version": __version__,
            **({"warmed": warmed} if warmed else {})})
@@ -291,9 +339,9 @@ def serve_loop(password, mk, params, stdin=None, stdout=None,
                        "ops": {k: v.report()
                                for k, v in sorted(stats.items())}}
             elif op == "embed":
-                out = _do_embed(req, password, mk, params)
+                out = _do_embed(req, password, mk, params, hints)
             elif op == "extract":
-                out = _do_extract(req, password, mk, params)
+                out = _do_extract(req, password, mk, params, hints)
             elif op == "embed_batch":
                 out = _do_embed_batch(req, password, mk, params)
             elif op == "extract_batch":

@@ -148,17 +148,45 @@ def test_serve_warmup_flag_and_ready_field(tmp_path):
     from steganosaurus_tpu import cli
 
     a = cli.parse_args(["turtlefft", "serve", "--pass", "pw",
-                        "--warmup", "64x48", "--warmup", "128X96"])
-    assert a.warmup == [(64, 48), (128, 96)]
+                        "--warmup", "64x48", "--warmup", "128X96:4096"])
+    assert a.warmup == [(64, 48), (128, 96, 4096)]
     assert cli.parse_args(["turtlefft", "serve", "--pass", "pw",
                            "--warmup", "64"]) is None
     assert cli.parse_args(["turtlefft", "serve", "--pass", "pw",
                            "--warmup", "axb"]) is None
+    assert cli.parse_args(["turtlefft", "serve", "--pass", "pw",
+                           "--warmup", "64x48:big"]) is None
 
     stdin = io.StringIO(json.dumps({"op": "shutdown"}) + "\n")
     stdout = io.StringIO()
     rc = serve_loop(None, MK, P, stdin=stdin, stdout=stdout,
-                    warmup=[(64, 48)])
+                    warmup=[(64, 48), (128, 96, 16)])
     assert rc == 0
     ready = json.loads(stdout.getvalue().splitlines()[0])
-    assert ready["op"] == "ready" and ready["warmed"] == ["64x48"]
+    assert ready["op"] == "ready"
+    assert ready["warmed"] == ["64x48:6", "128x96:16"]
+
+
+def test_serve_extract_rides_hint_and_survives_stale_hint(tmp_path):
+    """Single extracts use the fused one-pass path once a payload size is
+    known (learned from embeds/extracts or given as clen_hint); a stale or
+    wrong hint falls back to the two-pass path and still decodes."""
+    cov = _cover(tmp_path, "c.png")
+    out1, out2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    rc, rs = run_serve([
+        {"op": "embed", "in": cov, "out": out1, "secret": "short"},
+        {"op": "extract", "in": out1},                      # learned hint
+        {"op": "embed", "in": cov, "out": out2,
+         "secret": "a much longer secret body"},
+        # hint is now 25 (from the last embed); extract of the SHORT stego
+        # with that oversized learned hint must still decode (bucket
+        # covers it), and an explicitly wrong undersized hint must fall
+        # back to the two-pass path and succeed:
+        {"op": "extract", "in": out1, "clen_hint": 1},
+        {"op": "extract", "in": out2},
+        {"op": "shutdown"},
+    ])
+    assert rc == 0
+    assert base64.b64decode(rs[1]["secret_b64"]) == b"short"
+    assert base64.b64decode(rs[3]["secret_b64"]) == b"short"
+    assert base64.b64decode(rs[4]["secret_b64"]) == b"a much longer secret body"
