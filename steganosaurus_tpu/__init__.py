@@ -33,8 +33,11 @@ from steganosaurus_tpu.config import Params
 # (alpha_spread, per_image_walk) + warden-view steganalysis reporting;
 # 0.6: inline soft decode in the fused extract pass, payload padding
 # (Params.pad_quantum, header FLAG 0x04), `check` CLI mode, collusion +
-# AWGN/JPEG robustness reports.
-__version__ = "0.7.0"
+# AWGN/JPEG robustness reports; 0.7: native RS codec, key vault, walk
+# disk cache, SRM-lite warden, MFU/roofline bench, serve worker,
+# write floor; 0.8: fast PNG codec, serve warm-path routing (--warmup,
+# learned clen hints, B=1 batch modules), cross-channel warden.
+__version__ = "0.8.0"
 
 # Lazy top-level convenience API (PEP 562): `import steganosaurus_tpu as st;
 # st.embed_batch(...)`. Resolved on first touch so importing the package
