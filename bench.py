@@ -894,8 +894,46 @@ def main():
             RESULT["small_error"] = f"{type(e).__name__}: {e}"
         emit()
 
+    # ---- cross-window evidence: each round's BENCH_r*.json was a
+    # different tunnel window (and possibly a different implementation —
+    # the per-round values show the trend, not pure window noise). Pulling
+    # them into the record means no single-window number can be quoted as
+    # the whole story (VERDICT r3 item 1). Host-only; zero device budget.
+    RESULT["round_history"] = round_history()
     RESULT["bench_wall_s"] = round(time.perf_counter() - T0, 1)
     emit()
+
+
+def round_history() -> dict:
+    """Per-round values of the key throughput metrics from the driver's
+    BENCH_r*.json series (parsed record when intact, regex over the tail
+    otherwise — old tails are head-truncated)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    metrics = ("value", "rotating_salt_images_per_sec",
+               "rs_mode_images_per_sec", "loop_images_per_sec",
+               "pow2_4096_images_per_sec")
+    hist: dict = {m: {} for m in metrics}
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        rnd = os.path.basename(f)[len("BENCH_"):-len(".json")]
+        try:
+            with open(f) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed")
+        tail = rec.get("tail", "") or ""
+        for m in metrics:
+            v = parsed.get(m) if isinstance(parsed, dict) else None
+            if v is None:
+                got = re.findall(rf'"{m}": ([0-9.]+)', tail)
+                v = float(got[-1]) if got else None
+            if isinstance(v, (int, float)):
+                hist[m][rnd] = v
+    # drop metrics with no history at all
+    return {m: rs for m, rs in hist.items() if rs}
 
 
 def main_with_retry():
