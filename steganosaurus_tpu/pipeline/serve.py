@@ -147,7 +147,7 @@ def _preflight(paths: list) -> tuple[list, dict]:
     return good, bad
 
 
-def _do_embed_batch(req: dict, password, mk, params) -> dict:
+def _do_embed_batch(req: dict, password, mk, params, hints: dict) -> dict:
     import numpy as np
 
     from steganosaurus_tpu.io import image as image_io
@@ -183,11 +183,17 @@ def _do_embed_batch(req: dict, password, mk, params) -> dict:
             results[p] = {"ok": True, "in": p, "out": out,
                           "bits": int(res.written_bits[j])}
     ordered = [results[p] for p in all_paths]
+    if paths:
+        # oversized hints are bucket-covered and safe; undersized ones
+        # cost a second pass — learn the largest payload in the batch
+        hints["clen"] = max(_clen_of(len(_secret_of(by_in[p])), params)
+                            for p in paths)
     return {"results": ordered,
             "n_ok": sum(1 for r in ordered if r["ok"])}
 
 
-def _do_extract_batch(req: dict, password, mk, params) -> dict:
+def _do_extract_batch(req: dict, password, mk, params,
+                      hints: dict) -> dict:
     from steganosaurus_tpu.pipeline import stream
 
     all_paths = req.get("ins") or []
@@ -201,9 +207,10 @@ def _do_extract_batch(req: dict, password, mk, params) -> dict:
             yield stegos
 
     batches.q = []
+    hint = req.get("clen_hint", hints.get("clen"))
     for got in stream.extract_stream(batches(), password=password,
                                      master_key=mk, params=params,
-                                     clen_hint=req.get("clen_hint")):
+                                     clen_hint=hint):
         for p, secret in zip(batches.q.pop(0), got):
             if secret is None:
                 results[p] = {"ok": False, "in": p,
@@ -352,9 +359,9 @@ def serve_loop(password, mk, params, stdin=None, stdout=None,
             elif op == "extract":
                 out = _do_extract(req, password, mk, params, hints)
             elif op == "embed_batch":
-                out = _do_embed_batch(req, password, mk, params)
+                out = _do_embed_batch(req, password, mk, params, hints)
             elif op == "extract_batch":
-                out = _do_extract_batch(req, password, mk, params)
+                out = _do_extract_batch(req, password, mk, params, hints)
             else:
                 raise StegoError(f"unknown op: {op!r}")
             n_ok = out.get("n_ok")

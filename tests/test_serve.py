@@ -190,3 +190,45 @@ def test_serve_extract_rides_hint_and_survives_stale_hint(tmp_path):
     assert base64.b64decode(rs[1]["secret_b64"]) == b"short"
     assert base64.b64decode(rs[3]["secret_b64"]) == b"short"
     assert base64.b64decode(rs[4]["secret_b64"]) == b"a much longer secret body"
+
+
+@pytest.mark.parametrize("wire", ["rs", "pad", "qim"])
+def test_serve_hinted_extract_composes_with_wire_modes(tmp_path, wire):
+    """The learned-clen fused path must stay correct under each wire mode
+    (RS changes the coded length, padding changes the wire clen, QIM
+    changes the read rule) — all auto-detected from the header."""
+    p = {"rs": Params(pbkdf2_iter=500, rs=True),
+         "pad": Params(pbkdf2_iter=500, pad_quantum=64),
+         "qim": Params(pbkdf2_iter=500, qim=10)}[wire]
+    cov = _cover(tmp_path, "c.png", seed=40, hw=(192, 192))
+    out = str(tmp_path / "s.png")
+    rc, rs_ = run_serve([
+        {"op": "embed", "in": cov, "out": out, "secret": "wire-mode body"},
+        {"op": "extract", "in": out},                 # learned hint
+        {"op": "extract", "in": out, "clen_hint": 14},  # explicit
+    ], params=p)
+    assert rc == 0, rs_
+    assert rs_[0]["ok"], rs_[0]
+    for r in rs_[1:]:
+        assert r["ok"] and base64.b64decode(r["secret_b64"]) == \
+            b"wire-mode body", (wire, r)
+
+
+def test_serve_batch_ops_learn_and_use_hint(tmp_path):
+    """embed_batch teaches the worker its payload size; a following
+    extract_batch and single extract ride the hint."""
+    covs = [_cover(tmp_path, f"c{i}.png", seed=50 + i) for i in range(3)]
+    outs = [str(tmp_path / f"s{i}.png") for i in range(3)]
+    jobs = [{"in": c, "out": o, "secret": f"msg number {i}"}
+            for i, (c, o) in enumerate(zip(covs, outs))]
+    rc, rs_ = run_serve([
+        {"op": "embed_batch", "jobs": jobs},
+        {"op": "extract_batch", "ins": outs},
+        {"op": "extract", "in": outs[0]},
+    ])
+    assert rc == 0
+    assert rs_[0]["n_ok"] == 3
+    got = [base64.b64decode(r["secret_b64"]).decode()
+           for r in rs_[1]["results"]]
+    assert got == [f"msg number {i}" for i in range(3)]
+    assert base64.b64decode(rs_[2]["secret_b64"]) == b"msg number 0"
