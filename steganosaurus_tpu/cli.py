@@ -211,8 +211,11 @@ def parse_args(argv: list[str]) -> Args | None:
             try:
                 dims, _, payload = v.lower().partition(":")
                 h, w = dims.split("x")
-                a.warmup.append((int(h), int(w), int(payload))
-                                if payload else (int(h), int(w)))
+                spec = ((int(h), int(w), int(payload))
+                        if payload else (int(h), int(w)))
+                if any(x <= 0 for x in spec):
+                    raise ValueError(v)
+                a.warmup.append(spec)
             except ValueError:
                 print(f"Bad --warmup (want HxW[:PAYLOAD_BYTES]): {v}",
                       file=sys.stderr)
@@ -288,7 +291,7 @@ def do_check(a: Args) -> int:
     from steganosaurus_tpu.pipeline.extract import extract_array
     from steganosaurus_tpu.utils import metrics
     from steganosaurus_tpu.utils.steganalysis import (
-        cross_channel_report, phase_histogram_report)
+        annulus_phases, cross_channel_report, phase_histogram_report)
 
     password, mk = _resolve_key(a)
     cover = image_io.load_rgb(a.in_path)
@@ -307,8 +310,11 @@ def do_check(a: Args) -> int:
         ok = False
     psnr = metrics.psnr(cover, stego)
     ssim = metrics.ssim(cover, stego)
-    clean = phase_histogram_report(cover, a.params)
-    hot = phase_histogram_report(stego, a.params)
+    # One annulus FFT per image, shared by both wardens below.
+    th_cover = annulus_phases(cover, a.params)
+    th_stego = annulus_phases(stego, a.params)
+    clean = phase_histogram_report(cover, a.params, phases=th_cover)
+    hot = phase_histogram_report(stego, a.params, phases=th_stego)
     print(f"capacity: {res.capacity_bits} bits, frame: {res.written_bits} "
           f"bits ({100.0 * res.written_bits / res.capacity_bits:.1f}% used)")
     print(f"quality: psnr {psnr:.2f} dB, ssim {ssim:.4f} "
@@ -319,7 +325,8 @@ def do_check(a: Args) -> int:
     # Cover screening for the §2e cross-channel warden: high alignment
     # means the cover's channels correlate and NO embedding knob hides
     # the write from a cross-channel statistic (doc/ATTACKS.md §2e).
-    cc = cross_channel_report(stego, a.params, cover=cover)
+    cc = cross_channel_report(stego, a.params, cover=cover,
+                              phases=th_stego, cover_phases=th_cover)
     amax = max(cc["align_z"].values())
     print(f"cross-channel: align_z {amax:.1f} "
           f"({'correlated cover - write exposed to a cross-channel warden'

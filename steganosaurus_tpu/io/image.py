@@ -28,8 +28,8 @@ def _decode_png_fast(data: bytes) -> np.ndarray | None:
     bitdepth, color, comp, filt, interlace = data[24:29]
     if (bitdepth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
         return None  # not plain 8-bit RGB
-    if h == 0 or w == 0:
-        return None
+    if h == 0 or w == 0 or h * w > (1 << 28):
+        return None  # absurd declared dims: let PIL's bomb guard decide
     idat, pos = [], 8
     while pos + 8 <= len(data):
         (ln,), typ = struct.unpack(">I", data[pos:pos + 4]), \
@@ -41,12 +41,16 @@ def _decode_png_fast(data: bytes) -> np.ndarray | None:
         elif typ in (b"tRNS", b"acTL"):  # transparency/APNG: punt to PIL
             return None
         pos += 12 + ln
+    stride = 1 + w * 3
+    want = h * stride
+    # Bounded inflate: never allocate beyond the IHDR-declared size + 1,
+    # so a zlib-bomb IDAT cannot balloon memory (PIL's incremental decode
+    # has the same property; want+1 detects oversized streams cheaply).
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), want + 1)
     except zlib.error:
         return None
-    stride = 1 + w * 3
-    if len(raw) != h * stride:
+    if len(raw) != want:
         return None
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     filters = rows[:, 0]
@@ -71,8 +75,13 @@ def load_rgb(path: str) -> np.ndarray:
     save_png (and any other None/Up-filtered 8-bit RGB PNG) take a fast
     vectorized path; everything else decodes via PIL."""
     with open(path, "rb") as f:
-        head = f.read(8)
-        if head == b"\x89PNG\r\n\x1a\n":
+        # Probe signature + IHDR (33 bytes) before slurping the file, so
+        # PNGs outside the fast subset (grayscale/palette/Paeth) don't pay
+        # a full read here AND a second full read in the PIL fallback.
+        head = f.read(33)
+        if (len(head) == 33 and head[:8] == b"\x89PNG\r\n\x1a\n"
+                and head[12:16] == b"IHDR"
+                and head[24:29] == b"\x08\x02\x00\x00\x00"):
             img = _decode_png_fast(head + f.read())
             if img is not None:
                 return img

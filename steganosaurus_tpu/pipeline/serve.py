@@ -79,34 +79,71 @@ def _do_embed(req: dict, password, mk, params, hints: dict) -> dict:
     import numpy as np
 
     from steganosaurus_tpu.io import image as image_io
-    from steganosaurus_tpu.pipeline.batch import embed_batch
 
     secret = _secret_of(req)
-    # B=1 through the batch path: its fused corner modules + packed pulls
-    # measured 3-4x faster than the single-image path at warm 4K (1.9-2.8
-    # vs 5.6-10.7 s in the same tunnel window, round-trip verified;
-    # doc/PAPER.md §5b). Identical wire output — same salting, framing,
-    # and write rule; the single path remains the library/CLI surface.
-    res = embed_batch(_load(req["in"])[None], [secret], password=password,
-                      master_key=mk, params=params,
-                      verify=bool(req.get("verify", False)))
-    if res.verified is not None and not res.verified[0]:
-        raise StegoError("verify failed")
-    image_io.save_png(req["out"], np.asarray(res.stego)[0])
+    cover = _load(req["in"])
+    if params.cover_dependent_path:
+        # Per-image cover-hash walks are per-image by contract: the batch
+        # path rejects them (pipeline/batch.py embed_batch), so this
+        # serving class rides the single-image path.
+        from steganosaurus_tpu.pipeline.embed import embed_array
+        from steganosaurus_tpu.pipeline.extract import extract_array
+
+        res = embed_array(cover, secret, password=password, master_key=mk,
+                          params=params)
+        stego = np.asarray(res.stego)
+        if req.get("verify"):
+            try:
+                got = extract_array(stego, password=password, master_key=mk,
+                                    params=params)
+            except StegoError:
+                got = None
+            if got != secret:
+                raise StegoError("verify failed")
+        bits, payload = int(res.written_bits), int(res.payload_bytes)
+    else:
+        # B=1 through the batch path: its fused corner modules + packed
+        # pulls measured 3-4x faster than the single-image path at warm 4K
+        # (1.9-2.8 vs 5.6-10.7 s in the same tunnel window, round-trip
+        # verified; doc/PAPER.md §5b). Identical wire output — same
+        # salting, framing, and write rule; the single path remains the
+        # library/CLI surface.
+        from steganosaurus_tpu.pipeline.batch import embed_batch
+
+        res = embed_batch(cover[None], [secret], password=password,
+                          master_key=mk, params=params,
+                          verify=bool(req.get("verify", False)))
+        if res.verified is not None and not res.verified[0]:
+            raise StegoError("verify failed")
+        stego = np.asarray(res.stego)[0]
+        bits, payload = int(res.written_bits[0]), int(res.payload_bytes[0])
+    image_io.save_png(req["out"], stego)
     # The worker's serving class usually has one payload size; remember
     # it so subsequent single extracts ride the one-pass hinted path.
     hints["clen"] = _clen_of(len(secret), params)
-    return {"out": req["out"], "bits": int(res.written_bits[0]),
-            "payload_bytes": int(res.payload_bytes[0])}
+    return {"out": req["out"], "bits": bits, "payload_bytes": payload}
+
+
+def _hint_int(hint) -> int | None:
+    """Validate a client-supplied clen hint: int or None, never a crash
+    (serve_loop's never-raise contract covers malformed request fields)."""
+    if hint is None:
+        return None
+    try:
+        return int(hint)
+    except (TypeError, ValueError) as e:
+        raise StegoError(f"bad clen_hint: {hint!r}") from e
 
 
 def _do_extract(req: dict, password, mk, params, hints: dict) -> dict:
     from steganosaurus_tpu.pipeline.extract import extract_array
 
     img = _load(req["in"])
-    hint = req.get("clen_hint", hints.get("clen"))
+    hint = _hint_int(req.get("clen_hint", hints.get("clen")))
     secret = None
-    if hint:
+    # cover_dependent_path walks are per-image by contract — extract_batch
+    # raises for them, so those serving classes take the single path below.
+    if hint and not params.cover_dependent_path:
         # One fused device pass: header + hinted payload gathered and
         # ECC-decoded on device, ~250x smaller pull (pipeline/batch.py
         # extract_batch docstring) — the pull, not the gather, dominates
@@ -115,7 +152,7 @@ def _do_extract(req: dict, password, mk, params, hints: dict) -> dict:
         from steganosaurus_tpu.pipeline.batch import extract_batch
 
         secret = extract_batch(img[None], password=password, master_key=mk,
-                               params=params, clen_hint=int(hint))[0]
+                               params=params, clen_hint=hint)[0]
     if secret is None:
         # No hint, stale hint, or a genuine failure: the two-pass single
         # path re-derives everything and raises the precise StegoError
@@ -207,7 +244,7 @@ def _do_extract_batch(req: dict, password, mk, params,
             yield stegos
 
     batches.q = []
-    hint = req.get("clen_hint", hints.get("clen"))
+    hint = _hint_int(req.get("clen_hint", hints.get("clen")))
     for got in stream.extract_stream(batches(), password=password,
                                      master_key=mk, params=params,
                                      clen_hint=hint):
@@ -271,6 +308,8 @@ def _warmup_shape(h: int, w: int, payload: int, password, mk,
     from steganosaurus_tpu.pipeline.batch import embed_batch, extract_batch
     from steganosaurus_tpu.pipeline.extract import extract_array
 
+    if h <= 0 or w <= 0 or payload <= 0:
+        raise StegoError(f"bad warmup shape {h}x{w}:{payload}")
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
     base = np.linspace(60.0, 200.0, w)[None, :, None]
@@ -372,7 +411,7 @@ def serve_loop(password, mk, params, stdin=None, stdout=None,
             reply({"ok": ok, "op": op,
                    **({"id": rid} if rid is not None else {}), **out,
                    "ms": round(ms, 1)})
-        except (StegoError, ValueError, KeyError, OSError) as e:
+        except (StegoError, ValueError, KeyError, TypeError, OSError) as e:
             ms = 1e3 * (time.perf_counter() - t0)
             if op is not None:
                 stats.setdefault(op, _OpStats()).record(ms, False, 0)

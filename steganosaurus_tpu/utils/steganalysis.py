@@ -49,8 +49,17 @@ def _annulus_phases(img: np.ndarray, params: Params) -> np.ndarray:
     return _annulus_spectrum(img, params)[0]
 
 
+def annulus_phases(img: np.ndarray, params: Params = Params()) -> np.ndarray:
+    """Public precompute hook: the walk-annulus phase population of `img`
+    (3 planes concatenated). Callers running several wardens on the same
+    image compute this once and pass it via the reports' `phases=` kwarg
+    to skip the redundant full-image FFTs."""
+    return _annulus_phases(img, params)
+
+
 def phase_histogram_report(img: np.ndarray, params: Params = Params(),
-                           bins: int = 256, window: float = 0.05) -> dict:
+                           bins: int = 256, window: float = 0.05,
+                           phases: np.ndarray | None = None) -> dict:
     """Histogram-warden statistics for one image.
 
     Returns:
@@ -67,7 +76,7 @@ def phase_histogram_report(img: np.ndarray, params: Params = Params(),
         alpha*(1 + spread) + window] — the widest feature any amplitude
         randomization still occupies; what remains detectable after spread.
     """
-    th = _annulus_phases(img, params)
+    th = phases if phases is not None else _annulus_phases(img, params)
     n = th.size
     hist, _ = np.histogram(th, bins=bins, range=(-math.pi, math.pi))
     exp = n / bins
@@ -239,7 +248,9 @@ def _wrap_abs(d: np.ndarray) -> np.ndarray:
 
 def cross_channel_report(img: np.ndarray, params: Params = Params(),
                          eps: float = 0.35, delta: float = 1.0,
-                         cover: np.ndarray | None = None) -> dict:
+                         cover: np.ndarray | None = None,
+                         phases: np.ndarray | None = None,
+                         cover_phases: np.ndarray | None = None) -> dict:
     """CROSS-CHANNEL warden (reference doc/TODO.md Tier-3 "cross-channel
     correlation tests" — the roadmap's last unbuilt detection line).
 
@@ -266,13 +277,17 @@ def cross_channel_report(img: np.ndarray, params: Params = Params(),
         others | the other two agree within eps) — the conditional
         misalignment rate the write inflates.
       n_aligned[plane]: the conditioning population size.
+      n_bins: per-pair annulus population (the sqrt(n) scale of align_z).
+    `phases`/`cover_phases`: optional precomputed annulus_phases() arrays
+    to skip the full-image FFTs when a caller already has them.
     With a paired `cover`, adds cond_off_z[plane] (one-sided binomial
     z-score of the stego rate against the cover's own rate) and max_z —
     the paired diagnostic; the keyless corpus protocol lives in
     cross_channel_study.
     """
-    def stats(image):
-        th, _ = _annulus_spectrum(image, params)
+    def stats(image, th=None):
+        if th is None:
+            th = _annulus_phases(image, params)
         n = th.size // 3
         th3 = th.reshape(3, n)
         d = {(a, b): _wrap_abs(th3[a] - th3[b])
@@ -290,18 +305,19 @@ def cross_channel_report(img: np.ndarray, params: Params = Params(),
             off = (da > delta) & (db > delta)
             rates.append(float(off.mean()) if sel.any() else 0.0)
             ns.append(int(sel.sum()))
-        return align, rates, ns
+        return align, rates, ns, n
 
-    align, rates, ns = stats(img)
+    align, rates, ns, n_bins = stats(img, phases)
     out = {
         "align_z": align,
         "cond_off_rate": rates,
         "n_aligned": ns,
+        "n_bins": n_bins,
         "eps": eps,
         "delta": delta,
     }
     if cover is not None:
-        _, crates, _cns = stats(cover)
+        _, crates, _cns, _ = stats(cover, cover_phases)
         zs = []
         for c in range(3):
             p0 = max(crates[c], 1e-6)
@@ -318,7 +334,11 @@ def cross_channel_features(img: np.ndarray,
     """6-dim feature vector for the corpus protocol: the three pairwise
     alignment resultants + the three conditional misalignment rates."""
     r = cross_channel_report(img, params)
-    n = math.sqrt(max(sum(r["n_aligned"]), 1))  # de-z the alignments
+    # De-z by the same population that scaled them (the per-pair annulus
+    # size), recovering the plain pairwise resultants in [0, 1] — NOT the
+    # conditioning populations n_aligned, whose content-dependent size
+    # would entangle the alignment dims with the rate dims.
+    n = math.sqrt(max(r["n_bins"], 1))
     return np.array([*(v / n for v in r["align_z"].values()),
                      *r["cond_off_rate"]], dtype=np.float64)
 

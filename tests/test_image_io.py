@@ -86,3 +86,24 @@ def test_fast_decode_rejects_oddballs(tmp_path):
     assert image_io._decode_png_fast(p.read_bytes()) is None
     g = image_io.load_rgb(str(p))
     assert g.shape == (9, 9, 3) and np.array_equal(g[:, :, 0], img[:, :, 0])
+
+
+def test_fast_decode_bounds_zlib_bomb():
+    """An IDAT that inflates far beyond the IHDR-declared size must be
+    rejected by the fast path WITHOUT materializing the inflated stream
+    (bounded decompressobj read), falling back to PIL's own guards."""
+    import struct
+    import zlib
+
+    from steganosaurus_tpu.io.image import _decode_png_fast, _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # declares 4x4
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~50 MB inflated
+    data = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b""))
+    assert _decode_png_fast(data) is None
+    # absurd declared dims punt to PIL before any inflate
+    huge = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    data2 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", huge)
+             + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b""))
+    assert _decode_png_fast(data2) is None

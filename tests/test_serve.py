@@ -232,3 +232,61 @@ def test_serve_batch_ops_learn_and_use_hint(tmp_path):
            for r in rs_[1]["results"]]
     assert got == [f"msg number {i}" for i in range(3)]
     assert base64.b64decode(rs_[2]["secret_b64"]) == b"msg number 0"
+
+
+def test_serve_cover_dependent_path_class(tmp_path):
+    """A worker started with --cover_dependent_path 1 must serve: embed
+    rides the single-image path (the batch path rejects the mode by
+    contract), and extract reports the mode's real parity failure
+    ("Magic not found", doc/HARDENING.md) — never the internal
+    'use embed_array' contract error — with the worker staying alive."""
+    p = Params(cover_dependent_path=True, pbkdf2_iter=500)
+    cov = _cover(tmp_path, "c.png", seed=60)
+    out = str(tmp_path / "s.png")
+    rc, rs = run_serve([
+        {"op": "embed", "in": cov, "out": out, "secret": "cover-keyed"},
+        {"op": "extract", "in": out},            # learned hint is skipped
+        {"op": "extract", "in": out, "clen_hint": 11},  # explicit hint too
+        {"op": "ping"},
+    ], params=p)
+    assert rc == 0
+    assert rs[0]["ok"], rs[0]
+    for r in rs[1:3]:
+        assert not r["ok"] and "Magic not found" in r["error"] \
+            and "embed_array" not in r["error"], r
+    assert rs[3]["ok"] and rs[3]["op"] == "ping"
+
+
+def test_serve_malformed_hint_types_keep_worker_alive(tmp_path):
+    """A client bug sending a non-scalar clen_hint must produce one
+    ok:false reply, not a dead worker (the never-raise contract)."""
+    cov = _cover(tmp_path, "c.png", seed=61)
+    out = str(tmp_path / "s.png")
+    rc, rs = run_serve([
+        {"op": "embed", "in": cov, "out": out, "secret": "hi"},
+        {"op": "extract", "in": out, "clen_hint": [4096]},
+        {"op": "extract_batch", "ins": [out], "clen_hint": {"n": 1}},
+        {"op": "extract", "in": out, "clen_hint": "not-a-number"},
+        {"op": "ping"},
+    ])
+    assert rc == 0
+    for r in rs[1:4]:
+        assert not r["ok"] and "clen_hint" in r["error"], r
+    assert rs[4]["ok"] and rs[4]["op"] == "ping"
+
+
+def test_warmup_specs_validated_at_parse_and_runtime():
+    """Non-positive --warmup dims are rejected at parse time; a bad spec
+    reaching serve_loop raises StegoError, not a numpy traceback."""
+    from steganosaurus_tpu.cli import parse_args
+    from steganosaurus_tpu.pipeline.serve import _warmup_shape
+    from steganosaurus_tpu.pipeline.errors import StegoError
+
+    for bad in ("-1x64", "0x0", "64x-2", "64x48:0", "64x48:-6"):
+        assert parse_args(["turtlefft", "serve", "--pass", "pw",
+                           "--warmup", bad]) is None, bad
+    ok = parse_args(["turtlefft", "serve", "--pass", "pw",
+                     "--warmup", "64x48:16"])
+    assert ok is not None and ok.warmup == [(64, 48, 16)]
+    with pytest.raises(StegoError):
+        _warmup_shape(-1, 64, 6, None, MK, P)

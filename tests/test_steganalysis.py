@@ -370,3 +370,37 @@ def test_cross_channel_corpus_blind_on_iid_channels():
     rep = sa._paired_eval(X0, X1)
     assert rep["auc"] < 0.75, rep
     assert rep["feature_dim"] == 6
+
+
+def test_cross_channel_features_are_plain_resultants():
+    """Feature dims 0-2 must be the size-normalized pairwise alignment
+    resultants (align_z / sqrt(n_bins), in [0, 1]) — independent of the
+    conditioning populations that scale dims 3-5."""
+    import math
+
+    from steganosaurus_tpu.utils.steganalysis import (
+        cross_channel_features, cross_channel_report)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    r = cross_channel_report(img)
+    f = cross_channel_features(img)
+    want = np.array(list(r["align_z"].values())) / math.sqrt(r["n_bins"])
+    assert np.allclose(f[:3], want)
+    assert np.all((f[:3] >= 0.0) & (f[:3] <= 1.0))
+    assert np.allclose(f[3:], r["cond_off_rate"])
+
+
+def test_report_phase_precompute_hooks_match():
+    """phases=/cover_phases= precompute kwargs must reproduce the
+    from-image results exactly (the do_check single-FFT path)."""
+    from steganosaurus_tpu.utils.steganalysis import (
+        annulus_phases, cross_channel_report, phase_histogram_report)
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    pa, pb = annulus_phases(a), annulus_phases(b)
+    assert phase_histogram_report(a, phases=pa) == phase_histogram_report(a)
+    assert cross_channel_report(a, cover=b, phases=pa, cover_phases=pb) \
+        == cross_channel_report(a, cover=b)
