@@ -68,6 +68,10 @@ _API = {
                              "cross_channel_report"),
     "cross_channel_study": ("steganosaurus_tpu.utils.steganalysis",
                             "cross_channel_study"),
+    "joint_residual_report": ("steganosaurus_tpu.utils.steganalysis",
+                              "joint_residual_report"),
+    "joint_residual_study": ("steganosaurus_tpu.utils.steganalysis",
+                             "joint_residual_study"),
     "robustness_report": ("steganosaurus_tpu.utils.channel",
                           "robustness_report"),
     "embed_stream": ("steganosaurus_tpu.pipeline.stream", "embed_stream"),

@@ -291,7 +291,8 @@ def do_check(a: Args) -> int:
     from steganosaurus_tpu.pipeline.extract import extract_array
     from steganosaurus_tpu.utils import metrics
     from steganosaurus_tpu.utils.steganalysis import (
-        annulus_phases, cross_channel_report, phase_histogram_report)
+        annulus_phases, cross_channel_report, joint_residual_report,
+        phase_histogram_report)
 
     password, mk = _resolve_key(a)
     cover = image_io.load_rgb(a.in_path)
@@ -332,6 +333,17 @@ def do_check(a: Args) -> int:
           f"({'correlated cover - write exposed to a cross-channel warden'
              if amax > 6 else 'iid channels - cross-channel warden blind'})"
           f", cond_off_z {cc['max_z']:.1f}")
+    # Cover screening for the §2f joint phase-magnitude warden: high
+    # spectral phase coherence means re-rolled phases at high-magnitude
+    # bins are visible to a cover-model warden — again no embedding knob
+    # hides it (doc/ATTACKS.md §2f).
+    jr = joint_residual_report(stego, a.params, cover=cover)
+    print(f"joint-residual: coherence {jr['top_coherence']:.3f} "
+          f"({'phase-coherent cover - write exposed to a joint '
+             'phase-magnitude warden'
+             if jr['top_coherence'] > 0.1
+             else 'iid phases - joint-residual warden blind'})"
+          f", drop_z {jr['max_z']:.1f}")
     print(f"round-trip: {'ok' if ok else 'FAILED'}")
     return 0 if ok else 1
 

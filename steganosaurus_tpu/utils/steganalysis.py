@@ -384,6 +384,167 @@ def cross_channel_study(params: Params = Params(), secret_bytes: int = 240,
 
 
 # ---------------------------------------------------------------------------
+# Phase-magnitude JOINT residual warden (doc/ATTACKS.md §2c's "one honest
+# open line": the write preserves bin magnitudes exactly while re-rolling
+# phases, and exploiting that needs a cover model). The cover model here is
+# LOCAL SPECTRAL PHASE COHERENCE: a natural image's energy at a given
+# frequency is dominated by spatially localized structure, so the phase of
+# F(k) is locally a linear ramp in k (envelope x carrier) — its discrete
+# curvature u(k)^2 conj(u(k-1)) conj(u(k+1)) concentrates near angle 0
+# wherever the magnitude is high. Synthetic/Gaussian covers have iid bin
+# phases (no coherence); the walk re-rolls one bin's phase at a time, so a
+# written high-magnitude bin breaks the curvature triple it anchors. The
+# JOINT part: coherence is stratified by magnitude quantile — the natural
+# coupling (coherence rises with magnitude) is exactly what the
+# magnitude-blind walk (reference disables mag_ok,
+# /root/reference/steganosaurus/src/steganosaur.cpp:797-799) cannot fake.
+# ---------------------------------------------------------------------------
+
+
+def _annulus_curvature(img: np.ndarray, params: Params
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(rho, mag) at the walk-annulus bins: rho[(2, N)] is the discrete
+    phase curvature along the two spectral axes (angle of
+    u(k)^2 conj(u(k-dy)) conj(u(k+dy)), 0 for a locally linear phase ramp),
+    mag[(N,)] the bin magnitudes; 3 planes concatenated. Neighbors come
+    from the full grid (they need not be annulus-eligible themselves)."""
+    H, W = img.shape[:2]
+    planes = img.astype(np.float64).transpose(2, 0, 1)
+    spec = np.conj(np.fft.fft2(planes))  # reference forward convention
+    mag = np.abs(spec)
+    u = spec / np.maximum(mag, 1e-300)
+    rlo = params.rmin * min(H, W)
+    rhi = params.rmax * min(H, W)
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    r = np.hypot(yy, xx)
+    mask = (r >= rlo) & (r <= rhi) & (yy > 0) & (xx > 0)
+    if H % 2 == 0:
+        mask &= yy != H // 2
+    if W % 2 == 0:
+        mask &= xx != W // 2
+    rows = []
+    for ax in (1, 2):  # spectral y, x
+        c = u * u * np.conj(np.roll(u, 1, axis=ax)) \
+            * np.conj(np.roll(u, -1, axis=ax))
+        rows.append(np.angle(c)[:, mask].ravel())
+    return np.stack(rows), mag[:, mask].ravel()
+
+
+def joint_residual_report(img: np.ndarray, params: Params = Params(),
+                          n_bands: int = 8,
+                          cover: np.ndarray | None = None) -> dict:
+    """JOINT phase-magnitude warden statistics for one image.
+
+    Per magnitude-quantile band of the annulus population, the phase
+    coherence C = mean cos(rho) along each spectral axis (rho = discrete
+    phase curvature; C -> 0 for iid phases, C -> 1 for a locally linear
+    natural-structure ramp). Returns:
+      bands: [{mag_lo, mag_hi, n, coherence: [C_y, C_x]}] over quantiles.
+      top_coherence: max band/axis C — the COVER-SCREENING number: a
+        high-coherence cover couples phase to magnitude, and any phase
+        re-roll at its high-magnitude bins is statistically visible to a
+        warden with this cover model (doc/ATTACKS.md §2f). Near-zero
+        coherence (iid-phase covers) means there is nothing to break.
+    With a paired `cover`, adds per-band drop z-scores
+    (z = (C_cover - C_stego)/se, one per axis) and max_z — the paired
+    diagnostic; the keyless corpus protocol lives in
+    joint_residual_study."""
+    rho, mag = _annulus_curvature(img, params)
+    qs = np.quantile(mag, np.linspace(0.0, 1.0, n_bands + 1))
+    qs[-1] = np.inf
+    if cover is not None:
+        crho, cmag = _annulus_curvature(cover, params)
+        cqs = np.quantile(cmag, np.linspace(0.0, 1.0, n_bands + 1))
+        cqs[-1] = np.inf
+    bands, zs = [], []
+    for b in range(n_bands):
+        sel = (mag >= qs[b]) & (mag < qs[b + 1])
+        cos = np.cos(rho[:, sel])
+        n = int(sel.sum())
+        band = {"mag_lo": float(qs[b]),
+                "mag_hi": float(min(qs[b + 1], np.finfo(np.float64).max)),
+                "n": n,
+                "coherence": [float(c) for c in cos.mean(axis=1)]}
+        if cover is not None and n > 16:
+            csel = (cmag >= cqs[b]) & (cmag < cqs[b + 1])
+            ccos = np.cos(crho[:, csel])
+            cn = int(csel.sum())
+            se = np.sqrt(cos.var(axis=1) / n + ccos.var(axis=1) / cn)
+            z = (ccos.mean(axis=1) - cos.mean(axis=1)) / np.maximum(se,
+                                                                    1e-12)
+            band["drop_z"] = [float(v) for v in z]
+            zs.extend(band["drop_z"])
+        bands.append(band)
+    out = {
+        "bands": bands,
+        "top_coherence": float(max(max(b["coherence"]) for b in bands)),
+    }
+    if cover is not None:
+        out["max_z"] = float(max(zs)) if zs else None
+    return out
+
+
+def joint_residual_features(img: np.ndarray, params: Params = Params(),
+                            n_bands: int = 8) -> np.ndarray:
+    """(2*n_bands,)-dim feature vector for the corpus protocol: per-band
+    mean-cos phase-curvature coherence along each spectral axis."""
+    rho, mag = _annulus_curvature(img, params)
+    qs = np.quantile(mag, np.linspace(0.0, 1.0, n_bands + 1))
+    qs[-1] = np.inf
+    feats = []
+    for ax in range(2):
+        cos = np.cos(rho[ax])
+        for b in range(n_bands):
+            sel = (mag >= qs[b]) & (mag < qs[b + 1])
+            feats.append(float(cos[sel].mean()) if sel.any() else 0.0)
+    return np.array(feats, dtype=np.float64)
+
+
+def joint_residual_study(params: Params = Params(), secret_bytes: int = 240,
+                         n: int = 32, hw: tuple[int, int] = (256, 256),
+                         seed: int = 7,
+                         master_key: bytes | None = None) -> dict:
+    """Keyless corpus AUC of the joint phase-magnitude warden per cover
+    family (same-source protocol, mirrors srm_study/cross_channel_study):
+    embed a fresh secret per cover, train/evaluate a paired-CV Fisher
+    discriminant on joint_residual_features. Expected shape (measured,
+    doc/ATTACKS.md §2f): iid-phase families (gradient/texture) are blind
+    by construction — there is no coherence to break; photographs expose
+    the footprint under every mitigation because QIM/spread/jitter all
+    re-roll written phases, which is precisely what the cover model
+    detects. Unlike the §2e cross-channel warden this one is
+    WITHIN-channel: channel-independent sensor noise does not hide it."""
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+
+    mk = master_key if master_key is not None else bytes(range(32))
+    rng = np.random.default_rng(seed + 1)
+    out = {"families": {}}
+    for kind in ("gradient", "texture", "photo"):
+        covers = srm_corpus(n, hw, seed, kind=kind)
+        secrets = [bytes(rng.integers(0, 256, secret_bytes, dtype=np.uint8))
+                   for _ in range(n)]
+        salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                 for _ in range(n)]
+        res = embed_batch(covers, secrets, master_key=mk, params=params,
+                          salts=salts)
+        stegos = np.asarray(res.stego)
+        X0 = np.stack([joint_residual_features(c, params) for c in covers])
+        X1 = np.stack([joint_residual_features(s, params) for s in stegos])
+        out["families"][kind] = _paired_eval(X0, X1, folds=4, seed=0)
+    reps = out["families"].values()
+    out["max_accuracy"] = float(max(r["accuracy"] for r in reps))
+    out["max_auc"] = float(max(r["auc"] for r in reps))
+    out["params"] = {
+        "alpha": params.alpha, "jitter": params.jitter,
+        "alpha_spread": getattr(params, "alpha_spread", 0.0),
+        "qim": params.qim, "density": params.density,
+        "secret_bytes": secret_bytes,
+    }
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SRM-lite: learned spatial-residual warden (reference doc/TODO.md Tier-3
 # "Empirical Detection Testing Framework" — the last unbuilt line of that
 # roadmap). A small Spatial-Rich-Model-class detector: high-pass residuals

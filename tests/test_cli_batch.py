@@ -81,6 +81,7 @@ def test_check_mode(tmp_path, capsys):
     assert rc == 0
     assert "capacity:" in out and "psnr" in out and "chi2_z" in out
     assert "cross-channel: align_z" in out  # §2e cover screening
+    assert "joint-residual: coherence" in out  # §2f cover screening
     assert "round-trip: ok" in out
     # nothing written anywhere
     assert sorted(p.name for p in tmp_path.iterdir()) == ["cover.png"]

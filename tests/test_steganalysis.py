@@ -404,3 +404,96 @@ def test_report_phase_precompute_hooks_match():
     assert phase_histogram_report(a, phases=pa) == phase_histogram_report(a)
     assert cross_channel_report(a, cover=b, phases=pa, cover_phases=pb) \
         == cross_channel_report(a, cover=b)
+
+
+# --- Joint phase-magnitude residual warden (joint_residual_*) ---------------
+
+
+@pytest.fixture(scope="module")
+def photo_cover():
+    """A natural-photograph crop (256²) — the cover class whose local
+    spectral phase coherence the joint warden's cover model exploits
+    (doc/ATTACKS.md §2f)."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    return sa.srm_corpus(1, hw=(256, 256), seed=7, kind="photo")[0]
+
+
+def test_joint_residual_coherence_physics(photo_cover):
+    """The cover model's precondition: natural photos couple phase
+    coherence to magnitude (high-magnitude annulus bins sit on locally
+    linear phase ramps); synthetic iid-phase covers have no coherence at
+    any magnitude — the families the warden is blind to by construction."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    rp = sa.joint_residual_report(photo_cover)
+    assert rp["top_coherence"] > 0.12, rp["top_coherence"]
+    # coherence RISES with magnitude: top band beats the bottom band
+    top = max(rp["bands"][-1]["coherence"])
+    bot = max(rp["bands"][0]["coherence"])
+    assert top > bot + 0.05, (bot, top)
+    for kind in ("gradient", "texture"):
+        c = sa.srm_corpus(1, hw=(256, 256), seed=7, kind=kind)[0]
+        r = sa.joint_residual_report(c)
+        assert r["top_coherence"] < 0.10, (kind, r["top_coherence"])
+
+
+def test_joint_residual_detects_write_even_under_stealth(photo_cover):
+    """The paired diagnostic: every write mode re-rolls written-bin
+    phases while preserving magnitudes — exactly the signature the cover
+    model keys on. On a coherent cover the per-band coherence drop is
+    significant even under the full stealth profile (QIM randomizes the
+    phase too; there is no embedding knob against this warden)."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    rng = np.random.default_rng(9)
+    secret = bytes(rng.integers(0, 256, 240, dtype=np.uint8))
+    for p in (Params(), Params.stealth()):
+        res = embed_array(photo_cover, secret, master_key=bytes(range(32)),
+                          params=p)
+        r = sa.joint_residual_report(np.asarray(res.stego),
+                                     cover=photo_cover)
+        assert r["max_z"] > 3, (p.qim, r["max_z"])
+
+
+def test_joint_residual_corpus_blind_on_iid_phase_covers():
+    """The keyless corpus protocol on the gradient family (annulus content
+    is iid pixel noise -> iid bin phases): no coherence to break, so the
+    stealth profile must sit near chance. The same protocol on the photo
+    family measures AUC ~1.0 (doc/ATTACKS.md §2f); that heavy run is
+    documented, not asserted here."""
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    n = 16
+    p = Params().stealth()
+    covers = sa.srm_corpus(n, hw=(128, 128), seed=11, kind="gradient")
+    rng = np.random.default_rng(2)
+    secrets = [bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+               for _ in range(n)]
+    salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+             for _ in range(n)]
+    res = embed_batch(covers, secrets, master_key=bytes(range(32)),
+                      params=p, salts=salts)
+    stegos = np.asarray(res.stego)
+    X0 = np.stack([sa.joint_residual_features(c, p) for c in covers])
+    X1 = np.stack([sa.joint_residual_features(s, p) for s in stegos])
+    rep = sa._paired_eval(X0, X1)
+    assert rep["auc"] < 0.75, rep
+    assert rep["feature_dim"] == 16
+
+
+def test_joint_residual_features_match_report_bands():
+    """Feature vector layout contract: axis-major per-band mean-cos
+    coherences, equal to the report's band values; deterministic."""
+    from steganosaurus_tpu.utils import steganalysis as sa
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    f = sa.joint_residual_features(img)
+    g = sa.joint_residual_features(img)
+    assert f.shape == (16,) and np.array_equal(f, g)
+    r = sa.joint_residual_report(img)
+    for ax in range(2):
+        for b in range(8):
+            assert np.isclose(f[ax * 8 + b], r["bands"][b]["coherence"][ax])
