@@ -10,9 +10,22 @@ before the single final print). A SIGTERM handler additionally flushes the
 current snapshot on a best-effort basis.
 
 Stages after the headline are wall-clock-budgeted (STEGANOSAURUS_BENCH_BUDGET
-seconds, default 500): each optional stage runs only if its conservative cost
-estimate fits the remaining budget. STEGANOSAURUS_BENCH_FULL=1 ignores the
-budget and runs everything.
+seconds, default 500). The budget CLOCK STARTS AT THE HEADLINE, not at
+process start: round 4's driver record lost every post-headline field to an
+unattributed 1,734 s pre-headline tunnel stall that blew a process-start
+budget before the first gate was consulted. Pre-headline cost is recorded
+(stage_wall_s) but never charged against certification. Two gate tiers:
+
+- CORE certifications (loop, BER, PSNR/SSIM, rotating-salt, RS mode, MFU/
+  roofline, pow2-4096, 1080p, 512px) ALWAYS run — a blown budget reduces
+  their repeat counts, never skips them (a headline-only record certifies
+  almost nothing; VERDICT r4 item 1c).
+- The frontier searches stay budget-gated (open-ended probe loops).
+
+Every stage's wall time lands in the record's "stage_wall_s" map, so a
+stall is attributable from the JSON alone (stderr notes are truncated by
+the driver's tail capture). STEGANOSAURUS_BENCH_FULL=1 ignores the budget
+and runs everything at full repeats.
 
 Headline metric (BASELINE.json north star): 4K UHD (2160x3840) batched
 embed+extract with 16 KB payloads, payload recovery verified (AEAD tag)
@@ -84,6 +97,10 @@ P2_ITERS = 2
 T0 = time.perf_counter()
 BUDGET = float(os.environ.get("STEGANOSAURUS_BENCH_BUDGET", "500"))
 FULL = os.environ.get("STEGANOSAURUS_BENCH_FULL") == "1"
+# The budget clock origin. Reset to "now" when the headline measurement
+# starts (budget_clock_reset below): pre-headline environment stalls are
+# recorded but not charged against the certification stages.
+_BUDGET_T0 = T0
 
 # The evolving record. Emitted (full line, flushed) after every stage.
 RESULT: dict = {
@@ -127,11 +144,39 @@ def note(msg: str) -> None:
 
 
 def remaining() -> float:
-    return BUDGET - (time.perf_counter() - T0)
+    return BUDGET - (time.perf_counter() - _BUDGET_T0)
 
 
 def fits(estimate_s: float) -> bool:
     return FULL or remaining() >= estimate_s
+
+
+def budget_clock_reset() -> None:
+    """Start charging the stage budget from NOW (called when the headline
+    measurement begins). Whatever wall time the environment ate before
+    this point is attributed in stage_wall_s, not billed to the gates."""
+    global _BUDGET_T0
+    _BUDGET_T0 = time.perf_counter()
+
+
+class stage:
+    """Timed stage context: notes the start on stderr and records the
+    stage's wall seconds into RESULT["stage_wall_s"][name] — the in-record
+    attribution VERDICT r4 demanded (stderr notes are truncated by the
+    driver's tail capture, so a stall must be explicable from the JSON)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        note(self.name)
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        RESULT.setdefault("stage_wall_s", {})[self.name] = round(
+            time.perf_counter() - self.t0, 1)
+        return False
 
 
 def dist_record(samples: list[float]) -> dict:
@@ -523,15 +568,16 @@ def main():
     # The C++ walk expander is a build artifact; without it the fresh-key
     # turtle expansion silently runs in pure Python (~1000x slower) and
     # poisons the first measured step.
-    _native_loader.ensure_built()
-    note("native lib ready")
+    with stage("native_build"):
+        _native_loader.ensure_built()
     master_key = bytes(range(32))
     key_b64 = base64.b64encode(master_key).decode()
 
     # Baseline first: tracked-file read is instant; a live measurement is
     # allowed only when the budget safely covers ~4 min of C++ plus the
     # headline (i.e. effectively only under STEGANOSAURUS_BENCH_FULL).
-    ref = reference_baselines(key_b64, allow_measure=fits(600))
+    with stage("reference_baseline"):
+        ref = reference_baselines(key_b64, allow_measure=fits(600))
     ref_4096_ips = (1.0 / ref["spi_4096"]) if ref["measured"] else None
 
     # ---- provisional insurance record ----
@@ -543,12 +589,12 @@ def main():
     # real measured throughput; the certified UHD headline overwrites it.
     if not FULL:
         try:
-            note("provisional 512px insurance record")
-            prov = Workload(SMALL, SMALL, 8, SMALL_SECRET, master_key)
-            prov.step()  # compile (persistent-cache warm) + recovery assert
-            t0p = time.perf_counter()
-            prov.step()
-            prov_ips = 8.0 / (time.perf_counter() - t0p)
+            with stage("provisional_512px"):
+                prov = Workload(SMALL, SMALL, 8, SMALL_SECRET, master_key)
+                prov.step()  # compile (cache-warm) + recovery assert
+                t0p = time.perf_counter()
+                prov.step()
+                prov_ips = 8.0 / (time.perf_counter() - t0p)
             RESULT.update({
                 "metric": "provisional_512px_loop_images_per_sec",
                 "value": round(prov_ips, 3),
@@ -560,26 +606,37 @@ def main():
             note(f"provisional record failed: {e}")
 
     # ---- HEADLINE: 4K UHD pipelined stream, fixed known-verified salts ----
-    note("building UHD workload (covers + upload)")
-    uhd = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
-                   covers_base=make_covers(UHD_BASE_BATCH, UHD_H, UHD_W),
-                   # measured: all 64 (cover, salt) pairs recover raw
-                   salts=[bytes([i % 256, i // 256]) * 8
-                          for i in range(UHD_BATCH)])
-    note("warmup step (compile + correctness)")
-    stego_d = uhd.step()  # warmup + compile + correctness (asserts recovery)
-    note("warmup done; measuring headline stream")
-    # 3 samples (budget-gated after the first), headline = median: one
-    # stream sample per round conflates the pipeline with the tunnel
-    # window's mood (VERDICT r3 item 1 — every throughput metric carries
-    # median + spread).
+    with stage("uhd_build_upload"):
+        uhd = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
+                       covers_base=make_covers(UHD_BASE_BATCH, UHD_H, UHD_W),
+                       # measured: all 64 (cover, salt) pairs recover raw
+                       salts=[bytes([i % 256, i // 256]) * 8
+                              for i in range(UHD_BATCH)])
+    with stage("uhd_warmup_step"):
+        stego_d = uhd.step()  # warmup + compile + correctness (recovery
+        #                       asserted inside)
+    # Everything before this line is environment/setup cost — attribute it
+    # (stage_wall_s) but do not bill it: the certification stages below
+    # must run even after a multi-minute pre-headline tunnel stall
+    # (VERDICT r4 items 1b/1c — r04 lost all post-headline fields to one).
+    budget_clock_reset()
+    RESULT["pre_headline_wall_s"] = round(time.perf_counter() - T0, 1)
+    # 3 samples ALWAYS (headline = median): one stream sample per round
+    # conflates the pipeline with the tunnel window's mood, and r04's
+    # budget-shared gate broke the loop after one sample. The only escape
+    # is a catastrophic window (a sample slower than 180 s — at that point
+    # more samples measure the stall, not the pipeline).
     hd_samples = []
-    for j in range(3):
-        uhd_ips, rec = uhd.stream_ips(UHD_ITERS)
-        assert rec == 1.0, "headline recovery failed"
-        hd_samples.append(uhd_ips)
-        if not fits(2.2 * UHD_BATCH * UHD_ITERS / uhd_ips):
-            break
+    with stage("headline_stream_x3"):
+        for j in range(3):
+            t_s = time.perf_counter()
+            uhd_ips, rec = uhd.stream_ips(UHD_ITERS)
+            assert rec == 1.0, "headline recovery failed"
+            hd_samples.append(uhd_ips)
+            if not FULL and time.perf_counter() - t_s > 180 and j < 2:
+                RESULT["headline_samples_truncated"] = (
+                    f"sample {j + 1} exceeded 180s (stalled window)")
+                break
     uhd_ips = float(np.median(hd_samples))
     RESULT.pop("provisional", None)
     RESULT.update({
@@ -610,15 +667,20 @@ def main():
     })
     emit()  # certified headline is on stdout from this point on
 
+    # ---- CORE certifications: never skipped (VERDICT r4 item 1c — a
+    # headline-only record is round 2's failure mode). A blown budget
+    # reduces repeat counts below, not coverage. ----
+
     # ---- serialized loop (latency-shaped secondary) ----
-    note("headline emitted")
-    if fits(40):
-        RESULT["loop_images_per_sec"] = round(uhd.loop_ips(UHD_ITERS), 3)
-        note("loop measured")
-        emit()
+    with stage("loop"):
+        try:
+            RESULT["loop_images_per_sec"] = round(uhd.loop_ips(UHD_ITERS), 3)
+        except Exception as e:  # noqa: BLE001 — a failed extra must not
+            RESULT["loop_error"] = f"{type(e).__name__}: {e}"  # kill the rec
+    emit()
 
     # ---- channel quality: BER on the final stego batch ----
-    if fits(45):
+    with stage("ber"):
         try:
             ber = uhd.ber(stego_d)
             RESULT.update({
@@ -626,21 +688,19 @@ def main():
                 "payload_ber_post_ecc": round(ber["payload_ber_post_ecc"], 6),
                 "header_ber_raw": round(ber["header_ber_raw"], 6),
             })
-        except Exception as e:  # noqa: BLE001 — a failed extra must not
-            RESULT["ber_error"] = f"{type(e).__name__}: {e}"  # kill the record
-        note("BER measured")
-        emit()
+        except Exception as e:  # noqa: BLE001
+            RESULT["ber_error"] = f"{type(e).__name__}: {e}"
+    emit()
 
     # ---- PSNR/SSIM of the headline stego batch ----
-    if fits(60):
+    with stage("psnr_ssim"):
         try:
             psnr, ssim = uhd.quality(stego_d)
             RESULT["stego_psnr_db"] = round(psnr, 2)
             RESULT["stego_ssim"] = round(ssim, 4)
         except Exception as e:  # noqa: BLE001
             RESULT["quality_error"] = f"{type(e).__name__}: {e}"
-        note("PSNR/SSIM measured")
-        emit()
+    emit()
 
     # ---- rotating-salt stream (honesty variant: fresh AEAD every batch).
     # Repeated up to 5x (budget-gated per repeat) and recorded as a
@@ -651,10 +711,12 @@ def main():
     # carries {median,min,max,n} and n_windows=1 says plainly that one
     # bench run samples ONE tunnel window — cross-window spread lives in
     # the per-round BENCH_r*.json series. ----
-    if fits(30):
+    with stage("rotating_salt"):
         try:
             rot_samples, rot_recs = [], []
             for j in range(5):
+                # core stage: the FIRST sample always runs; repeats 2-5
+                # are budget-gated (a blown budget reduces n, never to 0)
                 if j and not fits(25):
                     break
                 rot_ips, rot_rec = uhd.stream_ips(
@@ -673,8 +735,7 @@ def main():
                 min(rot_samples) >= 100.0)
         except Exception as e:  # noqa: BLE001
             RESULT["rotating_salt_error"] = f"{type(e).__name__}: {e}"
-        note("rotating-salt measured")
-        emit()
+    emit()
 
     # ---- RS wire mode on the headline workload (Params.rs: interleaved
     # RS(255,223) payload FEC, ops/rs.py). Same 4K/B=64/16 KB job, ~6.1x
@@ -690,18 +751,18 @@ def main():
     # working set is freed in `finally`, before the frontier stages
     # (holding covers+stego+RS spectra+frontier covers together
     # RESOURCE_EXHAUSTEDs the 16 GB chip — measured 2026-08-18). ----
-    if fits(90):
+    with stage("rs_wire_mode"):
         rsw = rs_stego = None
         try:
             from steganosaurus_tpu.config import Params
 
-            note("RS wire-mode workload (shared UHD covers)")
             rsw = Workload(UHD_H, UHD_W, UHD_BATCH, UHD_SECRET, master_key,
                            salts=uhd.salts, covers_d=uhd.covers_d,
                            params=Params(rs=True))
             rs_stego = rsw.step()  # compile + recovery assert
             rs_samples, rs_recs = [], []
             for j in range(5):
+                # core stage: first sample unconditional, repeats gated
                 if j and not fits(10):
                     break
                 rs_ips, rs_rec = rsw.stream_ips(UHD_ITERS)
@@ -721,15 +782,14 @@ def main():
             RESULT["rs_mode_error"] = f"{type(e).__name__}: {e}"
         finally:
             rsw = rs_stego = None
-        note("RS wire mode measured")
-        emit()
+    emit()
 
     # ---- MFU / roofline accounting (VERDICT r3 item 2): compiler-counted
     # FLOPs and HBM bytes of the EXACT dispatched headline modules
     # (utils/cost.py lowers the same lru-cached builders the pipeline
     # uses), over result-pull-fenced device-step wall time; host-link
     # traffic vs a measured (tunnel) link ceiling. ----
-    if fits(90):
+    with stage("mfu_roofline"):
         try:
             from steganosaurus_tpu.utils import cost as cost_mod
             from steganosaurus_tpu.utils.metrics import (
@@ -778,8 +838,7 @@ def main():
             })
         except Exception as e:  # noqa: BLE001
             RESULT["mfu_error"] = f"{type(e).__name__}: {e}"
-        note("MFU/roofline measured")
-        emit()
+    emit()
 
     # Free the 4K working set (covers 1.6 GB + stego 1.6 GB + jitted
     # closures) before the frontier/secondary stages allocate theirs.
@@ -793,21 +852,22 @@ def main():
         standalone re-runs could not reproduce; never record null without
         either evidence or a retry)."""
         if not fits(est):
+            RESULT.setdefault("stage_wall_s", {})[key] = "skipped (budget)"
             return
-        try:
-            note(f"{key} frontier search")
-            out = psnr_frontier(master_key, **kw)
-            for _ in range(retries):
-                if out is not None or not fits(est):
-                    break
-                note(f"{key} retry; diag={LAST_FRONTIER_DIAG}")
+        with stage(key):
+            try:
                 out = psnr_frontier(master_key, **kw)
-            RESULT[key] = out
-            if out is None and LAST_FRONTIER_DIAG:
-                RESULT[key + "_diag"] = list(LAST_FRONTIER_DIAG)
-        except Exception as e:  # noqa: BLE001
-            RESULT[key.replace("_config", "_error")] = (
-                f"{type(e).__name__}: {e}")
+                for _ in range(retries):
+                    if out is not None or not fits(est):
+                        break
+                    note(f"{key} retry; diag={LAST_FRONTIER_DIAG}")
+                    out = psnr_frontier(master_key, **kw)
+                RESULT[key] = out
+                if out is None and LAST_FRONTIER_DIAG:
+                    RESULT[key + "_diag"] = list(LAST_FRONTIER_DIAG)
+            except Exception as e:  # noqa: BLE001
+                RESULT[key.replace("_config", "_error")] = (
+                    f"{type(e).__name__}: {e}")
         emit()
 
     # ---- QIM frontier (params.qim: dithered phase QIM payload write,
@@ -836,52 +896,62 @@ def main():
     # uploads) are dead weight for the remaining workloads — free them.
     _FRONTIER_COVERS.clear()
 
-    # ---- identical workload to the reference baseline (4096^2, 2 KB) ----
-    if fits(90):
+    # ---- identical workload to the reference baseline (4096^2, 2 KB):
+    # core — the apples-to-apples vs_baseline_same_size ratio must not
+    # fall out of the record again (VERDICT r4 item 7) ----
+    with stage("pow2_4096"):
         p2 = None
         try:
-            note("pow2 4096 workload")
             p2 = Workload(P2_N, P2_N, P2_BATCH, P2_SECRET, master_key)
             p2.step()
-            p2_ips, _ = p2.stream_ips(P2_ITERS)
-            RESULT["pow2_4096_images_per_sec"] = round(p2_ips, 3)
+            p2_samples = [p2.stream_ips(P2_ITERS)[0]
+                          for _ in range(3 if fits(60) else 1)]
+            RESULT["pow2_4096_images_per_sec"] = dist_record(
+                p2_samples)["median"]
+            RESULT["pow2_4096_images_per_sec_dist"] = dist_record(p2_samples)
             RESULT["vs_baseline_same_size"] = (
-                round(p2_ips / ref_4096_ips, 1) if ref_4096_ips else None)
+                round(RESULT["pow2_4096_images_per_sec"] / ref_4096_ips, 1)
+                if ref_4096_ips else None)
         except Exception as e:  # noqa: BLE001
             RESULT["pow2_error"] = f"{type(e).__name__}: {e}"
         finally:
             p2 = None
-        emit()
+    emit()
 
-    # ---- 1080p tertiary (BASELINE config 2) ----
-    if fits(60):
+    # ---- 1080p tertiary (BASELINE config 2): core ----
+    with stage("fhd_1080p"):
         fhd = sd = None
         try:
-            note("1080p workload")
             fhd = Workload(FHD_H, FHD_W, FHD_BATCH, FHD_SECRET, master_key)
             sd = fhd.step()
-            fhd_ips, _ = fhd.stream_ips(FHD_ITERS)
-            RESULT["fhd_1080p_images_per_sec"] = round(fhd_ips, 3)
+            fhd_samples = [fhd.stream_ips(FHD_ITERS)[0]
+                           for _ in range(3 if fits(45) else 1)]
+            RESULT["fhd_1080p_images_per_sec"] = dist_record(
+                fhd_samples)["median"]
+            RESULT["fhd_1080p_images_per_sec_dist"] = dist_record(fhd_samples)
             RESULT["fhd_1080p_psnr_db"] = round(fhd.quality(sd)[0], 2)
         except Exception as e:  # noqa: BLE001
             RESULT["fhd_error"] = f"{type(e).__name__}: {e}"
         finally:
             fhd = sd = None
-        emit()
+    emit()
 
     # ---- 512px secondary (continuity with earlier rounds; serialized-loop
     # semantic — at 0.3 ms/img of device work the stream's per-batch yield
-    # overhead dominates and the loop is the better number) ----
-    if fits(45):
+    # overhead dominates and the loop is the better number): core ----
+    with stage("secondary_512px"):
         try:
-            note("512px workload")
             small = Workload(SMALL, SMALL, SMALL_BATCH, SMALL_SECRET,
                              master_key)
             sd = small.step()
-            small_ips = small.loop_ips(SMALL_ITERS)
+            small_samples = [small.loop_ips(SMALL_ITERS)
+                             for _ in range(3 if fits(30) else 1)]
+            small_ips = dist_record(small_samples)["median"]
             spsnr, sssim = small.quality(sd)
             RESULT.update({
-                "secondary_512px_images_per_sec": round(small_ips, 3),
+                "secondary_512px_images_per_sec": small_ips,
+                "secondary_512px_images_per_sec_dist": dist_record(
+                    small_samples),
                 "secondary_512px_vs_baseline": (
                     round(small_ips * ref["spi_512"], 2)
                     if ref["measured"] else None),
@@ -892,7 +962,7 @@ def main():
             })
         except Exception as e:  # noqa: BLE001
             RESULT["small_error"] = f"{type(e).__name__}: {e}"
-        emit()
+    emit()
 
     # ---- cross-window evidence: each round's BENCH_r*.json was a
     # different tunnel window (and possibly a different implementation —
@@ -907,14 +977,20 @@ def main():
 def round_history() -> dict:
     """Per-round values of the key throughput metrics from the driver's
     BENCH_r*.json series (parsed record when intact, regex over the tail
-    otherwise — old tails are head-truncated)."""
+    otherwise — old tails are head-truncated). Every round key is PRESENT
+    for every metric: a round whose record lacks the metric carries an
+    explicit "absent" marker instead of a silently-missing key, so a
+    budget-starved round reads as a gap, not as no-history (VERDICT r4
+    item 8)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     metrics = ("value", "rotating_salt_images_per_sec",
                "rs_mode_images_per_sec", "loop_images_per_sec",
-               "pow2_4096_images_per_sec")
+               "pow2_4096_images_per_sec", "fhd_1080p_images_per_sec",
+               "secondary_512px_images_per_sec", "mfu_pct",
+               "payload_ber_post_ecc", "stego_psnr_db")
     hist: dict = {m: {} for m in metrics}
     for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         rnd = os.path.basename(f)[len("BENCH_"):-len(".json")]
@@ -922,6 +998,8 @@ def round_history() -> dict:
             with open(f) as fh:
                 rec = json.load(fh)
         except (OSError, ValueError):
+            for m in metrics:
+                hist[m][rnd] = "absent (unreadable record)"
             continue
         parsed = rec.get("parsed")
         tail = rec.get("tail", "") or ""
@@ -930,10 +1008,9 @@ def round_history() -> dict:
             if v is None:
                 got = re.findall(rf'"{m}": ([0-9.]+)', tail)
                 v = float(got[-1]) if got else None
-            if isinstance(v, (int, float)):
-                hist[m][rnd] = v
-    # drop metrics with no history at all
-    return {m: rs for m, rs in hist.items() if rs}
+            hist[m][rnd] = (v if isinstance(v, (int, float))
+                            else "absent (not in round record)")
+    return hist
 
 
 def main_with_retry():

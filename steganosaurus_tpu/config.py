@@ -64,6 +64,11 @@ class Params:
     # the write is already above the floor, leaving all certified configs
     # bit-identical. Trade-off: boosted bins are a magnitude spike a
     # warden can see — doc/ATTACKS.md; 0 disables (restores the erasure).
+    # Default-on CONFIRMED deliberate (round-5 review of the round-4
+    # advisor's flag): b == 1 above the floor, so the only embeds whose
+    # bytes change are ones that previously produced an undecodable stego
+    # (read-back BER ~0.45) — "embed yields a decodable stego" outranks
+    # marginal-regime stealth as the default; stealth-first configs set 0.
     write_floor: float = 0.45
     # Salt-keyed per-image payload walks: the 38-byte header embeds on the
     # shared salt-independent walk prefix (it must stay locatable before the

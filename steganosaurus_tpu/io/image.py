@@ -30,12 +30,23 @@ def _decode_png_fast(data: bytes) -> np.ndarray | None:
         return None  # not plain 8-bit RGB
     if h == 0 or w == 0 or h * w > (1 << 28):
         return None  # absurd declared dims: let PIL's bomb guard decide
+    # CRC-check the chunks this path consumes (IHDR + every IDAT) so a
+    # bit-corrupted file fails here exactly as it would under PIL, instead
+    # of silently decoding to wrong pixels (round-4 advisor finding).
+    # zlib.crc32 runs ~GB/s — noise next to the inflate below.
+    if zlib.crc32(data[12:29]) != struct.unpack(">I", data[29:33])[0]:
+        return None
     idat, pos = [], 8
     while pos + 8 <= len(data):
         (ln,), typ = struct.unpack(">I", data[pos:pos + 4]), \
             data[pos + 4:pos + 8]
         if typ == b"IDAT":
-            idat.append(data[pos + 8:pos + 8 + ln])
+            body = data[pos + 8:pos + 8 + ln]
+            if (len(body) != ln or pos + 12 + ln > len(data)
+                    or zlib.crc32(typ + body) != struct.unpack(
+                        ">I", data[pos + 8 + ln:pos + 12 + ln])[0]):
+                return None  # truncated or corrupted IDAT
+            idat.append(body)
         elif typ == b"IEND":
             break
         elif typ in (b"tRNS", b"acTL"):  # transparency/APNG: punt to PIL

@@ -18,6 +18,11 @@ serving class. Requests:
   {"op": "ping"}
   {"op": "embed",   "in": P, "out": P2, "secret": S | "secret_b64": B}
   {"op": "extract", "in": P2}
+  (raw-tensor mode: "in_npy"/"out_npy" — (H, W, 3) uint8 .npy paths —
+   replace "in"/"out" on the single ops; callers that already hold
+   pixels write the .npy to /dev/shm and skip the PNG codec entirely,
+   which dominates warm single-op 4K latency. "out" and "out_npy" may
+   be given together to get both encodings.)
   {"op": "embed_batch",   "jobs": [{"in":..., "out":...,
                                     "secret"|"secret_b64":...}, ...]}
   {"op": "extract_batch", "ins": [P, ...] [, "clen_hint": N]}
@@ -65,6 +70,35 @@ def _load(path: str):
         raise StegoError(f"Failed to load {path}") from e
 
 
+def _load_npy(path: str):
+    """Raw-tensor ingest: an (H, W, 3) uint8 .npy file (callers that
+    already hold pixels write one to /dev/shm — a memcpy, not a codec).
+    This is the PNG-free serving path: at warm 4K the PNG decode+encode
+    pair is the majority of single-op latency (doc/PAPER.md §5b)."""
+    import numpy as np
+
+    try:
+        arr = np.load(path)
+    except Exception as e:
+        raise StegoError(f"Failed to load npy {path}") from e
+    if not (isinstance(arr, np.ndarray) and arr.dtype == np.uint8
+            and arr.ndim == 3 and arr.shape[2] == 3):
+        raise StegoError(
+            f"npy {path} must be (H, W, 3) uint8, got "
+            f"{getattr(arr, 'dtype', '?')} {getattr(arr, 'shape', '?')}")
+    return arr
+
+
+def _load_req(req: dict):
+    """Resolve a request's input image: 'in_npy' (raw tensor) wins over
+    'in' (any PIL-supported image file)."""
+    if req.get("in_npy"):
+        return _load_npy(req["in_npy"])
+    if req.get("in"):
+        return _load(req["in"])
+    raise StegoError("request needs 'in' or 'in_npy'")
+
+
 def _clen_of(secret_len: int, params) -> int:
     """On-wire ciphertext length for a secret of this size under the
     worker's params (the padded length when pad_quantum is on)."""
@@ -80,8 +114,10 @@ def _do_embed(req: dict, password, mk, params, hints: dict) -> dict:
 
     from steganosaurus_tpu.io import image as image_io
 
+    if not (req.get("out") or req.get("out_npy")):
+        raise StegoError("embed request needs 'out' or 'out_npy'")
     secret = _secret_of(req)
-    cover = _load(req["in"])
+    cover = _load_req(req)
     if params.cover_dependent_path:
         # Per-image cover-hash walks are per-image by contract: the batch
         # path rejects them (pipeline/batch.py embed_batch), so this
@@ -117,28 +153,40 @@ def _do_embed(req: dict, password, mk, params, hints: dict) -> dict:
             raise StegoError("verify failed")
         stego = np.asarray(res.stego)[0]
         bits, payload = int(res.written_bits[0]), int(res.payload_bytes[0])
-    image_io.save_png(req["out"], stego)
+    out: dict = {"bits": bits, "payload_bytes": payload}
+    if req.get("out_npy"):
+        np.save(req["out_npy"], stego)
+        out["out_npy"] = req["out_npy"]
+    if req.get("out"):
+        image_io.save_png(req["out"], stego)
+        out["out"] = req["out"]
     # The worker's serving class usually has one payload size; remember
     # it so subsequent single extracts ride the one-pass hinted path.
     hints["clen"] = _clen_of(len(secret), params)
-    return {"out": req["out"], "bits": bits, "payload_bytes": payload}
+    return out
 
 
 def _hint_int(hint) -> int | None:
-    """Validate a client-supplied clen hint: int or None, never a crash
-    (serve_loop's never-raise contract covers malformed request fields)."""
+    """Validate a client-supplied clen hint: positive int or None, never a
+    crash (serve_loop's never-raise contract covers malformed request
+    fields). Non-positive hints are rejected rather than coerced — a
+    negative clen would flow into _ExtractJob geometry and dispatch
+    nonsense shapes (round-4 advisor finding)."""
     if hint is None:
         return None
     try:
-        return int(hint)
+        hint = int(hint)
     except (TypeError, ValueError) as e:
         raise StegoError(f"bad clen_hint: {hint!r}") from e
+    if hint <= 0:
+        raise StegoError(f"bad clen_hint: {hint} (must be positive)")
+    return hint
 
 
 def _do_extract(req: dict, password, mk, params, hints: dict) -> dict:
     from steganosaurus_tpu.pipeline.extract import extract_array
 
-    img = _load(req["in"])
+    img = _load_req(req)
     hint = _hint_int(req.get("clen_hint", hints.get("clen")))
     secret = None
     # cover_dependent_path walks are per-image by contract — extract_batch
@@ -193,40 +241,50 @@ def _do_embed_batch(req: dict, password, mk, params, hints: dict) -> dict:
     jobs = req.get("jobs") or []
     if not jobs:
         raise StegoError("embed_batch request needs non-empty 'jobs'")
+    # Jobs are keyed by INDEX, not input path: two jobs may legally share
+    # a cover path with different secrets/outputs (round-4 advisor finding
+    # — path keying silently dropped all but the last such job). The
+    # preflight probe is still cached per path.
     all_paths = [j["in"] for j in jobs]
-    by_in = {j["in"]: j for j in jobs}
-    paths, results = _preflight(all_paths)
-    results.update({p: {"ok": False, "error": "not processed"}
-                    for p in paths})
+    good_paths, bad = _preflight(sorted(set(all_paths)))
+    goodset = set(good_paths)
+    results: list = [dict(bad[p], **{"in": p}) if p in bad
+                     else {"ok": False, "in": p, "error": "not processed"}
+                     for p in all_paths]
+    idxs = [i for i, p in enumerate(all_paths) if p in goodset]
 
     def batches():
-        for got_paths, covers in stream.load_rgb_batches(paths, 32):
-            batches.q.append(got_paths)
-            yield covers, [_secret_of(by_in[p]) for p in got_paths]
+        pos = 0
+        for got_paths, covers in stream.load_rgb_batches(
+                [all_paths[i] for i in idxs], 32):
+            got = idxs[pos:pos + len(got_paths)]
+            pos += len(got_paths)
+            batches.q.append(got)
+            yield covers, [_secret_of(jobs[i]) for i in got]
 
     batches.q = []
     for res in stream.embed_stream(batches(), password=password,
                                    master_key=mk, params=params,
                                    verify=bool(req.get("verify", False))):
-        got_paths = batches.q.pop(0)
+        got = batches.q.pop(0)
         stego = np.asarray(res.stego)
-        for j, p in enumerate(got_paths):
+        for j, i in enumerate(got):
+            p = all_paths[i]
             if req.get("verify") and not res.verified[j]:
-                results[p] = {"ok": False, "in": p,
+                results[i] = {"ok": False, "in": p,
                               "error": "verify failed"}
                 continue
-            out = by_in[p]["out"]
+            out = jobs[i]["out"]
             image_io.save_png(out, stego[j])
-            results[p] = {"ok": True, "in": p, "out": out,
+            results[i] = {"ok": True, "in": p, "out": out,
                           "bits": int(res.written_bits[j])}
-    ordered = [results[p] for p in all_paths]
-    if paths:
+    if idxs:
         # oversized hints are bucket-covered and safe; undersized ones
         # cost a second pass — learn the largest payload in the batch
-        hints["clen"] = max(_clen_of(len(_secret_of(by_in[p])), params)
-                            for p in paths)
-    return {"results": ordered,
-            "n_ok": sum(1 for r in ordered if r["ok"])}
+        hints["clen"] = max(_clen_of(len(_secret_of(jobs[i])), params)
+                            for i in idxs)
+    return {"results": results,
+            "n_ok": sum(1 for r in results if r["ok"])}
 
 
 def _do_extract_batch(req: dict, password, mk, params,
@@ -411,8 +469,20 @@ def serve_loop(password, mk, params, stdin=None, stdout=None,
             reply({"ok": ok, "op": op,
                    **({"id": rid} if rid is not None else {}), **out,
                    "ms": round(ms, 1)})
-        except (StegoError, ValueError, KeyError, TypeError, OSError) as e:
+        except Exception as e:  # noqa: BLE001 — never-raise contract
+            # The worker must survive ANY per-request failure, including
+            # JAX/XLA RuntimeErrors (e.g. transient RESOURCE_EXHAUSTED from
+            # the tunneled runtime — bench.py retries the same class). The
+            # expected types (StegoError/ValueError/...) are normal bad-
+            # request traffic; anything else gets a traceback on stderr so
+            # operator logs can distinguish a bug from a bad request.
             ms = 1e3 * (time.perf_counter() - t0)
+            if not isinstance(e, (StegoError, ValueError, KeyError,
+                                  TypeError, OSError)):
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+                sys.stderr.flush()
             if op is not None:
                 stats.setdefault(op, _OpStats()).record(ms, False, 0)
             reply({"ok": False,

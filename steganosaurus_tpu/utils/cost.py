@@ -186,7 +186,12 @@ def measure_link(nbytes: int = 1 << 27, reps: int = 2) -> dict:
     for _ in range(reps):
         t0 = time.perf_counter()
         d = jax.device_put(buf)
-        d.block_until_ready()
+        # block_until_ready returns at dispatch on the tunneled runtime
+        # (see _sync below) — fence the upload with a one-element data-
+        # dependent pull so the timer covers the actual transfer, not the
+        # enqueue (round-4 advisor finding: the dispatch-time stop was
+        # overstating up_bytes_per_sec and understating link_utilization).
+        np.asarray(d[:1])
         up = max(up, nbytes / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         np.asarray(d)

@@ -32,13 +32,67 @@ def test_make_covers_deterministic_and_cached(tmp_path, monkeypatch):
 def test_fits_budget_and_full_override(monkeypatch):
     import time
 
-    monkeypatch.setattr(bench, "T0", time.perf_counter() - 100.0)
+    monkeypatch.setattr(bench, "_BUDGET_T0", time.perf_counter() - 100.0)
     monkeypatch.setattr(bench, "BUDGET", 120.0)
     monkeypatch.setattr(bench, "FULL", False)
     assert bench.fits(10)          # 10 <= ~20 remaining
     assert not bench.fits(50)      # 50 > remaining
     monkeypatch.setattr(bench, "FULL", True)
     assert bench.fits(10**9)       # FULL ignores the budget
+
+
+def test_budget_clock_reset_forgives_pre_headline_stall(monkeypatch):
+    """r04's failure mode: a pre-headline stall blew the shared budget and
+    every post-headline gate skipped. The clock reset makes gate decisions
+    independent of pre-headline wall time."""
+    import time
+
+    monkeypatch.setattr(bench, "BUDGET", 120.0)
+    monkeypatch.setattr(bench, "FULL", False)
+    # simulate a 1,734 s stall before the headline
+    monkeypatch.setattr(bench, "_BUDGET_T0", time.perf_counter() - 1734.0)
+    assert not bench.fits(10)
+    bench.budget_clock_reset()
+    try:
+        assert bench.fits(10)      # post-reset: full budget available
+        assert not bench.fits(10**9)
+    finally:
+        bench._BUDGET_T0 = bench.T0
+
+
+def test_stage_records_wall_time(monkeypatch):
+    monkeypatch.setitem(bench.RESULT, "stage_wall_s", {})
+    with bench.stage("unit_test_stage"):
+        pass
+    got = bench.RESULT["stage_wall_s"]["unit_test_stage"]
+    assert isinstance(got, float) and got >= 0.0
+    bench.RESULT.pop("stage_wall_s", None)
+
+
+def test_round_history_marks_absent_rounds(tmp_path, monkeypatch):
+    """Every round key present per metric — a thin record reads as an
+    explicit absence, never a silently-missing key (VERDICT r4 item 8)."""
+    import os
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"parsed": {"value": 100.0, "rotating_salt_images_per_sec": 90.0}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"parsed": {"value": 120.0}, "tail": ""}))  # thin record
+    real_dirname = os.path.dirname
+
+    def fake_dirname(p):
+        return str(tmp_path) if p == os.path.abspath(bench.__file__) \
+            else real_dirname(p)
+
+    monkeypatch.setattr(bench.os.path, "dirname", fake_dirname)
+    hist = bench.round_history()
+    assert hist["value"] == {"r01": 100.0, "r02": 120.0}
+    assert hist["rotating_salt_images_per_sec"]["r01"] == 90.0
+    assert hist["rotating_salt_images_per_sec"]["r02"] \
+        == "absent (not in round record)"
+    # every metric carries every round key
+    for m, per_round in hist.items():
+        assert set(per_round) == {"r01", "r02"}, m
 
 
 def test_emit_is_incremental_superset(capsys, monkeypatch):

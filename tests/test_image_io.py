@@ -107,3 +107,24 @@ def test_fast_decode_bounds_zlib_bomb():
     data2 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", huge)
              + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b""))
     assert _decode_png_fast(data2) is None
+
+
+def test_fast_decode_rejects_corrupted_crc():
+    """A bit-corrupted None/Up RGB PNG must NOT decode silently to wrong
+    pixels on the fast path (round-4 advisor finding): the chunk CRC check
+    bounces it to None so load semantics match PIL's strictness."""
+    from steganosaurus_tpu.io.image import _decode_png_fast, encode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    data = encode_png(img)
+    assert np.array_equal(_decode_png_fast(data), img)
+    # flip one bit inside the IDAT payload (after the 8-byte sig + 25-byte
+    # IHDR chunk + 8-byte IDAT header)
+    corrupt = bytearray(data)
+    corrupt[8 + 25 + 8 + 5] ^= 0x10
+    assert _decode_png_fast(bytes(corrupt)) is None
+    # corrupt the IHDR CRC itself
+    corrupt = bytearray(data)
+    corrupt[30] ^= 0x01
+    assert _decode_png_fast(bytes(corrupt)) is None

@@ -290,3 +290,98 @@ def test_warmup_specs_validated_at_parse_and_runtime():
     assert ok is not None and ok.warmup == [(64, 48, 16)]
     with pytest.raises(StegoError):
         _warmup_shape(-1, 64, 6, None, MK, P)
+
+
+def test_serve_rejects_nonpositive_hint(tmp_path):
+    """clen_hint <= 0 must be rejected as a bad request (round-4 advisor:
+    a negative clen flowed into extract geometry), never dispatched."""
+    cov = _cover(tmp_path, "c.png", seed=71)
+    out = str(tmp_path / "s.png")
+    rc, rs = run_serve([
+        {"op": "embed", "in": cov, "out": out, "secret": "hi"},
+        {"op": "extract", "in": out, "clen_hint": 0},
+        {"op": "extract", "in": out, "clen_hint": -5},
+        {"op": "extract_batch", "ins": [out], "clen_hint": -4096},
+        {"op": "ping"},
+    ])
+    assert rc == 0
+    for r in rs[1:4]:
+        assert not r["ok"] and "clen_hint" in r["error"], r
+    assert rs[4]["ok"]
+
+
+def test_serve_survives_unexpected_runtime_error(tmp_path, monkeypatch,
+                                                 capsys):
+    """The never-raise contract covers ANY exception type — a transient
+    XLA RuntimeError (round-4 advisor medium) becomes one ok:false reply
+    with a stderr traceback, not a dead worker."""
+    import steganosaurus_tpu.pipeline.serve as serve_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: transient device hiccup")
+
+    monkeypatch.setattr(serve_mod, "_do_embed", boom)
+    cov = _cover(tmp_path, "c.png", seed=72)
+    rc, rs = run_serve([
+        {"op": "embed", "in": cov, "out": str(tmp_path / "s.png"),
+         "secret": "x", "id": 1},
+        {"op": "ping", "id": 2},
+    ])
+    assert rc == 0
+    assert not rs[0]["ok"] and "RESOURCE_EXHAUSTED" in rs[0]["error"]
+    assert rs[1]["ok"] and rs[1]["op"] == "ping"
+    assert "RuntimeError" in capsys.readouterr().err  # operator traceback
+
+
+def test_serve_embed_batch_duplicate_cover_paths(tmp_path):
+    """Two jobs sharing one cover path are distinct jobs (round-4 advisor:
+    path-keyed results silently dropped all but the last)."""
+    cov = _cover(tmp_path, "c.png", seed=73)
+    outs = [str(tmp_path / f"s{i}.png") for i in range(2)]
+    rc, rs = run_serve([
+        {"op": "embed_batch", "jobs": [
+            {"in": cov, "out": outs[0], "secret": "first secret"},
+            {"in": cov, "out": outs[1], "secret": "second secret"}]},
+        {"op": "extract_batch", "ins": outs},
+    ])
+    assert rc == 0
+    assert rs[0]["ok"] and rs[0]["n_ok"] == 2
+    assert [r["out"] for r in rs[0]["results"]] == outs
+    got = [base64.b64decode(r["secret_b64"]) for r in rs[1]["results"]]
+    assert got == [b"first secret", b"second secret"]
+
+
+def test_serve_raw_npy_mode_roundtrip(tmp_path):
+    """PNG-free serving: in_npy/out_npy carry raw (H, W, 3) u8 tensors,
+    skipping both PNG codecs; out + out_npy may be combined; malformed
+    npy inputs are rejected as bad requests."""
+    rng = np.random.default_rng(74)
+    base = np.linspace(160, 220, 128)[None, :, None]
+    cover = np.clip(base + rng.integers(-15, 16, (128, 128, 3)),
+                    0, 255).astype(np.uint8)
+    cov_npy = str(tmp_path / "c.npy")
+    np.save(cov_npy, cover)
+    out_npy = str(tmp_path / "s.npy")
+    out_png = str(tmp_path / "s.png")
+    bad_npy = str(tmp_path / "bad.npy")
+    np.save(bad_npy, np.zeros((4, 4), np.float32))
+    rc, rs = run_serve([
+        {"op": "embed", "in_npy": cov_npy, "out_npy": out_npy,
+         "out": out_png, "secret": "raw tensor path"},
+        {"op": "extract", "in_npy": out_npy},
+        {"op": "extract", "in": out_png},
+        {"op": "embed", "in_npy": bad_npy, "out_npy": out_npy,
+         "secret": "x"},
+        {"op": "embed", "in_npy": cov_npy, "secret": "x"},  # no output
+        {"op": "ping"},
+    ])
+    assert rc == 0
+    assert rs[0]["ok"] and rs[0]["out_npy"] == out_npy \
+        and rs[0]["out"] == out_png
+    # both encodings carry the identical stego
+    assert np.array_equal(np.load(out_npy), image_io.load_rgb(out_png))
+    assert base64.b64decode(rs[1]["secret_b64"]) == b"raw tensor path"
+    assert base64.b64decode(rs[2]["secret_b64"]) == b"raw tensor path"
+    assert not rs[3]["ok"] and "uint8" in rs[3]["error"]
+    assert not rs[4]["ok"] and "out" in rs[4]["error"]
+    assert rs[5]["ok"]
