@@ -237,9 +237,13 @@ def test_serve_batch_ops_learn_and_use_hint(tmp_path):
 def test_serve_cover_dependent_path_class(tmp_path):
     """A worker started with --cover_dependent_path 1 must serve: embed
     rides the single-image path (the batch path rejects the mode by
-    contract), and extract reports the mode's real parity failure
-    ("Magic not found", doc/HARDENING.md) — never the internal
-    'use embed_array' contract error — with the worker staying alive."""
+    contract), and extract either round-trips or reports the mode's real
+    parity failure ("Magic not found", doc/HARDENING.md) — whether the
+    stego-side cover hash matches is salt-dependent (the random AEAD
+    stream decides which low-freq magnitude bins cross a quantization
+    boundary), so BOTH outcomes are in-contract. What must never appear
+    is the internal 'use embed_array' contract error, and the worker
+    must stay alive."""
     p = Params(cover_dependent_path=True, pbkdf2_iter=500)
     cov = _cover(tmp_path, "c.png", seed=60)
     out = str(tmp_path / "s.png")
@@ -252,8 +256,11 @@ def test_serve_cover_dependent_path_class(tmp_path):
     assert rc == 0
     assert rs[0]["ok"], rs[0]
     for r in rs[1:3]:
-        assert not r["ok"] and "Magic not found" in r["error"] \
-            and "embed_array" not in r["error"], r
+        if r["ok"]:
+            assert base64.b64decode(r["secret_b64"]) == b"cover-keyed", r
+        else:
+            assert "Magic not found" in r["error"] \
+                and "embed_array" not in r["error"], r
     assert rs[3]["ok"] and rs[3]["op"] == "ping"
 
 
