@@ -53,4 +53,22 @@ long long stego_turtle_expand_v(const uint8_t* walk_key, const uint8_t* key_r,
                                 out_jitter, init_visited, out_visited);
 }
 
+// vc-variant: v + coherent site semantics (Params.coherent payload walks —
+// any-plane visited checks, all-plane marks; native/keystream.h).
+long long stego_turtle_expand_vc(const uint8_t* walk_key, const uint8_t* key_r,
+                                 const uint8_t* key_g, const uint8_t* key_b,
+                                 int H, int W, double rmin, double rmax,
+                                 double density, double jitter_max,
+                                 long long nbits, long long max_steps,
+                                 int allow_short, int coherent,
+                                 int32_t* out_plane, int32_t* out_y,
+                                 int32_t* out_x, double* out_jitter,
+                                 const uint64_t* init_visited,
+                                 uint64_t* out_visited) {
+  return stego::turtle_expand_vc(walk_key, key_r, key_g, key_b, H, W, rmin,
+                                 rmax, density, jitter_max, nbits, max_steps,
+                                 allow_short, coherent, out_plane, out_y,
+                                 out_x, out_jitter, init_visited, out_visited);
+}
+
 }  // extern "C"

@@ -86,6 +86,20 @@ int64_t turtle_expand_v(const uint8_t walk_key[32], const uint8_t key_r[32],
                         int allow_short, int32_t* out_plane, int32_t* out_y,
                         int32_t* out_x, double* out_jitter,
                         const uint64_t* init_visited, uint64_t* out_visited) {
+  return turtle_expand_vc(walk_key, key_r, key_g, key_b, H, W, rmin, rmax,
+                          density, jitter_max, nbits, max_steps, allow_short,
+                          /*coherent=*/0, out_plane, out_y, out_x, out_jitter,
+                          init_visited, out_visited);
+}
+
+int64_t turtle_expand_vc(const uint8_t walk_key[32], const uint8_t key_r[32],
+                         const uint8_t key_g[32], const uint8_t key_b[32],
+                         int H, int W, double rmin, double rmax,
+                         double density, double jitter_max, int64_t nbits,
+                         int64_t max_steps, int allow_short, int coherent,
+                         int32_t* out_plane, int32_t* out_y, int32_t* out_x,
+                         double* out_jitter, const uint64_t* init_visited,
+                         uint64_t* out_visited) {
   KeystreamPrg ks_walk(walk_key);
   KeystreamPrg ks_planes[3] = {KeystreamPrg(key_r), KeystreamPrg(key_g),
                                KeystreamPrg(key_b)};
@@ -116,13 +130,25 @@ int64_t turtle_expand_v(const uint8_t walk_key[32], const uint8_t key_r[32],
   auto emit_visited = [&]() {
     if (out_visited) std::memcpy(out_visited, visited.data(), vis_words * 8);
   };
-  auto vis = [&](int p, int yy, int xx) -> bool {
+  auto vis1 = [&](int p, int yy, int xx) -> bool {
     size_t i = (size_t(p) * H + yy) * W + xx;
     return (visited[i >> 6] >> (i & 63)) & 1;
   };
-  auto mark = [&](int p, int yy, int xx) {
+  auto mark1 = [&](int p, int yy, int xx) {
     size_t i = (size_t(p) * H + yy) * W + xx;
     visited[i >> 6] |= uint64_t(1) << (i & 63);
+  };
+  // coherent (Params.coherent payload walks; pure twin _pure.turtle_expand
+  // coherent=True): a written bit rotates all three planes at its (y, x)
+  // site, so a site is consumed as a whole — visited checks any plane,
+  // marks hit every plane.
+  auto vis = [&](int p, int yy, int xx) -> bool {
+    if (!coherent) return vis1(p, yy, xx);
+    return vis1(0, yy, xx) || vis1(1, yy, xx) || vis1(2, yy, xx);
+  };
+  auto mark = [&](int p, int yy, int xx) {
+    if (!coherent) { mark1(p, yy, xx); return; }
+    mark1(0, yy, xx); mark1(1, yy, xx); mark1(2, yy, xx);
   };
   const double rlo = rmin * (H < W ? H : W);
   const double rhi = rmax * (H < W ? H : W);

@@ -37,4 +37,19 @@ int64_t turtle_expand_v(const uint8_t walk_key[32], const uint8_t key_r[32],
                         int32_t* out_x, double* out_jitter,
                         const uint64_t* init_visited, uint64_t* out_visited);
 
+// As turtle_expand_v, plus the coherent site semantics (Params.coherent
+// payload walks; pure twin keystream/_pure.py coherent=True): with
+// coherent != 0 the visited check rejects a candidate if ANY plane of its
+// (y, x) site or the conjugate site is marked, and every mark — accept and
+// density-skip alike — marks all three planes at both sites. Keystream
+// consumption is unchanged, so embed/extract replay exactly.
+int64_t turtle_expand_vc(const uint8_t walk_key[32], const uint8_t key_r[32],
+                         const uint8_t key_g[32], const uint8_t key_b[32],
+                         int H, int W, double rmin, double rmax,
+                         double density, double jitter_max, int64_t nbits,
+                         int64_t max_steps, int allow_short, int coherent,
+                         int32_t* out_plane, int32_t* out_y, int32_t* out_x,
+                         double* out_jitter, const uint64_t* init_visited,
+                         uint64_t* out_visited);
+
 }  // namespace stego

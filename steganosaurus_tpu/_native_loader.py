@@ -72,6 +72,18 @@ class NativeLib:
             d.stego_turtle_expand_v.restype = ctypes.c_longlong
             d.stego_turtle_expand_v.argtypes = (
                 d.stego_turtle_expand.argtypes + [u64p, u64p])
+        # vc-variant (coherent site semantics, Params.coherent). Probe and
+        # degrade like expand_v: coherent expansions fall back to the pure
+        # twin on stale build artifacts.
+        self.has_expand_vc = hasattr(d, "stego_turtle_expand_vc")
+        if self.has_expand_vc:
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            ea = d.stego_turtle_expand.argtypes
+            d.stego_turtle_expand_vc.restype = ctypes.c_longlong
+            # expand args with `int coherent` inserted after allow_short
+            # (index 12), then the two visited-bitmap pointers.
+            d.stego_turtle_expand_vc.argtypes = (
+                ea[:13] + [ctypes.c_int] + ea[13:] + [u64p, u64p])
         # Key vault (native/keyvault.cc): mlock'd derived-key slots.
         self.has_keyvault = hasattr(d, "stego_kv_derive_pass")
         if self.has_keyvault:
@@ -273,17 +285,20 @@ class NativeLib:
     def turtle_expand_v(self, walk_key, plane_keys, H, W, rmin, rmax,
                         density, jitter_max, nbits, max_steps,
                         allow_short=False, init_visited=None,
-                        want_visited=False):
+                        want_visited=False, coherent=False):
         """turtle_expand with visited-bitmap chaining (per-image-walk mode).
 
         init_visited: uint64 array of (3*H*W + 63)//64 words, or None.
         want_visited=True appends the final visited bitmap to the return:
         (plane, y, x, jitter, nproduced[, visited]).
+        coherent=True selects the coherent site semantics (Params.coherent;
+        requires has_expand_vc — callers fall back to the pure twin).
         Requires has_expand_v (rebuild native/ if a stale .so lacks it).
         """
         import numpy as np
 
         assert self.has_expand_v
+        assert not coherent or self.has_expand_vc
         nwords = (3 * H * W + 63) // 64
         plane = np.empty(nbits, dtype=np.int32)
         y = np.empty(nbits, dtype=np.int32)
@@ -297,18 +312,25 @@ class NativeLib:
         else:
             init_p = None
         out_vis = np.zeros(nwords, dtype=np.uint64) if want_visited else None
-        rc = self._dll.stego_turtle_expand_v(
+        args = [
             self._buf(walk_key), self._buf(plane_keys[0]),
             self._buf(plane_keys[1]), self._buf(plane_keys[2]),
             H, W, rmin, rmax, density, jitter_max, nbits, max_steps,
             int(allow_short),
+        ]
+        if coherent:
+            args.append(1)
+        args += [
             plane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             jit.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             init_p,
             out_vis.ctypes.data_as(u64p) if want_visited else None,
-        )
+        ]
+        fn = (self._dll.stego_turtle_expand_vc if coherent
+              else self._dll.stego_turtle_expand_v)
+        rc = fn(*args)
         if rc < 0:
             raise RuntimeError(
                 f"native turtle_expand_v failed (rc={rc}): walk exhausted "

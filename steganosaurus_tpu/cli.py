@@ -90,6 +90,16 @@ USAGE = """Usage:
                              format, header flag 0x02; extraction
                              auto-detects; the reference binary fails
                              closed) (0)
+    --coherent 0|1         : Channel-coherent payload write — each payload
+                             bit rotates ALL THREE planes at its site by
+                             one common phase delta (bit lives in the
+                             common-mode phase), preserving every pairwise
+                             R/G/B phase difference exactly: blinds the
+                             cross-channel correlation warden on
+                             photographic covers at ~3x write energy and
+                             ~1/3 capacity (rebuild-only wire format,
+                             header flag 0x08; extraction auto-detects;
+                             the reference binary fails closed) (0)
     --pad Q                : Pad the plaintext to the next Q-byte multiple
                              before sealing (BE32 length prefix + keyed
                              pad) so the embedded footprint quantizes to
@@ -190,6 +200,8 @@ def parse_args(argv: list[str]) -> Args | None:
             p["qim"] = int(need())
         elif k == "--rs":  # rebuild-only: interleaved RS(255,223) payload FEC
             p["rs"] = need() in ("1", "true")
+        elif k == "--coherent":  # rebuild-only: channel-coherent payload
+            p["coherent"] = need() in ("1", "true")
         elif k == "--pad":  # rebuild-only: payload padding quantum (bytes)
             p["pad_quantum"] = int(need())
             if p["pad_quantum"] < 0:  # 0 = explicitly off

@@ -146,6 +146,30 @@ class Params:
     # the padded clen is what embeds. Default off for reference parity.
     pad_quantum: int = 0
 
+    # Channel-coherent payload write (rebuild-only; the measured answer to
+    # the cross-channel warden, doc/ATTACKS.md §2e). The standard walk
+    # writes ONE plane's bin per bit, leaving a "two aligned, one off"
+    # R/G/B phase triple that is AUC-1.0 detectable on photographic
+    # (correlated-channel) covers under EVERY other mitigation. coherent=
+    # True instead rotates ALL THREE planes at each payload site by one
+    # common delta, encoding the bit in the common-mode phase (angle of
+    # the per-plane unit-phasor sum, ops/phase.py _coherent_common):
+    # every pairwise phase difference is preserved EXACTLY, so the
+    # warden's alignment statistics see the cover's own values at written
+    # sites. Costs: ~3x write energy per bit (three planes move) and ~3x
+    # payload walk footprint (a site is consumed whole — keystream
+    # coherent semantics), i.e. a louder spatial-residual (§2d) footprint
+    # at equal payload — measured trade in doc/ATTACKS.md §2e. The header
+    # stays on the standard shared-walk write (it must decode before any
+    # mode is known); the payload rides a salt-keyed chained walk (the
+    # per_image_walk structure) with coherent site semantics. Header
+    # FLAGS bit 0x08 makes extraction self-describing; the stock
+    # reference binary fails closed. Composes with qim/soft_write/jitter/
+    # alpha_spread/rs/pad_quantum; mutually exclusive with adaptive_alpha
+    # (a per-plane magnitude rescale of alpha has no common-mode analog).
+    # Default off for reference parity.
+    coherent: bool = False
+
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)
 

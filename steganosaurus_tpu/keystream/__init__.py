@@ -55,21 +55,26 @@ def ks_stream_bytes(key: bytes, n: int) -> bytes:
 
 def _expand_v_raw(walk_key, plane_keys, H, W, rmin, rmax, density,
                   jitter_max, nbits, max_steps, allow_short,
-                  init_visited, want_visited):
+                  init_visited, want_visited, coherent=False):
     """Visited-chaining expansion: native turtle_expand_v when the built
-    library has it, pure twin otherwise (identical streams — tested)."""
+    library has it, pure twin otherwise (identical streams — tested).
+    coherent=True (Params.coherent payload walks) needs the vc-variant;
+    stale .so artifacts without it fall back to the pure twin."""
     lib = _native_loader.get()
-    if lib is not None and getattr(lib, "has_expand_v", False):
+    if lib is not None and getattr(lib, "has_expand_v", False) and (
+            not coherent or getattr(lib, "has_expand_vc", False)):
         return lib.turtle_expand_v(walk_key, plane_keys, H, W, rmin, rmax,
                                    density, jitter_max, nbits, max_steps,
                                    allow_short=allow_short,
                                    init_visited=init_visited,
-                                   want_visited=want_visited)
+                                   want_visited=want_visited,
+                                   coherent=coherent)
     return _pure.turtle_expand(walk_key, plane_keys, H, W, rmin, rmax,
                                density, jitter_max, nbits, max_steps,
                                allow_short=allow_short,
                                init_visited=init_visited,
-                               want_visited=want_visited)
+                               want_visited=want_visited,
+                               coherent=coherent)
 
 
 # Header-prefix cache for the per-image-walk mode: the shared walk's first
@@ -120,14 +125,18 @@ def header_walk_with_visited(walk_key, plane_keys, H: int, W: int,
 def turtle_expand_chained(walk_key, plane_keys, H: int, W: int, rmin: float,
                           rmax: float, density: float, jitter_max: float,
                           nbits: int, init_visited,
-                          allow_short: bool = False) -> tuple:
+                          allow_short: bool = False,
+                          coherent: bool = False) -> tuple:
     """Payload expansion resuming from `init_visited` (per-image-walk mode:
     fresh salt-keyed PRGs and seed position, header bins pre-marked).
     Returns (plane, y, x, jitter, nproduced) under allow_short, else the
-    4-tuple. Uncached — every (key, salt) pair is unique."""
+    4-tuple. Uncached — every (key, salt) pair is unique.
+    coherent=True: coherent site semantics (Params.coherent — the payload
+    write rotates all three planes per site, so sites are consumed whole;
+    _pure.turtle_expand)."""
     out = _expand_v_raw(walk_key, plane_keys, H, W, rmin, rmax, density,
                         jitter_max, nbits, _step_budget(nbits, H, W),
-                        allow_short, init_visited, False)
+                        allow_short, init_visited, False, coherent=coherent)
     # normalize backend return arity (native always appends nproduced)
     return out[:5] if allow_short else out[:4]
 

@@ -270,6 +270,176 @@ def read_phases_qim(spectrum, plane, y, x, dithers, L: int):
         jnp.uint8)
 
 
+def _coherent_common(spectrum, y, x):
+    """Gather all three planes at the (y, x) sites and compute the
+    common-mode phase: the angle of the unweighted phasor resultant
+    S = sum_c v_c/|v_c| over planes c (rebuild-only; Params.coherent).
+
+    The coherent write rotates all three planes by ONE delta, which moves
+    angle(S) by exactly that delta while preserving every pairwise phase
+    difference th_a - th_b — the statistic the cross-channel warden keys
+    on (utils/steganalysis.cross_channel_report; doc/ATTACKS.md §2e). The
+    unweighted resultant (not magnitude-weighted) is the decode anchor:
+    both sides recompute it identically, and |S| doubles as the per-site
+    decision confidence (3 on channel-correlated covers — exactly where
+    the mode matters — Rayleigh-distributed ~1.6 mean on iid covers).
+
+    Returns (v3 (3, n) complex, mag3 (3, n) real, S (n,) complex,
+    theta (n,) real).
+    """
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    v3 = spectrum[:, y, x]
+    mag3 = jnp.maximum(1e-12, jnp.abs(v3)).astype(real_dtype)
+    u = v3 / mag3
+    S = jnp.sum(u, axis=0)
+    theta = jnp.angle(S).astype(real_dtype)
+    return v3, mag3, S, theta
+
+
+def _coherent_finish(spectrum, y, x, v3, nv3, moved_sites, gain: float,
+                     hermitian_half: bool, floor: float, img_pixels: float,
+                     n_valid):
+    """Shared coherent-write tail: write-floor boost (energy over all three
+    planes of each moved site), gain pre-compensation, all-plane scatter
+    with conjugate mirroring. moved_sites: (n,) bool site mask or None
+    (hard write: every valid site moves)."""
+    H, W = spectrum.shape[-2:]
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    if floor:
+        wm = (jnp.ones(y.shape, bool) if n_valid is None
+              else jnp.arange(y.shape[0]) < n_valid)
+        if moved_sites is not None:
+            wm = wm & moved_sites
+        wm3 = jnp.broadcast_to(wm[None, :], v3.shape).reshape(-1)
+        b = write_floor_boost(v3.reshape(-1), nv3.reshape(-1), wm3,
+                              img_pixels, floor).astype(real_dtype)
+        boosted = (b * nv3.real + 1j * b * nv3.imag).astype(spectrum.dtype)
+        if moved_sites is not None:
+            nv3 = jnp.where(moved_sites[None, :], boosted, nv3)
+        else:
+            nv3 = boosted
+    if gain != 1.0:
+        nv3 = v3 + (nv3 - v3) / jnp.asarray(gain, real_dtype)
+    if hermitian_half:
+        return spectrum.at[:, y, x].set(2.0 * nv3 - v3,
+                                        mode="promise_in_bounds")
+    cy, cx = conj_indices(y, x, H, W)
+    out = spectrum.at[:, y, x].set(nv3)
+    out = out.at[:, cy, cx].set(jnp.conj(nv3))
+    return out
+
+
+def embed_phases_coherent(spectrum, y, x, bits, jitters, alpha,
+                          gain: float = 1.0, hermitian_half: bool = False,
+                          soft: bool = False, floor: float = 0.0,
+                          img_pixels: float = 0.0, n_valid=None):
+    """Channel-coherent phase write (rebuild-only; Params.coherent).
+
+    Per site: rotate ALL THREE planes' bins at (y, x) by one common delta
+    so the common-mode phase (angle of the unweighted phasor resultant,
+    _coherent_common) lands on the hard-write target (bit ? +a : -a) +
+    jitter. Magnitudes are untouched and every pairwise phase difference
+    is preserved EXACTLY, so the cross-channel warden's alignment and
+    conditional-misalignment statistics see the cover's own values at
+    written sites (measured: doc/ATTACKS.md §2e). Cost: three planes move
+    per bit (~3x write energy at equal payload) and a site is consumed
+    whole by the walk (~3x fewer payload sites; keystream coherent
+    semantics).
+
+    soft=True composes like embed_phases: sites whose common mode already
+    decodes with margin >= a are left untouched (zero delta), the rest
+    clamp to the nearest boundary point at distance exactly `a`.
+
+    y/x/bits: (n,) int32. jitters: (n,) float. alpha: scalar or (n,)
+    (alpha_spread). Payload-only: callers write the header with
+    embed_phases (the header must decode before any mode is known).
+    """
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    v3, _mag3, _S, theta = _coherent_common(spectrum, y, x)
+    a = jnp.broadcast_to(jnp.asarray(alpha, real_dtype), theta.shape)
+    j = jitters.astype(real_dtype)
+    if soft:
+        s = jnp.where(bits.astype(bool), 1.0, -1.0).astype(real_dtype)
+        sigma = jnp.where(jnp.sin(a) < 0, -1.0, 1.0).astype(real_dtype)
+        phi = theta - j
+        valid = s * sigma * jnp.sin(phi) >= jnp.abs(jnp.sin(a))
+        tgt_sin = s * sigma * jnp.abs(jnp.sin(a))
+        tgt_cos = jnp.where(jnp.cos(phi) < 0, -1.0, 1.0) * jnp.abs(
+            jnp.cos(a))
+        tgt = jnp.arctan2(tgt_sin, tgt_cos) + j
+        delta = jnp.where(valid, 0.0, tgt - theta)
+        moved_sites = ~valid
+    else:
+        tgt = jnp.where(bits.astype(bool), a, -a) + j
+        delta = tgt - theta
+        moved_sites = None
+    rot = jnp.exp(1j * delta.astype(real_dtype))[None, :]
+    nv3 = (v3 * rot).astype(spectrum.dtype)
+    return _coherent_finish(spectrum, y, x, v3, nv3, moved_sites, gain,
+                            hermitian_half, floor, img_pixels, n_valid)
+
+
+def embed_phases_coherent_qim(spectrum, y, x, bits, dithers, L: int,
+                              gain: float = 1.0,
+                              hermitian_half: bool = False,
+                              floor: float = 0.0, img_pixels: float = 0.0,
+                              n_valid=None):
+    """Coherent + QIM composition: the common-mode phase is quantized to
+    the keyed dithered lattice (embed_phases_qim's rule applied to
+    angle(S)), then all three planes rotate by the common delta. Pairwise
+    differences preserved exactly, written-site common modes marginally
+    uniform (the QIM stealth property, doc/ATTACKS.md §2b)."""
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    v3, _mag3, _S, theta = _coherent_common(spectrum, y, x)
+    d = dithers.astype(real_dtype)
+    delta_l = jnp.asarray(2.0 * jnp.pi / L, real_dtype)
+    half_b = bits.astype(real_dtype) * 0.5
+    q = (theta - d) / delta_l - half_b
+    tgt = d + (jnp.round(q) + half_b) * delta_l
+    rot = jnp.exp(1j * (tgt - theta).astype(real_dtype))[None, :]
+    nv3 = (v3 * rot).astype(spectrum.dtype)
+    return _coherent_finish(spectrum, y, x, v3, nv3, None, gain,
+                            hermitian_half, floor, img_pixels, n_valid)
+
+
+def read_values_coherent(spectrum, y, x, jitters, alpha):
+    """Coherent DECISION VALUES d = w * sin(theta - jitter) * sign(sin a)
+    on the common-mode phase theta = angle(S). Weight w = |S| * mean mag:
+    |S| is the phasor-resultant coherence of the three planes (the angle's
+    conditioning) and the mean magnitude scales the quantization-noise SNR
+    exactly as in read_values — the matched-filter weight for
+    ops.ecc.rep_decode_soft."""
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    _v3, mag3, S, theta = _coherent_common(spectrum, y, x)
+    a = jnp.asarray(alpha, real_dtype)
+    w = jnp.abs(S).astype(real_dtype) * jnp.mean(mag3, axis=0)
+    base = theta - jitters.astype(real_dtype)
+    return w * jnp.sin(base) * jnp.sign(jnp.sin(a))
+
+
+def read_phases_coherent(spectrum, y, x, jitters, alpha):
+    """Coherent bit read: the hard half-plane rule on the common-mode
+    phase (ties -> 1, matching read_phases)."""
+    return (read_values_coherent(spectrum, y, x, jitters, alpha) >= 0
+            ).astype(jnp.uint8)
+
+
+def read_values_coherent_qim(spectrum, y, x, dithers, L: int):
+    """Coherent QIM decision values: -cos(L*(theta - d)) * w on the
+    common-mode phase (read_values_qim's rule; weight as
+    read_values_coherent)."""
+    real_dtype = jnp.zeros(0, spectrum.dtype).real.dtype
+    _v3, mag3, S, theta = _coherent_common(spectrum, y, x)
+    w = jnp.abs(S).astype(real_dtype) * jnp.mean(mag3, axis=0)
+    return -jnp.cos(L * (theta - dithers.astype(real_dtype))) * w
+
+
+def read_phases_coherent_qim(spectrum, y, x, dithers, L: int):
+    """Coherent QIM nearest-coset read (ties -> 1)."""
+    return (read_values_coherent_qim(spectrum, y, x, dithers, L) >= 0
+            ).astype(jnp.uint8)
+
+
 def read_values(spectrum, plane, y, x, jitters, alpha, medians, adaptive: bool):
     """Per-bin DECISION VALUES d = mag * sin(theta - jitter) * sign(sin a).
 

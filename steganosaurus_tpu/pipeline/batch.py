@@ -404,6 +404,11 @@ def embed_batch(
         raise ValueError("exactly one of password/master_key required")
     if params.cover_dependent_path:
         raise StegoError("cover_dependent_path is per-image; use embed_array")
+    if getattr(params, "coherent", False):
+        raise StegoError(
+            "coherent batch embedding is not wired into the fused batch "
+            "cores; use embed_array (extract_batch auto-detects and "
+            "resolves coherent stegos per image)")
     if layout == "nchw":
         if params.adaptive_alpha:
             raise StegoError("layout='nchw' is corner-path only")
@@ -1181,8 +1186,17 @@ class _ExtractJob:
             for i, h in enumerate(headers):
                 if h is None:
                     headers[i] = _parse_hdr(soft_bufs0[i])
+        # Channel-coherent stegos (pipeline/header.py FLAG_COHERENT,
+        # auto-detected): the payload lives in the common-mode phase of all
+        # three planes per site, which the fused single-plane gather cores
+        # cannot read — resolve those images through the single-image
+        # extractor (pipeline/extract.py reads the coherent rule natively).
+        coh_idx = [i for i, h in enumerate(headers) if h is not None
+                   and (h.flags & header_mod.FLAG_COHERENT)]
+        coh_set = set(coh_idx)
         piw_idx = [i for i, h in enumerate(headers) if h is not None
-                   and (h.flags & header_mod.FLAG_PER_IMAGE_WALK)]
+                   and (h.flags & header_mod.FLAG_PER_IMAGE_WALK)
+                   and i not in coh_set]
         piw_set = set(piw_idx)
 
         def _mode(h) -> tuple[int, bool]:
@@ -1193,9 +1207,9 @@ class _ExtractJob:
 
         shared_by_mode: dict[tuple[int, bool], list[int]] = {}
         for i, h in enumerate(headers):
-            if h is not None and i not in piw_set:
+            if h is not None and i not in piw_set and i not in coh_set:
                 shared_by_mode.setdefault(_mode(h), []).append(i)
-        if not shared_by_mode and not piw_idx:
+        if not shared_by_mode and not piw_idx and not coh_idx:
             self._result = [None] * self.B
             return self._result
         payloads: list[bytes | None] = [None] * self.B
@@ -1248,8 +1262,34 @@ class _ExtractJob:
                         idxs, headers, L, rs=R)):
                     payloads[i] = buf
 
+        resolved: dict[int, bytes | None] = {}
+        if coh_idx:
+            # per-image resolution (see coh_idx above): pull just those
+            # rows and run the full single-image extract — it auto-detects
+            # the coherent wire mode from the header flag and carries its
+            # own soft retry, so these images skip the fused soft paths
+            import importlib
+
+            # (attribute import would shadow: pipeline/__init__ re-exports
+            # an `extract` FUNCTION under the submodule's name)
+            _extract_mod = importlib.import_module(
+                "steganosaurus_tpu.pipeline.extract")
+            for i in coh_idx:
+                img = np.asarray(self._imgs_d[i])
+                if self._layout == "nchw":
+                    img = np.ascontiguousarray(img.transpose(1, 2, 0))
+                try:
+                    resolved[i] = _extract_mod.extract_array(
+                        img, password=password, master_key=master_key,
+                        params=self._params)
+                except StegoError:
+                    resolved[i] = None
+
         out: list[bytes | None] = []
         for i, hdr in enumerate(headers):
+            if i in resolved:
+                out.append(resolved[i])
+                continue
             if hdr is None or payloads[i] is None:
                 out.append(None)
                 continue
@@ -1301,8 +1341,12 @@ class _ExtractJob:
         H, W = self._HW
         Ky, Kx = self._corner_kk
         hdr_n = _HEADER_STREAM_BITS
+        # coherent stegos are excluded: they were resolved per image by the
+        # single-image extractor (which runs its own soft retry), and the
+        # fused single-plane soft readers here cannot decode their rule
         failed = [i for i, (h, o) in enumerate(zip(headers, out))
-                  if h is not None and o is None]
+                  if h is not None and o is None
+                  and not (h.flags & header_mod.FLAG_COHERENT)]
 
         def open_from(buf, conf=None):
             """AEAD-open from a soft-pass buffer. With `conf` (RS wire mode,

@@ -73,7 +73,7 @@ def _bucket_pad(arrs, n):
 
 @functools.lru_cache(maxsize=32)
 def _jit_embed_apply(H, W, center, adaptive, soft=False, qim_levels=0,
-                     hdr_bits=0, floor=0.0):
+                     hdr_bits=0, floor=0.0, coherent=False):
     PH, PW = spectral.fft_dims(H, W)
     gain = (H * W) / (PH * PW)  # crop retention; see phase_ops.embed_phases
     px = float(H) * W  # write-floor Parseval normalizer (Params.write_floor)
@@ -81,7 +81,30 @@ def _jit_embed_apply(H, W, center, adaptive, soft=False, qim_levels=0,
     @jax.jit
     def apply_fn(spec, med, plane, y, x, bits, jitters, alpha, n_valid,
                  dithers=None):
-        if qim_levels:
+        if coherent:
+            # Header slots [0, hdr_bits) keep the reference hard/soft write
+            # (the header must decode before any mode is known); payload
+            # slots take the channel-coherent common-mode write
+            # (Params.coherent; ops/phase.py) — QIM-lattice common mode
+            # when qim_levels, else the hard/soft target.
+            h = slice(0, hdr_bits)
+            p = slice(hdr_bits, None)
+            a_h = alpha[h] if jnp.ndim(alpha) else alpha
+            a_p = alpha[p] if jnp.ndim(alpha) else alpha
+            spec2 = phase_ops.embed_phases(
+                spec, plane[h], y[h], x[h], bits[h], jitters[h], a_h, med,
+                adaptive, gain=gain, soft=soft, floor=floor, img_pixels=px)
+            if qim_levels:
+                spec2 = phase_ops.embed_phases_coherent_qim(
+                    spec2, y[p], x[p], bits[p], dithers[p], qim_levels,
+                    gain=gain, floor=floor, img_pixels=px,
+                    n_valid=n_valid - hdr_bits)
+            else:
+                spec2 = phase_ops.embed_phases_coherent(
+                    spec2, y[p], x[p], bits[p], jitters[p], a_p, gain=gain,
+                    soft=soft, floor=floor, img_pixels=px,
+                    n_valid=n_valid - hdr_bits)
+        elif qim_levels:
             # Header slots [0, hdr_bits) keep the reference hard/soft write
             # (the header must decode before any mode is known); payload
             # slots take the dithered QIM write (pipeline/qim.py). Each
@@ -147,6 +170,32 @@ def _jit_read_qim(L, values: bool):
     return read_fn
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_read_coherent(values: bool):
+    @jax.jit
+    def read_fn(spec, y, x, jitters, alpha):
+        if values:
+            return phase_ops.read_values_coherent(
+                spec, y, x, jitters, alpha).astype(jnp.float32)
+        return phase_ops.read_phases_coherent(
+            spec, y, x, jitters, alpha).astype(jnp.int32)
+
+    return read_fn
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_read_coherent_qim(L, values: bool):
+    @jax.jit
+    def read_fn(spec, y, x, dithers):
+        if values:
+            return phase_ops.read_values_coherent_qim(
+                spec, y, x, dithers, L).astype(jnp.float32)
+        return phase_ops.read_phases_coherent_qim(
+            spec, y, x, dithers, L).astype(jnp.int32)
+
+    return read_fn
+
+
 class JaxBackend:
     name = "jax"
 
@@ -175,10 +224,11 @@ class JaxBackend:
         bits, jitters = _bucket_pad((bits, jitters), nbits)
         if np.ndim(alpha):  # per-bit array (Params.alpha_spread)
             (alpha,) = _bucket_pad((alpha,), nbits)
+        coherent = getattr(params, "coherent", False)
         fn = _jit_embed_apply(H, W, params.center, params.adaptive_alpha,
                               params.soft_write, params.qim,
-                              hdr_bits if params.qim else 0,
-                              params.write_floor)
+                              hdr_bits if (params.qim or coherent) else 0,
+                              params.write_floor, coherent)
         args = (
             spec, med,
             jnp.asarray(plane), jnp.asarray(y), jnp.asarray(x),
@@ -191,6 +241,44 @@ class JaxBackend:
             args = args + (jnp.asarray(qd, jnp.float32),)
         out = fn(*args)
         return transfer.unpack_u8(np.asarray(out), (H, W, 3))
+
+    def read_bits_coherent(self, spec, idx_yx, jitters, alpha):
+        """Coherent payload read (ops.phase.read_phases_coherent): bits from
+        the common-mode phase at the (y, x) sites (Params.coherent)."""
+        nbits = len(jitters)
+        y, x = _bucket_pad(idx_yx, len(idx_yx[0]))
+        (jitters,) = _bucket_pad((jitters,), nbits)
+        fn = _jit_read_coherent(values=False)
+        out = fn(spec, jnp.asarray(y), jnp.asarray(x),
+                 jnp.asarray(jitters, jnp.float32), jnp.float32(alpha))
+        return np.asarray(out[:nbits]).astype(np.uint8)
+
+    def read_values_coherent(self, spec, idx_yx, jitters, alpha):
+        nbits = len(jitters)
+        y, x = _bucket_pad(idx_yx, len(idx_yx[0]))
+        (jitters,) = _bucket_pad((jitters,), nbits)
+        fn = _jit_read_coherent(values=True)
+        out = fn(spec, jnp.asarray(y), jnp.asarray(x),
+                 jnp.asarray(jitters, jnp.float32), jnp.float32(alpha))
+        return np.asarray(out[:nbits], dtype=np.float64)
+
+    def read_bits_coherent_qim(self, spec, idx_yx, dithers, L):
+        nbits = len(dithers)
+        y, x = _bucket_pad(idx_yx, len(idx_yx[0]))
+        (dithers,) = _bucket_pad((dithers,), nbits)
+        fn = _jit_read_coherent_qim(L, values=False)
+        out = fn(spec, jnp.asarray(y), jnp.asarray(x),
+                 jnp.asarray(dithers, jnp.float32))
+        return np.asarray(out[:nbits]).astype(np.uint8)
+
+    def read_values_coherent_qim(self, spec, idx_yx, dithers, L):
+        nbits = len(dithers)
+        y, x = _bucket_pad(idx_yx, len(idx_yx[0]))
+        (dithers,) = _bucket_pad((dithers,), nbits)
+        fn = _jit_read_coherent_qim(L, values=True)
+        out = fn(spec, jnp.asarray(y), jnp.asarray(x),
+                 jnp.asarray(dithers, jnp.float32))
+        return np.asarray(out[:nbits], dtype=np.float64)
 
     def read_bits_qim(self, spec, idx, dithers, L):
         """QIM payload read (ops.phase.read_phases_qim); dithers are the
@@ -295,6 +383,11 @@ class NumpyBackend:
         plane, y, x = (np.asarray(a) for a in idx)
         PH, PW = spec.shape[-2:]
         spec = spec.copy()
+        if getattr(params, "coherent", False):
+            return self._embed_coherent(spec, plane, y, x, bits, jitters,
+                                        alpha, med, params, H, W,
+                                        qim_dithers, hdr_bits,
+                                        return_targets)
         v = spec[plane, y, x]
         mag = np.maximum(1e-12, np.abs(v))
         a = self._alpha(alpha, mag, med[plane], params.adaptive_alpha)
@@ -362,6 +455,17 @@ class NumpyBackend:
         return np.where(wm, b * nv, nv)
 
     @staticmethod
+    def _ifft_quantize(spec, params, H, W):
+        """Embed tail: inverse FFT, center, round-half-away-from-zero
+        quantize (reference from_planes_u8, :387-392)."""
+        planes2 = np.fft.ifft2(np.conj(spec)).real[:, :H, :W]
+        if params.center:
+            yy2, xx2 = np.arange(H)[:, None], np.arange(W)[None, :]
+            planes2 = planes2 * np.where((yy2 + xx2) % 2 == 1, -1.0, 1.0)
+        q = np.clip(np.floor(planes2 + 0.5), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(q.transpose(1, 2, 0))
+
+    @staticmethod
     def _finish_embed(spec, plane, y, x, v, nv, params, H, W):
         """Common embed tail: write-floor boost, gain pre-compensation,
         conjugate-mirror scatter, inverse FFT, center,
@@ -374,12 +478,93 @@ class NumpyBackend:
         cys, cxs = zip(*(conj_idx(int(yy), int(xxx), PH, PW) for yy, xxx in zip(y, x)))
         spec[plane, y, x] = nv
         spec[plane, np.asarray(cys), np.asarray(cxs)] = np.conj(nv)
-        planes2 = np.fft.ifft2(np.conj(spec)).real[:, :H, :W]
-        if params.center:
-            yy2, xx2 = np.arange(H)[:, None], np.arange(W)[None, :]
-            planes2 = planes2 * np.where((yy2 + xx2) % 2 == 1, -1.0, 1.0)
-        q = np.clip(np.floor(planes2 + 0.5), 0, 255).astype(np.uint8)
-        return np.ascontiguousarray(q.transpose(1, 2, 0))
+        return NumpyBackend._ifft_quantize(spec, params, H, W)
+
+    @staticmethod
+    def _coherent_theta(spec, y, x):
+        """f64 oracle of ops.phase._coherent_common: (v3 (3, n), mag3,
+        common-mode phase theta = angle(sum_c v_c/|v_c|), resultant S)."""
+        v3 = spec[:, y, x]
+        mag3 = np.maximum(1e-12, np.abs(v3))
+        S = (v3 / mag3).sum(axis=0)
+        return v3, mag3, S, np.angle(S)
+
+    def _embed_coherent(self, spec, plane, y, x, bits, jitters, alpha, med,
+                        params, H, W, qim_dithers, hdr_bits, return_targets):
+        """f64 oracle of the coherent split write (_jit_embed_apply
+        coherent branch; ops/phase.py embed_phases_coherent[_qim]): header
+        slots keep the standard hard/soft single-plane write, payload
+        slots rotate ALL THREE planes at each (y, x) site by one common
+        delta so the common-mode phase lands on the hard/soft/QIM target.
+        Each section clears the write floor independently (jax twin
+        semantics). return_targets yields the payload's (3, n) complex
+        targets (pre-mirror, pre-IFFT)."""
+        PH, PW = spec.shape[-2:]
+        gain = (H * W) / (PH * PW)
+        bbits = np.asarray(bits, bool)
+        jit_arr = np.asarray(jitters, np.float64)
+        a_all = np.broadcast_to(np.asarray(alpha, np.float64), bbits.shape)
+        h = slice(0, hdr_bits)
+        # --- header: standard single-plane write ---
+        ph, yh, xh = plane[h], y[h], x[h]
+        v = spec[ph, yh, xh]
+        mag = np.maximum(1e-12, np.abs(v))
+        a = a_all[h]
+        if params.soft_write:
+            s_sign = np.where(bbits[h], 1.0, -1.0)
+            sigma = np.where(np.sin(a) < 0, -1.0, 1.0)
+            phi = np.angle(v) - jit_arr[h]
+            valid = s_sign * sigma * np.sin(phi) >= np.abs(np.sin(a))
+            t_sin = s_sign * sigma * np.abs(np.sin(a))
+            t_cos = np.where(np.cos(phi) < 0, -1.0, 1.0) * np.abs(np.cos(a))
+            theta = np.arctan2(t_sin, t_cos) + jit_arr[h]
+            nv = np.where(valid, v, mag * np.exp(1j * theta))
+        else:
+            theta = np.where(bbits[h], a, -a) + jit_arr[h]
+            nv = mag * np.exp(1j * theta)
+        nv = self._apply_write_floor(v, nv, params, H, W)
+        if gain != 1.0:
+            nv = v + (nv - v) / gain
+        cys, cxs = zip(*(conj_idx(int(a_), int(b_), PH, PW)
+                         for a_, b_ in zip(yh, xh)))
+        spec[ph, yh, xh] = nv
+        spec[ph, np.asarray(cys), np.asarray(cxs)] = np.conj(nv)
+        # --- payload: coherent all-plane common-mode write ---
+        p = slice(hdr_bits, None)
+        yp, xp = y[p], x[p]
+        v3, _mag3, _S, th = self._coherent_theta(spec, yp, xp)
+        ap = a_all[p]
+        if params.qim:
+            delta_l = 2.0 * np.pi / params.qim
+            d = np.asarray(qim_dithers, np.float64)[p]
+            half_b = bbits[p].astype(np.float64) * 0.5
+            q = (th - d) / delta_l - half_b
+            tgt = d + (np.round(q) + half_b) * delta_l
+            delta = tgt - th
+        elif params.soft_write:
+            s_p = np.where(bbits[p], 1.0, -1.0)
+            sigma = np.where(np.sin(ap) < 0, -1.0, 1.0)
+            phi = th - jit_arr[p]
+            valid = s_p * sigma * np.sin(phi) >= np.abs(np.sin(ap))
+            t_sin = s_p * sigma * np.abs(np.sin(ap))
+            t_cos = np.where(np.cos(phi) < 0, -1.0, 1.0) * np.abs(
+                np.cos(ap))
+            tgt = np.arctan2(t_sin, t_cos) + jit_arr[p]
+            delta = np.where(valid, 0.0, tgt - th)
+        else:
+            tgt = np.where(bbits[p], ap, -ap) + jit_arr[p]
+            delta = tgt - th
+        nv3 = v3 * np.exp(1j * delta)[None, :]
+        nv3 = self._apply_write_floor(v3.ravel(), nv3.ravel(), params, H, W
+                                      ).reshape(v3.shape)
+        if gain != 1.0:
+            nv3 = v3 + (nv3 - v3) / gain
+        cys, cxs = zip(*(conj_idx(int(a_), int(b_), PH, PW)
+                         for a_, b_ in zip(yp, xp)))
+        spec[:, yp, xp] = nv3
+        spec[:, np.asarray(cys), np.asarray(cxs)] = np.conj(nv3)
+        out = self._ifft_quantize(spec, params, H, W)
+        return (out, nv3) if return_targets else out
 
     @staticmethod
     def _alpha(base, mag, med, adaptive):
@@ -415,6 +600,29 @@ class NumpyBackend:
     def read_bits_qim(self, spec, idx, dithers, L):
         return (self.read_values_qim(spec, idx, dithers, L) >= 0).astype(
             np.uint8)
+
+    def read_values_coherent(self, spec, idx_yx, jitters, alpha):
+        """f64 oracle of ops.phase.read_values_coherent."""
+        y, x = (np.asarray(a) for a in idx_yx)
+        _v3, mag3, S, th = self._coherent_theta(spec, y, x)
+        w = np.abs(S) * mag3.mean(axis=0)
+        base = th - np.asarray(jitters)
+        return w * np.sin(base) * np.sign(np.sin(alpha))
+
+    def read_bits_coherent(self, spec, idx_yx, jitters, alpha):
+        return (self.read_values_coherent(spec, idx_yx, jitters, alpha)
+                >= 0).astype(np.uint8)
+
+    def read_values_coherent_qim(self, spec, idx_yx, dithers, L):
+        """f64 oracle of ops.phase.read_values_coherent_qim."""
+        y, x = (np.asarray(a) for a in idx_yx)
+        _v3, mag3, S, th = self._coherent_theta(spec, y, x)
+        w = np.abs(S) * mag3.mean(axis=0)
+        return -np.cos(L * (th - np.asarray(dithers))) * w
+
+    def read_bits_coherent_qim(self, spec, idx_yx, dithers, L):
+        return (self.read_values_coherent_qim(spec, idx_yx, dithers, L)
+                >= 0).astype(np.uint8)
 
 
 def get_backend(params) -> JaxBackend | NumpyBackend:

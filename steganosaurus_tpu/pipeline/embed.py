@@ -90,6 +90,16 @@ def embed_array(
                 "per_image_walk and cover_dependent_path are mutually "
                 "exclusive (both re-key the walk per image)")
         flags = header_mod.FLAG_PER_IMAGE_WALK
+    if params.coherent:
+        if params.adaptive_alpha:
+            raise StegoError(
+                "coherent and adaptive_alpha are mutually exclusive (a "
+                "per-plane magnitude rescale has no common-mode analog)")
+        if params.cover_dependent_path:
+            raise StegoError(
+                "coherent and cover_dependent_path are mutually exclusive "
+                "(the coherent payload walk is salt-keyed per image)")
+        flags |= header_mod.FLAG_COHERENT
     if params.qim:
         qim_mod.validate(params)
         flags = header_mod.flags_with_qim(flags, params.qim)
@@ -100,9 +110,16 @@ def embed_array(
     km.close()  # wipe the vault slot: the sealed stream is all we need
 
     bits = frame_bits(header_bytes, ct, tag, rs=params.rs)
-    if len(bits) > capacity:
+    hdr_n = header_mod.FIXED_LEN * 8 * 3
+    # Coherent payload bits consume a whole (y, x) site — three plane-bins
+    # plus conjugates — so the pair-counting capacity must be charged 3x
+    # for the payload section (the walk exhaustion check below is the hard
+    # backstop; this pre-check keeps the reference's fast-fail contract).
+    need = (hdr_n + 3 * (len(bits) - hdr_n) if params.coherent
+            else len(bits))
+    if need > capacity:
         raise StegoError(
-            f"Message too large. Need {len(bits)} bits (after ECC), "
+            f"Message too large. Need {need} bits (after ECC), "
             f"capacity ~{capacity} bits."
         )
 
@@ -113,11 +130,12 @@ def embed_array(
     path_key = crypto.derive_path_key(password, master_key, cover_hash)
     key_walk, key_r, key_g, key_b = crypto.derive_turtle_keys(path_key)
 
-    if params.per_image_walk:
+    if params.per_image_walk or params.coherent:
         # Header on the shared walk prefix; payload on the salt-keyed walk
         # resuming from the header walk's visited state (pipeline/header.py
-        # FLAG_PER_IMAGE_WALK; doc/ATTACKS.md §4).
-        hdr_n = header_mod.FIXED_LEN * 8 * 3
+        # FLAG_PER_IMAGE_WALK; doc/ATTACKS.md §4). Coherent mode rides the
+        # same chained structure (FLAG_COHERENT; the payload walk gets the
+        # coherent site semantics — keystream/_pure.py).
         hp, hy, hx, hj, vis = keystream.header_walk_with_visited(
             key_walk, (key_r, key_g, key_b), PH, PW,
             params.rmin, params.rmax, params.density, params.jitter, hdr_n)
@@ -127,7 +145,7 @@ def embed_array(
             pp, py, px, pj = keystream.turtle_expand_chained(
                 skeys[0], skeys[1:], PH, PW,
                 params.rmin, params.rmax, params.density, params.jitter,
-                len(bits) - hdr_n, vis)
+                len(bits) - hdr_n, vis, coherent=params.coherent)
         except RuntimeError as e:
             raise StegoError(
                 f"Message too large. Salt-keyed payload walk exhausted: {e}"

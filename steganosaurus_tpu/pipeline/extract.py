@@ -105,19 +105,32 @@ def extract_array(
     if L == 1:
         raise StegoError("Corrupt header (invalid QIM level).")
 
+    coherent = bool(hdr.flags & header_mod.FLAG_COHERENT)
+
     def read_payload(idx_pyx, jit_arr, skip):
         """Payload stream read under the header-selected rule. `skip` is
         the first payload slot's frame-slot index (dither alignment)."""
+        if coherent:
+            # Common-mode read over all three planes at each site
+            # (FLAG_COHERENT; ops/phase.py read_phases_coherent[_qim]).
+            yx = idx_pyx[1:]
+            if L:
+                d = qim_mod.dither_angles(path_key, L, skip + len(jit_arr))
+                return backend.read_bits_coherent_qim(spec, yx, d[skip:], L)
+            return backend.read_bits_coherent(spec, yx, jit_arr,
+                                              params.alpha)
         if L:
             d = qim_mod.dither_angles(path_key, L, skip + len(jit_arr))
             return backend.read_bits_qim(spec, idx_pyx, d[skip:], L)
         return backend.read_bits(spec, med, idx_pyx, jit_arr, params.alpha,
                                  params)
 
-    if hdr.flags & header_mod.FLAG_PER_IMAGE_WALK:
+    if (hdr.flags & header_mod.FLAG_PER_IMAGE_WALK) or coherent:
         # Auto-detected from the header: the payload walk is salt-keyed and
         # resumes from the header walk's visited state (embed side:
         # pipeline/embed.py; params.per_image_walk is embed-side only).
+        # Coherent stegos always ride this chained walk, with the coherent
+        # site semantics (keystream/_pure.py).
         *_, vis = keystream.header_walk_with_visited(
             key_walk, plane_keys, PH, PW, params.rmin, params.rmax,
             params.density, params.jitter, _HEADER_STREAM_BITS)
@@ -128,7 +141,7 @@ def extract_array(
         pp, py, px, pj, _n = keystream.turtle_expand_chained(
             skeys[0], skeys[1:], PH, PW, params.rmin, params.rmax,
             params.density, params.jitter, payload_stream_bits, vis,
-            allow_short=True)
+            allow_short=True, coherent=coherent)
         payload_stream = read_payload((pp, py, px), pj, _HEADER_STREAM_BITS)
     else:
         # Re-expand from scratch: the walk is deterministic, the prefix
@@ -220,13 +233,14 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
     L = header_mod.qim_levels(hdr.flags)
     if L == 1:
         return None
-    if hdr.flags & header_mod.FLAG_PER_IMAGE_WALK:
+    coherent = bool(hdr.flags & header_mod.FLAG_COHERENT)
+    if (hdr.flags & header_mod.FLAG_PER_IMAGE_WALK) or coherent:
         skeys = crypto.derive_turtle_keys(
             crypto.derive_salt_path_key(path_key, hdr.salt))
         pp, py, px, pj, _n = keystream.turtle_expand_chained(
             skeys[0], skeys[1:], PH, PW, params.rmin, params.rmax,
             params.density, params.jitter, payload_stream_bits, vis,
-            allow_short=True)
+            allow_short=True, coherent=coherent)
     else:
         total = _HEADER_STREAM_BITS + payload_stream_bits
         pp, py, px, pj, _n = keystream.turtle_expand(
@@ -234,7 +248,16 @@ def _soft_retry(backend, spec, med, password, master_key, params, path_key,
             params.density, params.jitter, total, allow_short=True)
         sl = slice(_HEADER_STREAM_BITS, total)
         pp, py, px, pj = pp[sl], py[sl], px[sl], pj[sl]
-    if L:
+    if coherent:
+        if L:
+            d = qim_mod.dither_angles(path_key, L,
+                                      _HEADER_STREAM_BITS + len(pj))
+            pvals = backend.read_values_coherent_qim(
+                spec, (py, px), d[_HEADER_STREAM_BITS:], L)
+        else:
+            pvals = backend.read_values_coherent(spec, (py, px), pj,
+                                                 params.alpha)
+    elif L:
         d = qim_mod.dither_angles(path_key, L,
                                   _HEADER_STREAM_BITS + len(pj))
         pvals = backend.read_values_qim(spec, (pp, py, px),

@@ -30,6 +30,13 @@ FLAG_PADDED = 0x04          # plaintext is BE32(true_len) || secret || keyed
 #                             clen — and with it the spectral footprint —
 #                             leaks only the padded bucket, not the true
 #                             message length). pad/unpad helpers below.
+FLAG_COHERENT = 0x08        # payload bits are channel-coherent common-mode
+#                             writes on a salt-keyed chained walk with
+#                             coherent site semantics (Params.coherent;
+#                             ops/phase.py embed_phases_coherent — the
+#                             cross-channel warden counter-move, measured
+#                             in doc/ATTACKS.md §2e). Header stays on the
+#                             standard shared-walk write.
 
 # FLAGS bits 4-7 carry the QIM quantizer level L (Params.qim; 0 = payload on
 # the reference's hard +-alpha write, 2..15 = dithered phase QIM with step
