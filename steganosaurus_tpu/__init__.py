@@ -36,8 +36,10 @@ from steganosaurus_tpu.config import Params
 # AWGN/JPEG robustness reports; 0.7: native RS codec, key vault, walk
 # disk cache, SRM-lite warden, MFU/roofline bench, serve worker,
 # write floor; 0.8: fast PNG codec, serve warm-path routing (--warmup,
-# learned clen hints, B=1 batch modules), cross-channel warden.
-__version__ = "0.8.0"
+# learned clen hints, B=1 batch modules), cross-channel warden; 0.9:
+# channel-coherent wire mode (common-mode write, two-rule header trial,
+# requantization refinement), raw-tensor serve ingest.
+__version__ = "0.9.0"
 
 # Lazy top-level convenience API (PEP 562): `import steganosaurus_tpu as st;
 # st.embed_batch(...)`. Resolved on first touch so importing the package

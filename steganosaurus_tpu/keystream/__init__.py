@@ -88,14 +88,19 @@ _HDR_CACHE_LOCK = threading.Lock()
 
 def header_walk_with_visited(walk_key, plane_keys, H: int, W: int,
                              rmin: float, rmax: float, density: float,
-                             jitter_max: float, nbits: int) -> tuple:
+                             jitter_max: float, nbits: int,
+                             coherent: bool = False) -> tuple:
     """(plane, y, x, jitter, visited_bitmap) for the shared walk's first
     `nbits` bits — the header prefix of the per-image-walk mode
     (pipeline/batch.py). visited_bitmap (uint64 words, native layout)
     captures accepted bins, their conjugates AND density-skipped marks, so
-    a chained payload expansion never collides with the header's bins."""
+    a chained payload expansion never collides with the header's bins.
+    coherent=True (Params.coherent): the HEADER rides the coherent site
+    semantics too — a different walk from the standard prefix (sites are
+    consumed whole), which is what makes the two-rule header trial on
+    extraction well-defined (pipeline/extract.py)."""
     key = (walk_key, plane_keys, H, W, rmin, rmax, density, jitter_max,
-           nbits)
+           nbits, coherent)
     with _HDR_CACHE_LOCK:
         ent = _HDR_CACHE.get(key)
         if ent is None:
@@ -108,7 +113,7 @@ def header_walk_with_visited(walk_key, plane_keys, H: int, W: int,
                 p, y, x, j, n, vis = _expand_v_raw(
                     walk_key, plane_keys, H, W, rmin, rmax, density,
                     jitter_max, nbits, _step_budget(nbits, H, W), False,
-                    None, True)
+                    None, True, coherent=coherent)
                 ent = (p, y, x, j, vis)
                 _disk.store("hdr", key,
                             {"plane": p, "y": y, "x": x, "jitter": j,

@@ -1187,12 +1187,17 @@ class _ExtractJob:
                 if h is None:
                     headers[i] = _parse_hdr(soft_bufs0[i])
         # Channel-coherent stegos (pipeline/header.py FLAG_COHERENT,
-        # auto-detected): the payload lives in the common-mode phase of all
-        # three planes per site, which the fused single-plane gather cores
-        # cannot read — resolve those images through the single-image
-        # extractor (pipeline/extract.py reads the coherent rule natively).
-        coh_idx = [i for i, h in enumerate(headers) if h is not None
-                   and (h.flags & header_mod.FLAG_COHERENT)]
+        # auto-detected): header AND payload live in the common-mode phase
+        # of all three planes per site, which the fused single-plane
+        # gather cores cannot read — their headers fail BOTH parses above,
+        # so every still-unparsed row gets the single-image extractor's
+        # two-rule header trial (pipeline/extract.py reads the coherent
+        # rule natively). Genuinely corrupt rows pay one per-image FFT +
+        # two header reads there and stay None — an error-path cost.
+        # Parsed headers that still carry the flag (pre-trial layout:
+        # standard header + coherent payload) route the same way.
+        coh_idx = [i for i, h in enumerate(headers) if h is None
+                   or (h.flags & header_mod.FLAG_COHERENT)]
         coh_set = set(coh_idx)
         piw_idx = [i for i, h in enumerate(headers) if h is not None
                    and (h.flags & header_mod.FLAG_PER_IMAGE_WALK)

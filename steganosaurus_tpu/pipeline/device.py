@@ -82,18 +82,21 @@ def _jit_embed_apply(H, W, center, adaptive, soft=False, qim_levels=0,
     def apply_fn(spec, med, plane, y, x, bits, jitters, alpha, n_valid,
                  dithers=None):
         if coherent:
-            # Header slots [0, hdr_bits) keep the reference hard/soft write
-            # (the header must decode before any mode is known); payload
-            # slots take the channel-coherent common-mode write
-            # (Params.coherent; ops/phase.py) — QIM-lattice common mode
-            # when qim_levels, else the hard/soft target.
+            # Header AND payload take the channel-coherent common-mode
+            # write (Params.coherent; ops/phase.py) — a standard header
+            # would hand the cross-channel warden 912 single-plane writes
+            # (measured AUC 1.0 from the header alone, doc/ATTACKS.md
+            # §2e), so the header rides the coherent plain (hard/soft)
+            # rule and extraction runs a two-rule header trial
+            # (pipeline/extract.py). Payload slots compose QIM-lattice
+            # common mode when qim_levels, else the same hard/soft target.
             h = slice(0, hdr_bits)
             p = slice(hdr_bits, None)
             a_h = alpha[h] if jnp.ndim(alpha) else alpha
             a_p = alpha[p] if jnp.ndim(alpha) else alpha
-            spec2 = phase_ops.embed_phases(
-                spec, plane[h], y[h], x[h], bits[h], jitters[h], a_h, med,
-                adaptive, gain=gain, soft=soft, floor=floor, img_pixels=px)
+            spec2 = phase_ops.embed_phases_coherent(
+                spec, y[h], x[h], bits[h], jitters[h], a_h,
+                gain=gain, soft=soft, floor=floor, img_pixels=px)
             if qim_levels:
                 spec2 = phase_ops.embed_phases_coherent_qim(
                     spec2, y[p], x[p], bits[p], dithers[p], qim_levels,
@@ -493,42 +496,46 @@ class NumpyBackend:
                         params, H, W, qim_dithers, hdr_bits, return_targets):
         """f64 oracle of the coherent split write (_jit_embed_apply
         coherent branch; ops/phase.py embed_phases_coherent[_qim]): header
-        slots keep the standard hard/soft single-plane write, payload
-        slots rotate ALL THREE planes at each (y, x) site by one common
-        delta so the common-mode phase lands on the hard/soft/QIM target.
-        Each section clears the write floor independently (jax twin
-        semantics). return_targets yields the payload's (3, n) complex
-        targets (pre-mirror, pre-IFFT)."""
+        AND payload rotate ALL THREE planes at each (y, x) site by one
+        common delta — the header on the plain hard/soft target (read
+        back by the two-rule header trial, pipeline/extract.py), the
+        payload on the hard/soft/QIM target. Each section clears the
+        write floor independently (jax twin semantics). return_targets
+        yields the payload's (3, n) complex targets (pre-mirror,
+        pre-IFFT)."""
         PH, PW = spec.shape[-2:]
         gain = (H * W) / (PH * PW)
         bbits = np.asarray(bits, bool)
         jit_arr = np.asarray(jitters, np.float64)
         a_all = np.broadcast_to(np.asarray(alpha, np.float64), bbits.shape)
         h = slice(0, hdr_bits)
-        # --- header: standard single-plane write ---
-        ph, yh, xh = plane[h], y[h], x[h]
-        v = spec[ph, yh, xh]
-        mag = np.maximum(1e-12, np.abs(v))
-        a = a_all[h]
-        if params.soft_write:
-            s_sign = np.where(bbits[h], 1.0, -1.0)
-            sigma = np.where(np.sin(a) < 0, -1.0, 1.0)
-            phi = np.angle(v) - jit_arr[h]
-            valid = s_sign * sigma * np.sin(phi) >= np.abs(np.sin(a))
-            t_sin = s_sign * sigma * np.abs(np.sin(a))
-            t_cos = np.where(np.cos(phi) < 0, -1.0, 1.0) * np.abs(np.cos(a))
-            theta = np.arctan2(t_sin, t_cos) + jit_arr[h]
-            nv = np.where(valid, v, mag * np.exp(1j * theta))
-        else:
-            theta = np.where(bbits[h], a, -a) + jit_arr[h]
-            nv = mag * np.exp(1j * theta)
-        nv = self._apply_write_floor(v, nv, params, H, W)
-        if gain != 1.0:
-            nv = v + (nv - v) / gain
-        cys, cxs = zip(*(conj_idx(int(a_), int(b_), PH, PW)
-                         for a_, b_ in zip(yh, xh)))
-        spec[ph, yh, xh] = nv
-        spec[ph, np.asarray(cys), np.asarray(cxs)] = np.conj(nv)
+        # --- header: coherent plain (hard/soft) common-mode write ---
+        if hdr_bits:
+            yh, xh = y[h], x[h]
+            v3h, _m3, _Sh, th_h = self._coherent_theta(spec, yh, xh)
+            a = a_all[h]
+            if params.soft_write:
+                s_sign = np.where(bbits[h], 1.0, -1.0)
+                sigma = np.where(np.sin(a) < 0, -1.0, 1.0)
+                phi = th_h - jit_arr[h]
+                valid = s_sign * sigma * np.sin(phi) >= np.abs(np.sin(a))
+                t_sin = s_sign * sigma * np.abs(np.sin(a))
+                t_cos = np.where(np.cos(phi) < 0, -1.0, 1.0) * np.abs(
+                    np.cos(a))
+                tgt = np.arctan2(t_sin, t_cos) + jit_arr[h]
+                dlt = np.where(valid, 0.0, tgt - th_h)
+            else:
+                tgt = np.where(bbits[h], a, -a) + jit_arr[h]
+                dlt = tgt - th_h
+            nv3h = v3h * np.exp(1j * dlt)[None, :]
+            nv3h = self._apply_write_floor(
+                v3h.ravel(), nv3h.ravel(), params, H, W).reshape(v3h.shape)
+            if gain != 1.0:
+                nv3h = v3h + (nv3h - v3h) / gain
+            cys, cxs = zip(*(conj_idx(int(a_), int(b_), PH, PW)
+                             for a_, b_ in zip(yh, xh)))
+            spec[:, yh, xh] = nv3h
+            spec[:, np.asarray(cys), np.asarray(cxs)] = np.conj(nv3h)
         # --- payload: coherent all-plane common-mode write ---
         p = slice(hdr_bits, None)
         yp, xp = y[p], x[p]

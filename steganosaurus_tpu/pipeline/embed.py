@@ -51,6 +51,54 @@ def frame_bits(header_bytes: bytes, ct: bytes, tag: bytes,
     return np.concatenate([np.asarray(header_rep3), np.asarray(payload)])
 
 
+def _refine_coherent(backend, stego, plane, y, x, bits, jit, alphas,
+                     dithers, params: Params, H: int, W: int) -> np.ndarray:
+    """Iterative requantization refinement for the coherent write.
+
+    The common-mode write survives u8 rounding only as well as the site's
+    phasor resultant |S| is large: sites with moderate |S| drift across the
+    sign boundary (plain rule) or a whole QIM cell after IFFT -> round ->
+    FFT — measured ~2% plain / ~5% L=8 raw BER at 256², too much for the
+    Rep-3 header and for short interleaved-RS payload blocks (a cell-hop is
+    a CONFIDENT wrong value, so it escapes the erasure ladder's
+    lowest-|d| set). Each pass re-reads the frame off the quantized stego
+    and re-rotates drifted sites back onto the exact target; untouched
+    pixels re-round identically, so passes converge. What survives is the
+    near-cancelled tail (|S| ~ quantization noise), which carries ~zero
+    weight in the soft decoders (pipeline/extract.py two-rule trial,
+    _soft_retry) — exactly the sites a decoder should discount.
+
+    Refine passes run with write_floor=0: the corrections are sub-floor by
+    construction and ops/phase.write_floor_boost would inflate the written
+    magnitudes by up to BMAX to push them over — the main pass already
+    delivered the floored energy, and the coherent write's common rotation
+    preserves it."""
+    from dataclasses import replace as _dc_replace
+
+    refine_p = _dc_replace(params, write_floor=0.0)
+    hdr_n = header_mod.FIXED_LEN * 8 * 3
+    want = np.asarray(bits, np.uint8)
+    for _ in range(3):
+        planes2 = spectral.to_planes(stego)
+        spec2, med2, _c2, _f2 = backend.analyze(planes2, params, lazy=True)
+        got_h = backend.read_bits_coherent(
+            spec2, (y[:hdr_n], x[:hdr_n]), jit[:hdr_n], params.alpha)
+        if params.qim:
+            got_p = backend.read_bits_coherent_qim(
+                spec2, (y[hdr_n:], x[hdr_n:]), dithers[hdr_n:], params.qim)
+        else:
+            got_p = backend.read_bits_coherent(
+                spec2, (y[hdr_n:], x[hdr_n:]), jit[hdr_n:], params.alpha)
+        got = np.concatenate([np.asarray(got_h), np.asarray(got_p)])
+        if np.array_equal(got, want):
+            break
+        stego = backend.embed_apply(
+            spec2, med2, (plane, y, x), bits, jit,
+            params.alpha if alphas is None else alphas, refine_p, H, W,
+            qim_dithers=dithers, hdr_bits=hdr_n)
+    return stego
+
+
 def embed_array(
     img: np.ndarray,
     secret: bytes,
@@ -111,12 +159,11 @@ def embed_array(
 
     bits = frame_bits(header_bytes, ct, tag, rs=params.rs)
     hdr_n = header_mod.FIXED_LEN * 8 * 3
-    # Coherent payload bits consume a whole (y, x) site — three plane-bins
-    # plus conjugates — so the pair-counting capacity must be charged 3x
-    # for the payload section (the walk exhaustion check below is the hard
+    # Coherent bits (header AND payload) consume a whole (y, x) site —
+    # three plane-bins plus conjugates — so the pair-counting capacity
+    # must be charged 3x (the walk exhaustion check below is the hard
     # backstop; this pre-check keeps the reference's fast-fail contract).
-    need = (hdr_n + 3 * (len(bits) - hdr_n) if params.coherent
-            else len(bits))
+    need = 3 * len(bits) if params.coherent else len(bits)
     if need > capacity:
         raise StegoError(
             f"Message too large. Need {need} bits (after ECC), "
@@ -134,11 +181,15 @@ def embed_array(
         # Header on the shared walk prefix; payload on the salt-keyed walk
         # resuming from the header walk's visited state (pipeline/header.py
         # FLAG_PER_IMAGE_WALK; doc/ATTACKS.md §4). Coherent mode rides the
-        # same chained structure (FLAG_COHERENT; the payload walk gets the
-        # coherent site semantics — keystream/_pure.py).
+        # same chained structure (FLAG_COHERENT) with the coherent site
+        # semantics on BOTH walks — the header too, else its 912
+        # single-plane writes alone hand the cross-channel warden AUC 1.0
+        # (measured, doc/ATTACKS.md §2e); extraction resolves which header
+        # rule applies by a two-rule trial (pipeline/extract.py).
         hp, hy, hx, hj, vis = keystream.header_walk_with_visited(
             key_walk, (key_r, key_g, key_b), PH, PW,
-            params.rmin, params.rmax, params.density, params.jitter, hdr_n)
+            params.rmin, params.rmax, params.density, params.jitter, hdr_n,
+            coherent=params.coherent)
         skeys = crypto.derive_turtle_keys(
             crypto.derive_salt_path_key(path_key, salt))
         try:
@@ -178,6 +229,9 @@ def embed_array(
         params.alpha if alphas is None else alphas, params, H, W,
         qim_dithers=dithers, hdr_bits=header_mod.FIXED_LEN * 8 * 3,
     )
+    if params.coherent:
+        stego = _refine_coherent(backend, stego, plane, y, x, bits, jit,
+                                 alphas, dithers, params, H, W)
     return EmbedResult(
         stego=stego,
         written_bits=int(len(bits)),

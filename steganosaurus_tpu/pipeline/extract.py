@@ -62,24 +62,53 @@ def extract_array(
     key_walk, key_r, key_g, key_b = crypto.derive_turtle_keys(path_key)
     plane_keys = (key_r, key_g, key_b)
 
-    # --- pass 1: header (38 bytes under Rep-3) ---
-    idx_p, idx_y, idx_x, jit = keystream.turtle_expand(
-        key_walk, plane_keys, PH, PW,
-        params.rmin, params.rmax, params.density, params.jitter,
-        _HEADER_STREAM_BITS,
-    )
-    if debug.enabled():  # reference -DDEBUG=1 dumps (steganosaur.cpp:1211-1218)
-        debug.dump_dims("extract", H, W, PH, PW)
-        debug.dump_key_prefix("extract path_key", path_key)
-        debug.dump_walk("extract", idx_p, idx_y, idx_x)
-    hdr_stream = backend.read_bits(
-        spec, med, (idx_p, idx_y, idx_x), jit, params.alpha, params
-    )
-    hdr_bits = np.asarray(ecc.rep3_decode(hdr_stream))
-    hdr_bytes = bit_ops.bytes_from_bits(hdr_bits)
-    debug.dump_header("extract header", hdr_bytes)
+    # --- pass 1: header (38 bytes under Rep-3), two-rule trial ---
+    # The header rides the standard shared walk for every wire mode except
+    # coherent, whose header takes the coherent walk + common-mode write
+    # (its 912 single-plane writes alone would hand the cross-channel
+    # warden AUC 1.0 — doc/ATTACKS.md §2e). Rule 1 (standard) first; on
+    # magic failure, rule 2 (coherent). Both trials are device reads that
+    # run BEFORE any KDF, so the wrong-passphrase fast-fail property is
+    # preserved (reference rationale :1134-1143; doc/HARDENING.md).
+    def _read_header(coh: bool) -> bytes:
+        if coh:
+            _hp, hy, hx, hj, _vis = keystream.header_walk_with_visited(
+                key_walk, plane_keys, PH, PW, params.rmin, params.rmax,
+                params.density, params.jitter, _HEADER_STREAM_BITS,
+                coherent=True)
+            # Soft decode, not hard: the common-mode resultant of three
+            # independent cover phasors can nearly cancel at a site
+            # (|Σ m_c e^{iθ_c}| ≈ 0), where u8-quantization noise flips
+            # the hard bit — measured ~2% raw BER, which Rep-3 majority
+            # cannot absorb over 304 header bits. Magnitude-weighted
+            # rep_decode_soft gives the near-cancelled sites ~zero weight
+            # and the header decodes from the strong ones.
+            hvals = backend.read_values_coherent(spec, (hy, hx), hj,
+                                                 params.alpha)
+            return bit_ops.bytes_from_bits(
+                np.asarray(ecc.rep_decode_soft(hvals, 3)))
+        else:
+            idx_p, idx_y, idx_x, jit = keystream.turtle_expand(
+                key_walk, plane_keys, PH, PW,
+                params.rmin, params.rmax, params.density, params.jitter,
+                _HEADER_STREAM_BITS,
+            )
+            if debug.enabled():  # reference -DDEBUG=1 (steganosaur.cpp:1211-)
+                debug.dump_dims("extract", H, W, PH, PW)
+                debug.dump_key_prefix("extract path_key", path_key)
+                debug.dump_walk("extract", idx_p, idx_y, idx_x)
+            stream = backend.read_bits(
+                spec, med, (idx_p, idx_y, idx_x), jit, params.alpha, params)
+        return bit_ops.bytes_from_bits(np.asarray(ecc.rep3_decode(stream)))
+
+    hdr_coh = False
+    hdr_bytes = _read_header(False)
     if hdr_bytes[:4] != header_mod.MAGIC:
-        raise StegoError("Magic not found.")
+        hdr_coh = True
+        hdr_bytes = _read_header(True)
+        if hdr_bytes[:4] != header_mod.MAGIC:
+            raise StegoError("Magic not found.")
+    debug.dump_header("extract header", hdr_bytes)
     if hdr_bytes[4] != header_mod.VERSION:
         raise StegoError(f"Unsupported version ({hdr_bytes[4]}).")
     hdr = Header.from_bytes(hdr_bytes)
@@ -130,10 +159,14 @@ def extract_array(
         # resumes from the header walk's visited state (embed side:
         # pipeline/embed.py; params.per_image_walk is embed-side only).
         # Coherent stegos always ride this chained walk, with the coherent
-        # site semantics (keystream/_pure.py).
+        # site semantics (keystream/_pure.py). The visited state comes
+        # from the header rule that actually matched (hdr_coh), so both
+        # the current layout (coherent header) and the pre-trial layout
+        # (standard header + coherent payload) resolve.
         *_, vis = keystream.header_walk_with_visited(
             key_walk, plane_keys, PH, PW, params.rmin, params.rmax,
-            params.density, params.jitter, _HEADER_STREAM_BITS)
+            params.density, params.jitter, _HEADER_STREAM_BITS,
+            coherent=hdr_coh)
         skeys = crypto.derive_turtle_keys(
             crypto.derive_salt_path_key(path_key, hdr.salt))
         # allow_short: a corrupted clen must degrade to garbage trailing
@@ -186,7 +219,7 @@ def extract_array(
         # hard AEAD failure; a pass stays bit-identical to the hard path.
         pt = _soft_retry(backend, spec, med, password, master_key, params,
                          path_key, key_walk, plane_keys, PH, PW, hdr,
-                         payload_stream_bits)
+                         payload_stream_bits, hdr_coh)
     if pt is None:
         raise StegoError("Auth failed (wrong pass or data corrupted).")
     return pt
@@ -211,13 +244,20 @@ def _rs_soft_decode(pvals, m: int) -> bytes | None:
 
 def _soft_retry(backend, spec, med, password, master_key, params, path_key,
                 key_walk, plane_keys, PH, PW, hard_hdr,
-                payload_stream_bits) -> bytes | None:
-    """One soft-decision re-decode of header + payload; None if still bad."""
+                payload_stream_bits, hdr_coh: bool = False) -> bytes | None:
+    """One soft-decision re-decode of header + payload; None if still bad.
+    hdr_coh: which header rule the hard pass matched (two-rule trial,
+    extract_array) — the soft re-read must use the same walk + read rule."""
     hp, hy, hx, hj, vis = keystream.header_walk_with_visited(
         key_walk, plane_keys, PH, PW, params.rmin, params.rmax,
-        params.density, params.jitter, _HEADER_STREAM_BITS)
-    hvals = backend.read_values(spec, med, (hp, hy, hx), hj, params.alpha,
-                                params)
+        params.density, params.jitter, _HEADER_STREAM_BITS,
+        coherent=hdr_coh)
+    if hdr_coh:
+        hvals = backend.read_values_coherent(spec, (hy, hx), hj,
+                                             params.alpha)
+    else:
+        hvals = backend.read_values(spec, med, (hp, hy, hx), hj,
+                                    params.alpha, params)
     hdr_bits = np.asarray(ecc.rep_decode_soft(hvals, 3))
     hdr_bytes = bit_ops.bytes_from_bits(hdr_bits)
     if hdr_bytes[:4] != header_mod.MAGIC or hdr_bytes[4] != header_mod.VERSION:

@@ -343,6 +343,27 @@ def cross_channel_features(img: np.ndarray,
                      *r["cond_off_rate"]], dtype=np.float64)
 
 
+def _study_embed(covers: np.ndarray, secrets: list, salts: list,
+                 master_key: bytes, params: Params) -> np.ndarray:
+    """Corpus embed for the warden studies: the fused batch path, except
+    Params.coherent (whose write the fused cores don't carry) — that mode
+    embeds per image through the single-image pipeline instead, same
+    secrets/salts, so every study can measure the coherent counter-move on
+    identical corpora."""
+    if getattr(params, "coherent", False):
+        from steganosaurus_tpu.pipeline.embed import embed_array
+
+        return np.stack([
+            embed_array(c, s, master_key=master_key, params=params,
+                        salt=sa).stego
+            for c, s, sa in zip(covers, secrets, salts)])
+    from steganosaurus_tpu.pipeline.batch import embed_batch
+
+    res = embed_batch(covers, secrets, master_key=master_key, params=params,
+                      salts=salts)
+    return np.asarray(res.stego)
+
+
 def cross_channel_study(params: Params = Params(), secret_bytes: int = 240,
                         n: int = 32, hw: tuple[int, int] = (256, 256),
                         seed: int = 7,
@@ -354,8 +375,6 @@ def cross_channel_study(params: Params = Params(), secret_bytes: int = 240,
     iid-channel families (gradient) are blind by construction; photographs
     and correlated textures expose the footprint regardless of QIM/spread
     mitigations — cover choice dominates, as with the SRM warden."""
-    from steganosaurus_tpu.pipeline.batch import embed_batch
-
     mk = master_key if master_key is not None else bytes(range(32))
     rng = np.random.default_rng(seed + 1)
     out = {"families": {}}
@@ -365,9 +384,7 @@ def cross_channel_study(params: Params = Params(), secret_bytes: int = 240,
                    for _ in range(n)]
         salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
                  for _ in range(n)]
-        res = embed_batch(covers, secrets, master_key=mk, params=params,
-                          salts=salts)
-        stegos = np.asarray(res.stego)
+        stegos = _study_embed(covers, secrets, salts, mk, params)
         X0 = np.stack([cross_channel_features(c, params) for c in covers])
         X1 = np.stack([cross_channel_features(s, params) for s in stegos])
         out["families"][kind] = _paired_eval(X0, X1, folds=4, seed=0)
@@ -515,8 +532,6 @@ def joint_residual_study(params: Params = Params(), secret_bytes: int = 240,
     re-roll written phases, which is precisely what the cover model
     detects. Unlike the §2e cross-channel warden this one is
     WITHIN-channel: channel-independent sensor noise does not hide it."""
-    from steganosaurus_tpu.pipeline.batch import embed_batch
-
     mk = master_key if master_key is not None else bytes(range(32))
     rng = np.random.default_rng(seed + 1)
     out = {"families": {}}
@@ -526,9 +541,7 @@ def joint_residual_study(params: Params = Params(), secret_bytes: int = 240,
                    for _ in range(n)]
         salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
                  for _ in range(n)]
-        res = embed_batch(covers, secrets, master_key=mk, params=params,
-                          salts=salts)
-        stegos = np.asarray(res.stego)
+        stegos = _study_embed(covers, secrets, salts, mk, params)
         X0 = np.stack([joint_residual_features(c, params) for c in covers])
         X1 = np.stack([joint_residual_features(s, params) for s in stegos])
         out["families"][kind] = _paired_eval(X0, X1, folds=4, seed=0)
@@ -740,8 +753,6 @@ def srm_study(params: Params = Params(), secret_bytes: int = 240,
     (max accuracy/auc across families). Convenience driver for
     doc/ATTACKS.md section 2d's table; heavy (2n embeds + feature
     extraction + folds x FLD solves)."""
-    from steganosaurus_tpu.pipeline.batch import embed_batch
-
     mk = master_key if master_key is not None else bytes(range(32))
     rng = np.random.default_rng(seed + 1)
     out = {"families": {}}
@@ -751,9 +762,8 @@ def srm_study(params: Params = Params(), secret_bytes: int = 240,
                    for _ in range(n)]
         salts = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
                  for _ in range(n)]
-        res = embed_batch(covers, secrets, master_key=mk, params=params,
-                          salts=salts)
-        out["families"][kind] = srm_report(covers, np.asarray(res.stego))
+        stegos = _study_embed(covers, secrets, salts, mk, params)
+        out["families"][kind] = srm_report(covers, stegos)
     reps = out["families"].values()
     out["max_accuracy"] = float(max(r["accuracy"] for r in reps))
     out["max_auc"] = float(max(r["auc"] for r in reps))

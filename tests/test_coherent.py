@@ -199,8 +199,11 @@ def test_coherent_roundtrip_compositions(extra):
 
 
 def test_coherent_flag_on_wire():
-    """The header is written on the STANDARD shared-walk rule (it must
-    decode before any mode is known) and carries FLAGS bit 0x08."""
+    """The header itself rides the COHERENT walk + common-mode rule (a
+    standard header's 912 single-plane writes alone hand the cross-channel
+    warden AUC 1.0 — doc/ATTACKS.md §2e) and carries FLAGS bit 0x08; the
+    standard shared-walk rule must NOT find the magic (no single-plane
+    writes exist anywhere in a coherent stego)."""
     from steganosaurus_tpu import crypto, spectral
     from steganosaurus_tpu.ops import bits as bit_ops
     from steganosaurus_tpu.ops import ecc
@@ -210,7 +213,7 @@ def test_coherent_flag_on_wire():
     cover = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
     p = Params(pbkdf2_iter=100, coherent=True)
     res = embed_array(cover, b"flagcheck", password="pw", params=p)
-    # decode the header exactly as extract_array's pass 1 does
+    # decode the header exactly as extract_array's two-rule trial does
     ep = Params(pbkdf2_iter=100)
     backend = device_mod.get_backend(ep)
     planes = spectral.to_planes(res.stego)
@@ -219,10 +222,19 @@ def test_coherent_flag_on_wire():
     path_key = crypto.derive_path_key("pw", None, None)
     kw, kr, kg, kb = crypto.derive_turtle_keys(path_key)
     n = header_mod.FIXED_LEN * 8 * 3
+    # rule 1 (standard single-plane) finds nothing
     ip, iy, ix, jit = keystream.turtle_expand(
         kw, (kr, kg, kb), PH, PW, ep.rmin, ep.rmax, ep.density, ep.jitter, n)
     stream = backend.read_bits(spec, med, (ip, iy, ix), jit, ep.alpha, ep)
-    hdr_bytes = bit_ops.bytes_from_bits(np.asarray(ecc.rep3_decode(stream)))
+    miss = bit_ops.bytes_from_bits(np.asarray(ecc.rep3_decode(stream)))
+    assert miss[:4] != header_mod.MAGIC
+    # rule 2 (coherent walk, soft rep-3 on common-mode values) decodes
+    _hp, hy, hx, hj, _vis = keystream.header_walk_with_visited(
+        kw, (kr, kg, kb), PH, PW, ep.rmin, ep.rmax, ep.density, ep.jitter,
+        n, coherent=True)
+    hvals = backend.read_values_coherent(spec, (hy, hx), hj, ep.alpha)
+    hdr_bytes = bit_ops.bytes_from_bits(
+        np.asarray(ecc.rep_decode_soft(hvals, 3)))
     assert hdr_bytes[:4] == header_mod.MAGIC
     assert hdr_bytes[5] & header_mod.FLAG_COHERENT
 
