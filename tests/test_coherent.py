@@ -287,4 +287,9 @@ def test_extract_batch_autodetects_coherent_mixed():
         for i in range(4)])
     out = extract_batch(stegos, password="pw",
                         params=Params(pbkdf2_iter=100))
-    assert out == secrets
+    # per-image assert: if one mode ever regresses (or flakes under
+    # load), the failure names it instead of diffing two opaque lists
+    names = ["standard", "coherent", "per_image_walk", "coherent+qim"]
+    for i, (got, want) in enumerate(zip(out, secrets)):
+        assert got == want, (
+            f"image {i} ({names[i]}): got {got!r}, want {want!r}")
